@@ -1,0 +1,357 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Relational operator inventory (SURVEY.md §2) expressed over the
+  * driver's synthetic star schema. Every query here has a DuckDB
+  * oracle; names reference the §2 operator ids they exercise.
+  *
+  * Numeric-parity convention: the source tables store money/quantity
+  * as DOUBLE. Summing doubles is order-dependent and would not
+  * hash-match a single-threaded oracle, so every SUM first casts to
+  * an exact DECIMAL, aggregates exactly (order-insensitive), and
+  * casts the final result back to DOUBLE — bit-identical in Spark
+  * and DuckDB regardless of partitioning. This is also the right
+  * call at 100 TB: decimal partial aggregation stays in Tungsten
+  * codegen and map-side combine still applies.
+  *
+  * Determinism convention: every query ends in an ORDER BY that is a
+  * total order on the output (aggregate keys or an explicit unique
+  * tiebreak column).
+  */
+object Relational {
+
+  /** exact-sum helper: DOUBLE -> DECIMAL(18,2) -> SUM -> DOUBLE */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // S1 — projected, filtered parquet scan. Both the shipdate filter and
+    // the 3-column projection reach the parquet reader (PushedFilters +
+    // ReadSchema in explain) — at 100 TB this is the difference between
+    // reading 3 columns of late pages and reading the table.
+    QueryDef(
+      "s1_scan_pushdown",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ),
+
+    // S2 — ingest-time validation filter (reference: out-of-circuit proof
+    // re-verification, eth.rs:310-333): keep only rows passing a validity
+    // predicate, report survivors per class.
+    QueryDef(
+      "s2_validate_filter",
+      (s, d) => Tables.events(s, d)
+        .filter(col("value").isNotNull && col("value") >= 0 &&
+          col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_valid"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_valid FROM events
+             |WHERE value IS NOT NULL AND value >= 0
+             |  AND event_type IN ('click','view','purchase')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // A1 + A6 — grouped COUNT + exact SUM (partial/final agg = the
+    // reference's child-proof merge tree). TPC-H Q1 shape.
+    QueryDef(
+      "q1_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true,
+    ),
+
+    // P5 + P6 — selective predicate folded ahead of a scalar aggregate
+    // (TPC-H Q6 shape; the reference's owner-filter + block-range filter).
+    QueryDef(
+      "q6_filter",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            col("l_discount").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      headline = true,
+    ),
+
+    // ------------------------------------------------------------------
+    // J3 — multi-way equi-join binding fact to two dimensions (the
+    // reference's storage⋈account⋈header linking). nation is tiny →
+    // broadcast; customer⋈orders shuffles on the fk.
+    QueryDef(
+      "q3_join_agg",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val n = Tables.nation(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      headline = true,
+    ),
+
+    // J4 — broadcast join of a big fact against a small dimension (the
+    // reference joins the 1-row block-DB head; same plan shape).
+    QueryDef(
+      "j4_broadcast_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      headline = true,
+    ),
+
+    // J1 — LengthMatch (storage/length_match.rs:103-163): 1:1 join of an
+    // aggregate against a declared length, keeping keys where
+    // count(entries) == declared length. Here: lineitem count per order
+    // must equal the max line number (dense line numbering).
+    QueryDef(
+      "j1_length_match",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), max("l_linenumber").as("declared_len"))
+        .filter(col("n") === col("declared_len"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, count(*) AS n, max(l_linenumber) AS declared_len
+             |FROM lineitem GROUP BY l_orderkey
+             |HAVING count(*) = max(l_linenumber)
+             |ORDER BY l_orderkey""".stripMargin),
+    ),
+
+    // J2 — DigestEqual (storage/digest_equal.rs:142-170): the same set
+    // reached by two different plans must produce the same commutative
+    // digest; output keys whose digests reconcile. Digest here is an
+    // additive checksum (order-insensitive, merge-anywhere — exactly the
+    // property the reference's curve digest has).
+    QueryDef(
+      "j2_digest_equal",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val digA = li.groupBy("l_partkey")
+          .agg(sum(col("l_orderkey") * lit(1000003L) + col("l_linenumber")).as("digest"))
+        val digB = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy("l_partkey")
+          .agg(sum(col("l_orderkey") * lit(1000003L) + col("l_linenumber")).as("digest_b"))
+        digA.join(digB, "l_partkey")
+          .filter(col("digest") === col("digest_b"))
+          .select(col("l_partkey"), col("digest"))
+          .orderBy("l_partkey")
+      },
+      Some("""WITH a AS (
+             |  SELECT l_partkey, sum(l_orderkey*1000003 + l_linenumber) AS digest
+             |  FROM lineitem GROUP BY l_partkey),
+             |b AS (
+             |  SELECT l_partkey, sum(l_orderkey*1000003 + l_linenumber) AS digest_b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_partkey)
+             |SELECT a.l_partkey, a.digest FROM a JOIN b ON a.l_partkey = b.l_partkey
+             |WHERE a.digest = b.digest_b ORDER BY a.l_partkey""".stripMargin),
+    ),
+
+    // Semi/anti joins (set membership — free in Spark, noted absent from
+    // the reference's fixed join menu, §2.3).
+    QueryDef(
+      "semi_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+    QueryDef(
+      "anti_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // W1 + W2 — sort + fixed LIMIT (Query2 revelation: sorted distinct ids,
+    // ≤ L). orderBy.limit compiles to TakeOrderedAndProject: each partition
+    // keeps only its local top-k, the driver merges k×partitions rows —
+    // no global sort at any scale.
+    QueryDef(
+      "q2_topk",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      headline = true,
+    ),
+
+    // W1 — ranking window: top-3 orders per customer (deterministic via
+    // orderkey tiebreak). Partitioned window ⇒ scales with #customers.
+    QueryDef(
+      "w1_rank_window",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+    ),
+
+    // W3 — lag-based sequencing constraint (block/mod.rs:246-257: each
+    // block number = prev + 1). Per-user event sequences: count the gaps.
+    // Partitioned by user so the window never needs a global sort.
+    QueryDef(
+      "w3_lag_sequencing",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .withColumn("delta", col("event_id") - lag("event_id", 1).over(w))
+          .filter(col("delta").isNotNull && col("delta") =!= 1)
+          .groupBy("user_id").agg(count(lit(1)).as("n_gaps"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_gaps FROM (
+             |  SELECT user_id, event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+             |  FROM events) t
+             |WHERE delta IS NOT NULL AND delta <> 1
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // P7 — range clamping to DB bounds (query_erc20/revelation/circuit.rs:84-97):
+    // greatest(query_min, db_min) / least(query_max, db_max), then aggregate
+    // over the clamped range. Bounds computed once, broadcast to the scan.
+    QueryDef(
+      "p7_range_clamp",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val bounds = o.agg(min("o_orderdate").as("lo"), max("o_orderdate").as("hi"))
+        o.crossJoin(broadcast(bounds))
+          .filter(col("o_orderdate") >= greatest(lit("1992-01-01").cast("timestamp"), col("lo")) &&
+            col("o_orderdate") <= least(lit("2099-12-31").cast("timestamp"), col("hi")))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      },
+      Some("""WITH bounds AS (SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders)
+             |SELECT count(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders, bounds
+             |WHERE o_orderdate >= greatest(TIMESTAMP '1992-01-01', lo)
+             |  AND o_orderdate <= least(TIMESTAMP '2099-12-31', hi)""".stripMargin),
+    ),
+
+    // A5 — block-range union (query2/block/full_node.rs:52-56): per group,
+    // merge intervals and check contiguity count == max-min+1.
+    QueryDef(
+      "a5_range_union",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min("event_id").as("min_id"), max("event_id").as("max_id"),
+          count(lit(1)).as("n"))
+        .withColumn("contiguous", col("max_id") - col("min_id") + 1 === col("n"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, min(event_id) AS min_id, max(event_id) AS max_id,
+             |  count(*) AS n,
+             |  (max(event_id) - min(event_id) + 1 = count(*)) AS contiguous
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // A8 — DISTINCT / dedup-by-key (branch nibble-distinctness + revelation
+    // duplicate-id ban). dropDuplicates = hash-agg on the key: map-side
+    // partial dedup before the shuffle.
+    QueryDef(
+      "a8_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+    QueryDef(
+      "a8_count_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+             |       count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin),
+    ),
+
+    // St4 (batch shape) — tumbling-window aggregation over the event-time
+    // axis; the streaming twin lives in graft.streaming.
+    QueryDef(
+      "st4_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("v"))
+        .orderBy("w", "event_type"),
+      // window emitted as a string on both sides: the source stores
+      // nanos timestamps, whose engine-native renderings differ.
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w,
+             |  event_type, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+  )
+}
