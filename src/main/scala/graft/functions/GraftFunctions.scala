@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** Column-function registry (SURVEY §2.7 F1–F11): the scalar surface of
+  * the engine. Each function wraps a pure kernel from `graft.core` as a
+  * Spark UDF over BinaryType and is also SQL-registered via
+  * [[GraftFunctions.register]].
+  *
+  * UDFs here sit outside whole-stage codegen; they are deliberately
+  * kept *scalar and allocation-light* (no boxing beyond the byte
+  * arrays Spark hands over) so a row's cost is the kernel itself.
+  * Everything expressible with built-ins (substring/concat/lpad over
+  * binary — F4/F9/F10 fast paths) should use built-ins; these UDFs are
+  * only for the genuinely custom math (keccak, RLP, U256).
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------------- F1
+  private val keccakUdf = udf((b: Array[Byte]) => Keccak.keccak256(b))
+  /** keccak256 over a binary column (F1, keccak.rs:35-267). */
+  def keccak256(c: Column): Column = keccakUdf(c)
+
+  private val keccakHexUdf = udf((b: Array[Byte]) => Bytes.toHex(Keccak.keccak256(b)))
+  def keccak256Hex(c: Column): Column = keccakHexUdf(c)
+
+  // ---------------------------------------------------------------- P9
+  private val leftPad32Udf = udf((b: Array[Byte]) => Bytes.leftPad32(b))
+  /** left_pad32 normalization (P9, eth.rs:221-239). */
+  def leftPad32(c: Column): Column = leftPad32Udf(c)
+
+  /** big-endian 32-byte encoding of a long column (fixture/key building) */
+  private val longBe32Udf = udf((v: Long) => Bytes.leftPad32(Bytes.beBytes(v, 8)))
+  def longToBytes32(c: Column): Column = longBe32Udf(c)
+
+  // ---------------------------------------------------------------- P2/P3
+  private val mappingMptKeyUdf = udf((key: Array[Byte], slot: Int) => StorageKey.mappingMptKey(key, slot))
+  /** mpt_key = keccak(keccak(pad32(key)‖pad32(slot))) (P2, storage_key.rs:200-270). */
+  def mappingMptKey(key: Column, slot: Column): Column = mappingMptKeyUdf(key, slot)
+
+  private val simpleSlotKeyUdf = udf((slot: Int) => StorageKey.simpleSlotMptKey(slot))
+  def simpleSlotMptKey(slot: Column): Column = simpleSlotKeyUdf(slot)
+
+  // ---------------------------------------------------------------- F3/P1
+  private val rlpLeafValueUdf = udf((node: Array[Byte]) => Rlp.extractLeafValue32(node))
+  /** RLP leaf-value projection (P1, storage/mapping/leaf.rs:82-110). */
+  def rlpExtractLeafValue(node: Column): Column = rlpLeafValueUdf(node)
+
+  private val headerParentUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).parentHash)
+  private val headerStateRootUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).stateRoot)
+  private val headerNumberUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).number)
+  /** block-header field extraction (F10, state/block_linking/block.rs:21-124). */
+  def headerParentHash(h: Column): Column = headerParentUdf(h)
+  def headerStateRoot(h: Column): Column = headerStateRootUdf(h)
+  def headerNumber(h: Column): Column = headerNumberUdf(h)
+
+  // ---------------------------------------------------------------- F7 (U256)
+  import java.math.BigInteger
+  private def bin(b: Array[Byte]): BigInteger = U256.fromBytes32(b)
+
+  private val u256AddUdf = udf((a: Array[Byte], b: Array[Byte]) => {
+    val (s, ovf) = U256.add(bin(a), bin(b))
+    if (ovf) throw new ArithmeticException("u256 add overflow") // overflow pinned false (u256.rs:43-110)
+    U256.toBytes32(s)
+  })
+  private val u256MulDivUdf = udf((a: Array[Byte], b: Array[Byte], c: Array[Byte]) => {
+    // fused rate*value/total_supply (query_erc20/storage/leaf.rs:57-116):
+    // the product is taken at full precision before the divide, like the
+    // circuit's widened intermediate.
+    val den = bin(c)
+    if (den.signum == 0) throw new ArithmeticException("u256 division by zero")
+    val q = bin(a).multiply(bin(b)).divide(den)
+    if (q.compareTo(U256.Max) > 0) throw new ArithmeticException("u256 muldiv overflow")
+    U256.toBytes32(q)
+  })
+  private val u256CmpUdf = udf((a: Array[Byte], b: Array[Byte]) => U256.cmp(bin(a), bin(b)))
+  private val u256ToDecimalUdf = udf((a: Array[Byte]) => new java.math.BigDecimal(bin(a)))
+
+  def u256Add(a: Column, b: Column): Column = u256AddUdf(a, b)
+  /** (a*b)/c in u256 with div-zero/overflow abort. */
+  def u256MulDiv(a: Column, b: Column, c: Column): Column = u256MulDivUdf(a, b, c)
+  def u256Cmp(a: Column, b: Column): Column = u256CmpUdf(a, b)
+  /** lossy view for display/oracle when values < 10^38 */
+  def u256ToDecimal(a: Column): Column = u256ToDecimalUdf(a).cast("decimal(38,0)")
+
+  // ---------------------------------------------------------------- A2 leaves
+  private val mappingLeafHashUdf = udf((k: Array[Byte], v: Array[Byte]) => Commitments.mappingLeafHash(k, v))
+  private val mappingLeafDigestUdf = udf((k: Array[Byte], v: Array[Byte]) => Commitments.mappingLeafDigest(k, v))
+  private val keyOnlyDigestUdf = udf((k: Array[Byte]) => Commitments.keyOnlyDigest(k))
+  private val stateLeafHashUdf = udf((c: Array[Byte], ms: Int, ls: Int, root: Array[Byte]) =>
+    Commitments.stateLeafHash(c, ms, ls, root))
+  private val blockLeafHashUdf = udf((bn: Long, bh: Array[Byte], sr: Array[Byte]) =>
+    Commitments.blockLeafHash(bn, bh, sr))
+
+  def mappingLeafHash(key: Column, value: Column): Column = mappingLeafHashUdf(key, value)
+  def mappingLeafDigest(key: Column, value: Column): Column = mappingLeafDigestUdf(key, value)
+  def keyOnlyDigest(key: Column): Column = keyOnlyDigestUdf(key)
+  def stateLeafHash(contract: Column, mappingSlot: Column, lengthSlot: Column, storageRoot: Column): Column =
+    stateLeafHashUdf(contract, mappingSlot, lengthSlot, storageRoot)
+  def blockLeafHash(blockNumber: Column, blockHash: Column, stateRoot: Column): Column =
+    blockLeafHashUdf(blockNumber, blockHash, stateRoot)
+
+  /** SQL registration so every function is usable from spark.sql too. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("keccak256", (b: Array[Byte]) => Keccak.keccak256(b))
+    spark.udf.register("keccak256_hex", (b: Array[Byte]) => Bytes.toHex(Keccak.keccak256(b)))
+    spark.udf.register("left_pad32", (b: Array[Byte]) => Bytes.leftPad32(b))
+    spark.udf.register("long_to_bytes32", (v: Long) => Bytes.leftPad32(Bytes.beBytes(v, 8)))
+    spark.udf.register("mapping_mpt_key", (k: Array[Byte], s: Int) => StorageKey.mappingMptKey(k, s))
+    spark.udf.register("rlp_leaf_value", (n: Array[Byte]) => Rlp.extractLeafValue32(n))
+    spark.udf.register("header_number", (h: Array[Byte]) => Rlp.headerFields(h).number)
+    spark.udf.register("mapping_leaf_digest", (k: Array[Byte], v: Array[Byte]) => Commitments.mappingLeafDigest(k, v))
+    spark.udf.register("mapping_leaf_hash", (k: Array[Byte], v: Array[Byte]) => Commitments.mappingLeafHash(k, v))
+  }
+}

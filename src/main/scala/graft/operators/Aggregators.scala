@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import graft.core.{Bytes, Commitments, U256}
+
+/** Custom aggregation surface (SURVEY §2.4 A2/A3/A6). All three are
+  * `Aggregator`s exposed through `functions.udaf`, which Spark plans as
+  * ObjectHashAggregate with map-side partial aggregation — the child-
+  * proof merge tree of the reference (recursion-framework) becomes
+  * partial buffers merged across the shuffle.
+  */
+object Aggregators {
+
+  // ---------------------------------------------------------------- A2
+  /** Additive set digest (group_hashing: Σ map_to_curve(entry)). Input
+    * rows are per-entry 32-byte digests ([[graft.functions.GraftFunctions.mappingLeafDigest]]);
+    * the combine is XOR — commutative + associative, so ANY merge order
+    * across partitions/shuffles yields the same result. Zero buffer is
+    * the identity. O(1) state per group regardless of group size: this
+    * aggregator is safe at any scale.
+    */
+  class DigestAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Commitments.ZeroDigest
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      if (in == null) buf else Commitments.digestCombine(buf, in)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Commitments.digestCombine(a, b)
+    def finish(buf: Array[Byte]): Array[Byte] = buf
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // ---------------------------------------------------------------- A6
+  /** U256 SUM with overflow abort (query_erc20/block/full_node.rs:52-66:
+    * overflow flag pinned false). The buffer is an unbounded BigInteger
+    * (as minimal bytes), so partial sums never wrap; the 2^256 bound is
+    * enforced once on the final value — equivalent to the reference's
+    * per-merge check because non-negative addition is monotonic.
+    */
+  class U256SumAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.empty[Byte]
+    private def big(b: Array[Byte]): BigInteger = if (b.isEmpty) BigInteger.ZERO else new BigInteger(1, b)
+    def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      if (in == null) buf else big(buf).add(new BigInteger(1, in)).toByteArray
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = big(a).add(big(b)).toByteArray
+    def finish(buf: Array[Byte]): Array[Byte] = {
+      val v = big(buf)
+      if (v.compareTo(U256.Max) > 0) throw new ArithmeticException("u256 sum overflow")
+      U256.toBytes32(v)
+    }
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // ---------------------------------------------------------------- A3/A4
+  /** Order-sensitive Merkle root (storage/lpn, state/lpn). NOT a
+    * commutative monoid — the fix (SURVEY §7.4.2): the buffer carries
+    * (sortKey → leafHash) pairs and the tree is folded ONCE, in
+    * `finish`, after an explicit sort by key. Shuffle merge order is
+    * irrelevant because merge is map-union.
+    *
+    * Scale contract: state per group is O(entries-in-group) — fine for
+    * the reference's group shapes (one contract-block's mapping
+    * entries; thousands, not billions). For degenerate groups larger
+    * than executor memory, build the root with level-wise DataFrame
+    * self-joins instead (documented fallback, not needed for v0).
+    */
+  class MerkleRootAgg extends Aggregator[(Array[Byte], Array[Byte]), Map[String, Array[Byte]], Array[Byte]] {
+    def zero: Map[String, Array[Byte]] = Map.empty
+    def reduce(buf: Map[String, Array[Byte]], in: (Array[Byte], Array[Byte])): Map[String, Array[Byte]] =
+      buf + (Bytes.toHex(in._1) -> in._2)
+    def merge(a: Map[String, Array[Byte]], b: Map[String, Array[Byte]]): Map[String, Array[Byte]] = a ++ b
+    def finish(buf: Map[String, Array[Byte]]): Array[Byte] =
+      Commitments.merkleRoot(buf.toIndexedSeq.sortBy(_._1).map(_._2))
+    def bufferEncoder: Encoder[Map[String, Array[Byte]]] =
+      Encoders.kryo[Map[String, Array[Byte]]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** digest_agg(entryDigest) — A2 as a Column aggregate */
+  def digestAgg(entryDigest: Column): Column = udaf(new DigestAgg).apply(entryDigest)
+
+  /** u256_sum(value32) — A6 as a Column aggregate */
+  def u256Sum(value32: Column): Column = udaf(new U256SumAgg).apply(value32)
+
+  /** merkle_root(sortKey, leafHash) — A3/A4 as a Column aggregate */
+  def merkleRoot(sortKey: Column, leafHash: Column): Column =
+    udaf(new MerkleRootAgg, Encoders.tuple(Encoders.BINARY, Encoders.BINARY)).apply(sortKey, leafHash)
+}
