@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[QueryDef] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.Documents.all ++
+      graft.queries.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline side of the engine (builder brief: exact
+  * dedup, MinHash+LSH, SimHash, n-gram Jaccard, language-ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Parity strategy: every computation here is *discrete* (string md5,
+  * integer counts) or a single deterministic IEEE-double expression
+  * mirrored verbatim in the DuckDB oracle. md5 hex strings compare
+  * lexicographically the same in both engines, which makes MinHash
+  * signatures (min over md5 strings) engine-portable without sharing
+  * any hash implementation.
+  *
+  * Scale notes (100 TB): all pipelines below are shuffle-bounded by
+  * LSH-style *blocking* — candidate pairs come from equi-joins on band
+  * signatures / bit-blocks, never from an O(n²) cross join. The only
+  * all-pairs work happens inside a candidate bucket, which hashing
+  * keeps small; skewed buckets (e.g. boilerplate-heavy shingles) are
+  * the known hazard and would be salted or capped at ingest.
+  */
+object Documents {
+
+  /** doc → one row per word (keeps empty tokens out). */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** doc → distinct 3-gram word shingles. element_at is 1-based, same
+    * as DuckDB list indexing, so the oracle mirrors index-for-index. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(
+        col("doc_id"),
+        col("arr"),
+        explode(
+          when(size(col("arr")) >= 3, sequence(lit(1), size(col("arr")) - 2))
+            .otherwise(array().cast("array<int>"))).as("i"))
+      .select(
+        col("doc_id"),
+        concat_ws(
+          " ",
+          element_at(col("arr"), col("i")),
+          element_at(col("arr"), col("i") + 1),
+          element_at(col("arr"), col("i") + 2)).as("sh"))
+      .distinct()
+
+  private val ShinglesSql =
+    """arrs AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+      |shpos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr)-2,0)+1)) AS i FROM arrs),
+      |sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh FROM shpos)""".stripMargin
+
+  /** 32-char bit-string SimHash over a doc's distinct words: bit p is
+    * the sign of Σ_words (±1), where the ±1 comes from the parity of
+    * hex digit p of md5(word). Engine-portable: md5 + instr + substring
+    * behave identically in Spark and DuckDB. */
+  private def simhashDf(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .select(col("doc_id"), col("w")).distinct()
+      .select(
+        col("doc_id"),
+        col("w"),
+        explode(sequence(lit(1), lit(32))).as("p"))
+      .select(
+        col("doc_id"),
+        col("p"),
+        expr("CASE WHEN (instr('0123456789abcdef', substring(md5(w), p, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END").as("c"))
+      .groupBy("doc_id", "p")
+      .agg(sum(col("c")).as("sc"))
+      .select(col("doc_id"), col("p"), when(col("sc") >= 0, "1").otherwise("0").as("bit"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("bit")))), x => x.getField("bit")),
+          "").as("simhash"))
+
+  private val SimhashSql =
+    """tok AS (SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t WHERE w <> ''),
+      |bits AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN sum(CASE WHEN (instr('0123456789abcdef', substring(md5(w), p, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) >= 0
+      |         THEN '1' ELSE '0' END AS bit
+      |  FROM tok CROSS JOIN (SELECT unnest(range(1,33)) AS p) ps
+      |  GROUP BY doc_id, p),
+      |sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Σ of per-position mismatch indicators — generated once, used
+    * verbatim by both engines (no join over positions). */
+  private val hamming32: String =
+    (1 to 32)
+      .map(i => s"(CASE WHEN substring(sig_a,$i,1) <> substring(sig_b,$i,1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // d1 — token counting (whitespace tokenizer): per-doc token +
+    // distinct-word counts. Map-side partial agg keeps the shuffle at
+    // one row per doc.
+    QueryDef(
+      "d1_token_count",
+      (s, d) => tokens(Tables.documents(s, d))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("n_distinct"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+             |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+             |WHERE w <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // d2 — quality scoring: length/stopword/token-shape ratios folded
+    // into one score. Every double op is a single shared expression
+    // tree, so Spark and DuckDB produce bit-identical IEEE results.
+    QueryDef(
+      "d2_quality_score",
+      (s, d) => tokens(Tables.documents(s, d))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(length(col("w"))).as("sum_len"),
+          sum(when(col("w").isin("the", "a", "of", "and", "to", "in", "is", "on"), 1L).otherwise(0L)).as("n_stop"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          (col("sum_len").cast("double") / col("n_tokens").cast("double")).as("avg_token_len"),
+          (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"))
+        .withColumn(
+          "quality",
+          least(col("n_tokens").cast("double") / 200.0, lit(1.0)) * 0.5 +
+            col("stop_ratio") * 0.25 +
+            least(col("avg_token_len") / 5.0, lit(1.0)) * 0.25)
+        .orderBy("doc_id"),
+      Some("""WITH agg AS (
+             |  SELECT doc_id, count(*) AS n_tokens, sum(length(w)) AS sum_len,
+             |    sum(CASE WHEN w IN ('the','a','of','and','to','in','is','on') THEN 1 ELSE 0 END) AS n_stop
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+             |  WHERE w <> '' GROUP BY doc_id),
+             |proj AS (
+             |  SELECT doc_id, n_tokens,
+             |    CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+             |    CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+             |  FROM agg)
+             |SELECT doc_id, n_tokens, avg_token_len, stop_ratio,
+             |  least(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5 + stop_ratio * 0.25 +
+             |  least(avg_token_len / 5.0, 1.0) * 0.25 AS quality
+             |FROM proj ORDER BY doc_id""".stripMargin),
+    ),
+
+    // d3 — language-ID (stopword-profile heuristic): score each
+    // candidate language by marker-word hits, argmax with a fixed
+    // precedence. (The synthetic corpus shares one vocabulary across
+    // langs, so predictions skew 'en' — the operator under test is the
+    // deterministic profile-scoring plan, not model accuracy.)
+    QueryDef(
+      "d3_lang_id",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = tokens(docs)
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("w").isin("the", "a", "is"), 1L).otherwise(0L)).as("s_en"),
+            sum(when(col("w").isin("der", "und", "das"), 1L).otherwise(0L)).as("s_de"),
+            sum(when(col("w").isin("el", "los", "una"), 1L).otherwise(0L)).as("s_es"),
+            sum(when(col("w").isin("le", "les", "des"), 1L).otherwise(0L)).as("s_fr"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(scored, "doc_id")
+          .withColumn(
+            "pred",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+              .when(col("s_es") >= col("s_fr"), "es")
+              .otherwise("fr"))
+          .select(col("doc_id"), col("lang"), col("pred"), (col("pred") === col("lang")).as("is_match"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN w IN ('the','a','is') THEN 1 ELSE 0 END) AS s_en,
+             |    sum(CASE WHEN w IN ('der','und','das') THEN 1 ELSE 0 END) AS s_de,
+             |    sum(CASE WHEN w IN ('el','los','una') THEN 1 ELSE 0 END) AS s_es,
+             |    sum(CASE WHEN w IN ('le','les','des') THEN 1 ELSE 0 END) AS s_fr
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+             |  WHERE w <> '' GROUP BY doc_id),
+             |p AS (
+             |  SELECT d.doc_id, d.lang,
+             |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             |         WHEN s_es >= s_fr THEN 'es'
+             |         ELSE 'fr' END AS pred
+             |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+             |SELECT doc_id, lang, pred, (pred = lang) AS is_match FROM p ORDER BY doc_id""".stripMargin),
+    ),
+
+    // d4 — document fingerprinting: whole-doc content hash + winnowing-
+    // style minimum shingle hash (the smallest md5 over the doc's
+    // 3-gram shingles — a 1-feature locality-sensitive sketch).
+    QueryDef(
+      "d4_fingerprint",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("doc_id"), md5(col("text").cast("binary")).as("content_fp"))
+          .join(
+            shingles(docs).groupBy("doc_id")
+              .agg(min(md5(col("sh").cast("binary"))).as("min_shingle_fp"), count(lit(1)).as("n_shingles")),
+            "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ShinglesSql,
+              |fp AS (SELECT doc_id, min(md5(sh)) AS min_shingle_fp, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+              |SELECT d.doc_id, md5(d.text) AS content_fp, fp.min_shingle_fp, fp.n_shingles
+              |FROM documents d JOIN fp ON d.doc_id = fp.doc_id ORDER BY d.doc_id""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
+    // dd1 — exact dedup: hash-groupBy on the content hash, keep the
+    // smallest doc_id per group. Map-side partial agg means only one
+    // row per distinct content crosses the shuffle.
+    QueryDef(
+      "dd1_dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin),
+    ),
+
+    // dd2 — MinHash + LSH near-dup detection, the full pipeline:
+    // shingle → 8-seed MinHash (min over md5(seed|shingle) strings) →
+    // 4 bands × 2 rows → candidate pairs from band-signature equi-join
+    // → exact n-gram Jaccard verification ≥ 0.5. Candidates come only
+    // from band buckets (never O(n²)); at 100 TB the band join is the
+    // one shuffle and Jaccard runs per candidate pair.
+    QueryDef(
+      "dd2_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(Tables.documents(s, d))
+        val mh = sh
+          .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("seed"))
+          .groupBy("doc_id", "seed")
+          .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")).cast("binary"))).as("mh"))
+        val bands = mh
+          .withColumn("band", (col("seed") / 2).cast("int"))
+          .groupBy("doc_id", "band")
+          .agg(concat_ws("#", min("mh"), max("mh")).as("sig"))
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+          .filter(col("sh") === col("sh_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $ShinglesSql,
+              |mh AS (
+              |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
+              |  FROM sh CROSS JOIN (SELECT unnest(range(0,8)) AS seed) seeds
+              |  GROUP BY doc_id, seed),
+              |bands AS (
+              |  SELECT doc_id, seed//2 AS band, min(mh) || '#' || max(mh) AS sig
+              |  FROM mh GROUP BY doc_id, seed//2),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+              |  FROM cand c
+              |  JOIN sh sa ON sa.doc_id = c.doc_a
+              |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+              |  GROUP BY c.doc_a, c.doc_b)
+              |SELECT i.doc_a, i.doc_b,
+              |  CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) AS jaccard
+              |FROM inter i
+              |JOIN counts ca ON ca.doc_id = i.doc_a
+              |JOIN counts cb ON cb.doc_id = i.doc_b
+              |WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) >= 0.5
+              |ORDER BY i.doc_a, i.doc_b""".stripMargin),
+      headline = true,
+    ),
+
+    // dd3 — SimHash fingerprints (32-bit bit-string per doc).
+    QueryDef(
+      "dd3_simhash",
+      (s, d) => simhashDf(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH $SimhashSql
+              |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
+    ),
+
+    // dd4 — SimHash near-dup pairs: hamming ≤ 3 over the 32-bit
+    // signatures. Candidate blocking by the 4 8-bit blocks — by
+    // pigeonhole, any pair within distance 3 shares at least one
+    // block, so the union of 4 equi-joins has perfect recall with no
+    // O(n²) scan. Hamming itself is a generated 32-term expression —
+    // no per-bit join.
+    QueryDef(
+      "dd4_simhash_neardup",
+      (s, d) => {
+        val sig = simhashDf(Tables.documents(s, d))
+        val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+        val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+        val blocks = (0 until 4).map { k =>
+          a.withColumn("blk", substring(col("sig_a"), k * 8 + 1, 8))
+            .join(b.withColumn("blk", substring(col("sig_b"), k * 8 + 1, 8)), Seq("blk"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b", "sig_a", "sig_b")
+        }
+        blocks.reduce(_ union _).distinct()
+          .withColumn("hamming", expr(hamming32))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH $SimhashSql,
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.simhash AS sig_a, b.simhash AS sig_b
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+              |    substring(a.simhash,1,8)  = substring(b.simhash,1,8)  OR
+              |    substring(a.simhash,9,8)  = substring(b.simhash,9,8)  OR
+              |    substring(a.simhash,17,8) = substring(b.simhash,17,8) OR
+              |    substring(a.simhash,25,8) = substring(b.simhash,25,8)))
+              |SELECT doc_a, doc_b, $hamming32 AS hamming
+              |FROM pairs
+              |WHERE $hamming32 <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+  )
+}

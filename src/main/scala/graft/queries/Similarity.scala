@@ -1,0 +1,193 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (builder brief:
+  * brute-force top-k as the baseline, LSH-bucketed variant as the
+  * scale path) plus multimodal metadata extraction.
+  *
+  * Numeric parity: float arithmetic is not portable across engines,
+  * so ranked similarity uses *fixed-point integers*: each float is
+  * mapped to round(x·1e7) as a 64-bit int and similarities are exact
+  * integer inner products — identical in Spark and DuckDB regardless
+  * of summation order, and broadcast/codegen friendly. (The float
+  * cosine baseline is also provided, as a rows-only check.)
+  *
+  * The LSH family is sign-random-projection (SimHash for vectors):
+  * 8 fixed ±1 hyperplanes derived from md5 bits, precomputed on the
+  * driver and inlined as literals into BOTH the Spark plan and the
+  * oracle SQL — no cross-engine hash dependency at all. At 100 TB the
+  * bucket signature is the shuffle key; brute force runs only inside
+  * the query's bucket (≈ n/2^8 of the data per probe).
+  */
+object Similarity {
+
+  private val Dims = 64
+  private val Planes = 8
+
+  /** ±1 hyperplane matrix, deterministic (md5 of "plane:j:i"). */
+  private val planes: IndexedSeq[IndexedSeq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until Planes).map { j =>
+      (0 until Dims).map { i =>
+        val h = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  /** embedding → fixed-point array<long> (exact, portable). */
+  private def fxCol: Column =
+    transform(col("embedding"), x => round(x * lit(1e7)).cast("long"))
+
+  private val FxSql =
+    "fx AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1e7) AS BIGINT)) AS f FROM embeddings)"
+
+  /** exact integer inner product of two fixed-point arrays. */
+  private def ip(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** 8-bit sign-projection bucket signature (Spark side). */
+  private def sigCol: Column =
+    concat((0 until Planes).map { j =>
+      val planeLit = array(planes(j).map(v => lit(v.toLong)): _*)
+      when(ip(col("f"), planeLit) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** same signature as DuckDB SQL over the fx CTE's `f` column:
+    * Σ(+dims) − Σ(−dims) via list_select with inlined index lists. */
+  private val sigSql: String =
+    (0 until Planes).map { j =>
+      val pos = (0 until Dims).filter(i => planes(j)(i) > 0).map(_ + 1)
+      val neg = (0 until Dims).filter(i => planes(j)(i) < 0).map(_ + 1)
+      s"(CASE WHEN COALESCE(list_sum(list_select(f, [${pos.mkString(",")}])),0) - " +
+        s"COALESCE(list_sum(list_select(f, [${neg.mkString(",")}])),0) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** generated hex→int parser for 4 md5 hex digits starting at `off`
+    * (1-based); portable: instr/substring behave identically. */
+  private def hex4(h: String, off: Int): String =
+    (0 until 4).map { k =>
+      s"(instr('0123456789abcdef', substring($h,${off + k},1)) - 1) * ${math.pow(16, 3 - k).toLong}"
+    }.mkString("(", " + ", ")")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // ss1 — brute-force top-k inner-product search (exact MIPS
+    // baseline): 1-row query side broadcast to every partition, local
+    // top-k per partition merged on the driver (TakeOrderedAndProject)
+    // — no global sort at any scale.
+    QueryDef(
+      "ss1_topk_ip",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol)
+        val q = e.filter(col("vec_id") === 0).select(col("f").as("qf"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .orderBy(col("ip").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $FxSql,
+              |q AS (SELECT f AS qf FROM fx WHERE vec_id = 0),
+              |pos AS (SELECT e.vec_id, unnest(range(1, len(e.f)+1)) AS i, e.f, q.qf
+              |        FROM fx e CROSS JOIN q WHERE e.vec_id <> 0),
+              |ips AS (SELECT vec_id, sum(f[i] * qf[i]) AS ip FROM pos GROUP BY vec_id)
+              |SELECT vec_id, ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
+      headline = true,
+    ),
+
+    // ss2 — LSH bucket histogram: the partitioning layout of the ANN
+    // scale path (each vector hashed to an 8-bit sign-projection
+    // bucket; at scale this is the bucketing/partition key).
+    QueryDef(
+      "ss2_lsh_buckets",
+      (s, d) => Tables.embeddings(s, d)
+        .withColumn("f", fxCol)
+        .select(sigCol.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some(s"""WITH $FxSql,
+              |sig AS (SELECT vec_id, $sigSql AS bucket FROM fx)
+              |SELECT bucket, count(*) AS n FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin),
+    ),
+
+    // ss3 — LSH-bucketed ANN: probe only the query's bucket, then
+    // exact inner-product rerank inside it. The candidate set is the
+    // bucket (n/256 expected), not the table.
+    QueryDef(
+      "ss3_ann_lsh_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol).withColumn("bucket", sigCol)
+        val q = e.filter(col("vec_id") === 0).select(col("f").as("qf"), col("bucket").as("qbucket"))
+        e.crossJoin(broadcast(q))
+          .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 0)
+          .select(col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .orderBy(col("ip").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $FxSql,
+              |sig AS (SELECT vec_id, f, $sigSql AS bucket FROM fx),
+              |q AS (SELECT f AS qf, bucket AS qbucket FROM sig WHERE vec_id = 0),
+              |cand AS (SELECT s.vec_id, s.f, q.qf FROM sig s CROSS JOIN q
+              |         WHERE s.bucket = q.qbucket AND s.vec_id <> 0),
+              |pos AS (SELECT vec_id, unnest(range(1, len(f)+1)) AS i, f, qf FROM cand),
+              |ips AS (SELECT vec_id, sum(f[i] * qf[i]) AS ip FROM pos GROUP BY vec_id)
+              |SELECT vec_id, ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
+    ),
+
+    // ss4 — float cosine top-k baseline (the conventional metric).
+    // Float summation order is engine-specific, so this is a rows-only
+    // check; the exact-ranking twin is ss1.
+    QueryDef(
+      "ss4_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        val dot = aggregate(zip_with(col("embedding"), col("qe"), (x, y) => x * y), lit(0.0d), (a, v) => a + v)
+        val na = sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, v) => a + v))
+        val nb = sqrt(aggregate(transform(col("qe"), x => x * x), lit(0.0d), (a, v) => a + v))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), (dot / (na * nb)).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      None,
+    ),
+
+    // ------------------------------------------------------------------
+    // mm1 — multimodal metadata extraction over an opaque payload:
+    // the decode step is a deterministic stub (md5-derived fake
+    // dimensions — the real image/audio libs are not in this
+    // container), but the Spark-side shape is the real thing: binary
+    // payload column in, typed (width, height, format, n_frames)
+    // columns out, fully codegen'd, no UDF.
+    QueryDef(
+      "mm1_multimodal_meta",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_bytes"), md5(col("text").cast("binary")).as("h"))
+        .select(
+          col("doc_id"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          expr(s"CAST(64 + ${hex4("h", 1)} % 1024 AS BIGINT)").as("width"),
+          expr(s"CAST(64 + ${hex4("h", 5)} % 1024 AS BIGINT)").as("height"),
+          expr(s"CASE ${hex4("h", 9)} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END").as("format"),
+          expr(s"CAST(1 + ${hex4("h", 13)} % 240 AS BIGINT)").as("n_frames"))
+        .orderBy("doc_id"),
+      Some(s"""WITH h AS (SELECT doc_id, length(text) AS n_bytes, md5(text) AS h FROM documents)
+              |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+              |  CAST(64 + ${hex4("h", 1)} % 1024 AS BIGINT) AS width,
+              |  CAST(64 + ${hex4("h", 5)} % 1024 AS BIGINT) AS height,
+              |  CASE ${hex4("h", 9)} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+              |  CAST(1 + ${hex4("h", 13)} % 240 AS BIGINT) AS n_frames
+              |FROM h ORDER BY doc_id""".stripMargin),
+    ),
+  )
+}
