@@ -13,7 +13,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     graft.queries.Relational.all ++
       graft.queries.Documents.all ++
-      graft.queries.Similarity.all
+      graft.queries.Similarity.all ++
+      graft.queries.Zk.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

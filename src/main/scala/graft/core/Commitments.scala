@@ -15,10 +15,11 @@ package graft.core
   *
   *   - leaf/inner hashes: keccak with one-byte domain separation tags
   *     in place of `Poseidon(...)`;
-  *   - set digest: XOR-fold of keccak(entry) in place of
+  *   - set digest: sum of keccak(entry) mod 2^256 in place of
   *     `Σ map_to_curve_point(entry)` — both are order-insensitive
-  *     monoids, which is the property the distributed aggregation
-  *     relies on (merge in any shuffle order).
+  *     *additive* monoids (merge in any shuffle order, duplicates
+  *     accumulate rather than cancel), which is the property the
+  *     distributed aggregation relies on.
   */
 object Commitments {
 
@@ -52,8 +53,24 @@ object Commitments {
   def keyOnlyDigest(key32: Array[Byte]): Array[Byte] =
     Keccak.keccak256(Bytes.concat(Array(TagDigestLeaf), Bytes.leftPad32(key32)))
 
-  /** curve_add analog — commutative, associative, identity = zeros. */
-  def digestCombine(a: Array[Byte], b: Array[Byte]): Array[Byte] = Bytes.xor(a, b)
+  /** curve_add analog: 256-bit modular addition — commutative,
+    * associative, identity = zeros, and (unlike XOR) *multiset*-
+    * sensitive: N copies of an entry contribute N·x, never cancel —
+    * matching the additive-group semantics the reference's digest
+    * relies on (a duplicated pair of entries must NOT vanish from the
+    * commitment). */
+  def digestCombine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](DigestLen)
+    var carry = 0
+    var i = DigestLen - 1
+    while (i >= 0) {
+      val s = (a(i) & 0xff) + (b(i) & 0xff) + carry
+      out(i) = (s & 0xff).toByte
+      carry = s >>> 8
+      i -= 1
+    }
+    out
+  }
 
   /** `state_leaf_hash` (state/lpn/leaf/mod.rs:34-72):
     * Poseidon(contract ‖ mapping_slot ‖ length_slot ‖ storage_root). */

@@ -36,6 +36,10 @@ object GraftFunctions {
   private val longBe32Udf = udf((v: Long) => Bytes.leftPad32(Bytes.beBytes(v, 8)))
   def longToBytes32(c: Column): Column = longBe32Udf(c)
 
+  /** big-endian bytes → long (≤8 bytes; F5 unpacking direction) */
+  private val bytesToLongUdf = udf((b: Array[Byte]) => Bytes.beLong(b))
+  def bytesToLong(c: Column): Column = bytesToLongUdf(c)
+
   // ---------------------------------------------------------------- P2/P3
   private val mappingMptKeyUdf = udf((key: Array[Byte], slot: Int) => StorageKey.mappingMptKey(key, slot))
   /** mpt_key = keccak(keccak(pad32(key)‖pad32(slot))) (P2, storage_key.rs:200-270). */

@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{Bytes, Commitments, Keccak, Rlp, U256}
+
+/** Reference-shaped blockchain fixtures (FIXTURES.md §A): deterministic
+  * synthetic `storage_entries` + `headers`, plus *driver-side golden
+  * values* computed with the pure kernels only (no Spark) — the same
+  * native-vs-circuit cross-check strategy the reference uses in its
+  * own tests (`storage/lpn/mod.rs:30-88` golden functions vs circuit
+  * outputs; SURVEY §5).
+  *
+  * Two contracts: contract 0 is an NFT-style mapping (id → owner,
+  * ids 1..5 held by user 0 to match the reference e2e constants,
+  * `groth16-framework/tests/queries.rs:22`); contract 1 is an
+  * ERC20-style mapping (holder → u256 balance varying per block).
+  */
+object Fixtures {
+
+  final case class Cfg(
+      firstBlock: Long = 100L,
+      nBlocks: Int = 10,
+      nNftIds: Int = 8,
+      nHolders: Int = 8,
+      nftSlot: Int = 3,
+      nftLengthSlot: Int = 4,
+      erc20Slot: Int = 5,
+      erc20LengthSlot: Int = 6)
+
+  def contractAddr(i: Int): Array[Byte] = Keccak.keccak256(s"contract:$i".getBytes("UTF-8")).take(20)
+  def userAddr(i: Int): Array[Byte] = Keccak.keccak256(s"user:$i".getBytes("UTF-8")).take(20)
+
+  /** NFT id → owner (ids 1..5 → user 0; others → per-id user). */
+  def nftOwner(id: Int): Array[Byte] = if (id <= 5) userAddr(0) else userAddr(id)
+
+  /** holder h's balance at block b (deterministic, block-varying). */
+  def erc20Balance(h: Int, b: Long, cfg: Cfg): BigInteger =
+    BigInteger.valueOf((h + 1).toLong * 1000000L + (b - cfg.firstBlock) * 10L)
+
+  final case class Entry(
+      block_number: Long,
+      contract: Array[Byte],
+      mapping_slot: Int,
+      length_slot: Int,
+      mapping_key: Array[Byte],
+      value: Array[Byte])
+
+  final case class HeaderRow(
+      block_number: Long,
+      header_rlp: Array[Byte],
+      block_hash: Array[Byte],
+      parent_hash: Array[Byte])
+
+  def entriesSeq(cfg: Cfg): Seq[Entry] = {
+    val nft = for {
+      i <- 0 until cfg.nBlocks
+      b = cfg.firstBlock + i
+      id <- 1 to cfg.nNftIds
+    } yield Entry(b, contractAddr(0), cfg.nftSlot, cfg.nftLengthSlot,
+      Bytes.leftPad32(Bytes.beBytes(id.toLong, 4)), Bytes.leftPad32(nftOwner(id)))
+    val erc20 = for {
+      i <- 0 until cfg.nBlocks
+      b = cfg.firstBlock + i
+      h <- 0 until cfg.nHolders
+    } yield Entry(b, contractAddr(1), cfg.erc20Slot, cfg.erc20LengthSlot,
+      Bytes.leftPad32(userAddr(h)), U256.toBytes32(erc20Balance(h, b, cfg)))
+    nft ++ erc20
+  }
+
+  // ---------------------------------------------------------- goldens
+  /** storage-DB golden per (block, contract): (n, digest, root) —
+    * leaves sorted by mapping_key hex (SURVEY §7.4.2 ordering
+    * convention). */
+  def goldenStorageDb(cfg: Cfg): Map[(Long, String), (Long, Array[Byte], Array[Byte])] =
+    entriesSeq(cfg).groupBy(e => (e.block_number, Bytes.toHex(e.contract))).map { case (k, es) =>
+      val sorted = es.sortBy(e => Bytes.toHex(e.mapping_key))
+      val root = Commitments.merkleRoot(sorted.map(e => Commitments.mappingLeafHash(e.mapping_key, e.value)).toIndexedSeq)
+      val digest = es.map(e => Commitments.mappingLeafDigest(e.mapping_key, e.value))
+        .foldLeft(Commitments.ZeroDigest)(Commitments.digestCombine)
+      k -> ((es.size.toLong, digest, root))
+    }
+
+  /** state-DB golden per block: leaves sorted by contract hex. */
+  def goldenStateDb(cfg: Cfg): Map[Long, Array[Byte]] = {
+    val storage = goldenStorageDb(cfg)
+    val slots = Map(
+      Bytes.toHex(contractAddr(0)) -> ((cfg.nftSlot, cfg.nftLengthSlot)),
+      Bytes.toHex(contractAddr(1)) -> ((cfg.erc20Slot, cfg.erc20LengthSlot)))
+    storage.groupBy(_._1._1).map { case (b, m) =>
+      val leaves = m.toSeq.sortBy(_._1._2).map { case ((_, cHex), (_, _, root)) =>
+        val (ms, ls) = slots(cHex)
+        Commitments.stateLeafHash(Bytes.fromHex(cHex), ms, ls, root)
+      }
+      b -> Commitments.merkleRoot(leaves.toIndexedSeq)
+    }
+  }
+
+  /** headers chained by parent hash; the embedded stateRoot field IS
+    * the golden state-DB root, so the pipeline's J3-style binding check
+    * (header.stateRoot == built state root) must pass. Header layout:
+    * 9-field RLP list with the Ethereum positions the extractor reads
+    * (parentHash@0, stateRoot@3, number@8). */
+  def headersSeq(cfg: Cfg): Seq[HeaderRow] = {
+    val stateRoots = goldenStateDb(cfg)
+    var parent = new Array[Byte](32)
+    (0 until cfg.nBlocks).map { i =>
+      val b = cfg.firstBlock + i
+      val fields = Vector[Rlp.Item](
+        Rlp.Str(parent), // 0 parentHash
+        Rlp.Str(new Array[Byte](32)), // 1 unclesHash
+        Rlp.Str(new Array[Byte](20)), // 2 coinbase
+        Rlp.Str(stateRoots(b)), // 3 stateRoot
+        Rlp.Str(new Array[Byte](32)), // 4 txRoot
+        Rlp.Str(new Array[Byte](32)), // 5 receiptRoot
+        Rlp.Str(new Array[Byte](8)), // 6 bloom (shrunk)
+        Rlp.Str(Array.empty), // 7 difficulty = 0
+        Rlp.Str(if (b == 0) Array.empty else Bytes.beBytes(b, 8).dropWhile(_ == 0))) // 8 number
+      val rlp = Rlp.encode(Rlp.Lst(fields))
+      val hash = Keccak.keccak256(rlp)
+      val row = HeaderRow(b, rlp, hash, parent)
+      parent = hash
+      row
+    }
+  }
+
+  /** block-DB golden: leaf hashes in block order + final root. */
+  def goldenBlockDb(cfg: Cfg): (Seq[Array[Byte]], Array[Byte]) = {
+    val stateRoots = goldenStateDb(cfg)
+    val leaves = headersSeq(cfg).map(h => Commitments.blockLeafHash(h.block_number, h.block_hash, stateRoots(h.block_number)))
+    (leaves, Commitments.merkleRoot(leaves.toIndexedSeq))
+  }
+
+  /** ERC20 golden: Σ_b rate·balance(user,b)/totalSupply over the
+    * clamped block range, BigInteger arithmetic (full-precision product
+    * before the divide, like the circuit). */
+  def goldenErc20Sum(cfg: Cfg, user: Int, rate: BigInteger, totalSupply: BigInteger,
+      minB: Long, maxB: Long): BigInteger = {
+    val lo = math.max(minB, cfg.firstBlock)
+    val hi = math.min(maxB, cfg.firstBlock + cfg.nBlocks - 1)
+    (lo to hi).foldLeft(BigInteger.ZERO) { (acc, b) =>
+      val bal = if (user < cfg.nHolders) erc20Balance(user, b, cfg) else BigInteger.ZERO
+      acc.add(rate.multiply(bal).divide(totalSupply))
+    }
+  }
+
+  // ---------------------------------------------------------- Spark side
+  def entries(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(entriesSeq(cfg)).toDF()
+  }
+
+  def headers(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(headersSeq(cfg)).toDF()
+  }
+}

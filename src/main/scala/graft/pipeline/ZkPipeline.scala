@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Bytes, U256}
+import graft.functions.GraftFunctions._
+import graft.operators.Aggregators
+
+/** The reference's preprocessing + query pipeline as Spark
+  * transformations (SURVEY §3): storage DB → state DB → block DB
+  * builds, then the Query2 / QueryERC20 plans.
+  *
+  * Execution shape vs the reference: each per-tree merge circuit
+  * becomes partial/final aggregation (the recursion framework's
+  * child-proof hand-off IS the shuffle); the serialized-proof stage
+  * boundaries (S5) become DataFrame hand-offs inside one job, so
+  * Catalyst fuses stages and pushes filters all the way to the scan.
+  *
+  * Scale: every groupBy below keys on (block_number, contract) or
+  * block_number — at 100 TB, `storage_entries` would be written
+  * partitioned by block_number range, so these aggregations shuffle
+  * only within partitions already pruned by the query's block-range
+  * predicate (P6 becomes a partition filter).
+  */
+object ZkPipeline {
+
+  // ------------------------------------------------------------ §3.1 stages 1-5
+  /** storage DB (per block × contract): COUNT (A1) + additive set
+    * digest (A2) + order-fixed Merkle root (A3). One shuffle, three
+    * aggregates, map-side partials for all of them. */
+  def storageDb(entries: DataFrame): DataFrame =
+    entries
+      .groupBy("block_number", "contract", "mapping_slot", "length_slot")
+      .agg(
+        count(lit(1)).as("n"),
+        Aggregators.digestAgg(mappingLeafDigest(col("mapping_key"), col("value"))).as("digest"),
+        Aggregators.merkleRoot(col("mapping_key"), mappingLeafHash(col("mapping_key"), col("value"))).as("storage_root"))
+
+  /** J1 LengthMatch (length_match.rs:103-163): entry count must equal
+    * the declared mapping length; `skip` bypasses (MAGIC_SLOT
+    * sentinel). Returns rows with a `length_ok` verdict. */
+  def lengthMatch(storageDb: DataFrame, lengths: DataFrame, skip: Boolean = false): DataFrame =
+    storageDb
+      .join(lengths, Seq("block_number", "contract"), "left")
+      .withColumn("length_ok", lit(skip) || col("declared_length").isNull || col("n") === col("declared_length"))
+
+  /** J2 DigestEqual (digest_equal.rs:142-170): two independently built
+    * digests over the same entry set must agree — the set-equality
+    * reconciliation between the MPT-extracted and LPN-stored sides. */
+  def digestEqual(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("block_number"), col("contract"), col("digest").as("digest_a"))
+      .join(b.select(col("block_number"), col("contract"), col("digest").as("digest_b")),
+        Seq("block_number", "contract"))
+      .withColumn("digest_ok", col("digest_a") === col("digest_b"))
+
+  // ------------------------------------------------------------ §3.1 stage 7
+  /** state DB (per block): one leaf per contract, root over leaves
+    * ordered by contract address. */
+  def stateDb(storageDb: DataFrame): DataFrame =
+    storageDb
+      .groupBy("block_number")
+      .agg(
+        count(lit(1)).as("n_contracts"),
+        Aggregators.merkleRoot(
+          col("contract"),
+          stateLeafHash(col("contract"), col("mapping_slot"), col("length_slot"), col("storage_root"))).as("state_root"))
+
+  // ------------------------------------------------------------ §3.1 stage 8
+  /** block DB rows: state root bound to the header chain (J3) with the
+    * append-only sequencing constraint (W3/St2). The window is a
+    * single total order over block numbers — fine, because block-DB
+    * maintenance is inherently sequential (one row per block, tiny);
+    * the heavy lifting stayed in the per-block aggregations above. */
+  def blockDb(stateDb: DataFrame, headers: DataFrame): DataFrame = {
+    val w = Window.orderBy("block_number")
+    stateDb
+      .join(headers, Seq("block_number"))
+      .withColumn("header_state_root", headerStateRoot(col("header_rlp")))
+      .withColumn("header_ok", col("header_state_root") === col("state_root"))
+      .withColumn("chain_ok",
+        headerParentHash(col("header_rlp")) === coalesce(lag("block_hash", 1).over(w), col("parent_hash")))
+      .withColumn("seq_ok",
+        coalesce(col("block_number") === lag("block_number", 1).over(w) + 1, lit(true)))
+      .withColumn("leaf_hash", blockLeafHash(col("block_number"), col("block_hash"), col("state_root")))
+      .select("block_number", "block_hash", "state_root", "leaf_hash", "header_ok", "chain_ok", "seq_ok")
+  }
+
+  /** block-DB head: final root over all leaves in block order + the
+    * first/last block bounds the revelation joins against (J4). */
+  def blockDbHead(blockDb: DataFrame): DataFrame =
+    blockDb.agg(
+      min("block_number").as("first_block"),
+      max("block_number").as("last_block"),
+      count(lit(1)).as("n_blocks"),
+      Aggregators.merkleRoot(longToBytes32(col("block_number")), col("leaf_hash")).as("root"),
+      min(col("header_ok").cast("int")).as("all_headers_ok"),
+      min(col("chain_ok").cast("int")).as("all_chain_ok"),
+      min(col("seq_ok").cast("int")).as("all_seq_ok"))
+
+  // ------------------------------------------------------------ §3.2 Query2
+  /** Query2 (NFT ownership): sorted distinct u32 ids owned by `owner`
+    * in `contract`/`slot` consistently over [minB, maxB], LIMIT L.
+    *
+    * Returns (ids DataFrame, checks DataFrame). The consistency rule
+    * ("every block in range") is the A5 contiguity constraint: an id
+    * qualifies only if it appears with the owner in ALL blocks of the
+    * range. Checks carry the per-range digest cross-check (revelation
+    * re-derives Σ key-digests from the witnessed ids — A2 on key-only
+    * digests, query2/storage/leaf.rs:46-49).
+    */
+  def query2(entries: DataFrame, contract: Array[Byte], slot: Int, owner: Array[Byte],
+      minB: Long, maxB: Long, limit: Int = 5): (DataFrame, DataFrame) = {
+    val nBlocks = maxB - minB + 1
+    val owned = entries
+      .filter(col("contract") === lit(contract) && col("mapping_slot") === slot &&
+        col("block_number").between(minB, maxB) &&
+        col("value") === lit(Bytes.leftPad32(owner)))
+    // id qualifies iff present in every block of the range (consistent ownership)
+    val perKey = owned
+      .groupBy("mapping_key")
+      .agg(countDistinct(col("block_number")).as("n_blocks"))
+      .filter(col("n_blocks") === nBlocks)
+      .withColumn("key_digest", keyOnlyDigest(col("mapping_key")))
+    val ids = perKey
+      .select(bytesToLong(expr("substring(mapping_key, 29, 4)")).as("nft_id"))
+      .orderBy("nft_id")
+      .limit(limit)
+    val checks = perKey.agg(
+      count(lit(1)).as("n_qualified"),
+      Aggregators.digestAgg(col("key_digest")).as("range_digest"))
+    (ids, checks)
+  }
+
+  // ------------------------------------------------------------ §3.3 QueryERC20
+  /** QueryERC20: Σ_b rate·balance(user, b)/total_supply over the query
+    * range clamped to the DB bounds (P7), U256 arithmetic with
+    * overflow/div-zero abort (F7), absent-user blocks contribute 0 but
+    * still count (P4 non-membership semantics), and the range must be
+    * gap-free (A6 contiguity). One row out: the U256 sum + verdicts.
+    */
+  def queryErc20(entries: DataFrame, contract: Array[Byte], slot: Int, user: Array[Byte],
+      rate: BigInteger, totalSupply: BigInteger, minB: Long, maxB: Long): DataFrame = {
+    val scoped = entries
+      .filter(col("contract") === lit(contract) && col("mapping_slot") === slot)
+    // P7: clamp the query range to what the DB actually holds
+    val bounds = scoped.agg(min("block_number").as("db_min"), max("block_number").as("db_max"))
+    val blocks = scoped
+      .crossJoin(broadcast(bounds))
+      .filter(col("block_number") >= greatest(lit(minB), col("db_min")) &&
+        col("block_number") <= least(lit(maxB), col("db_max")))
+    // P4: per block, the user's balance or 0 when absent
+    val perBlock = blocks
+      .groupBy("block_number")
+      .agg(max(when(col("mapping_key") === lit(Bytes.leftPad32(user)), col("value"))).as("balance"))
+      .withColumn("balance", coalesce(col("balance"), lit(U256.toBytes32(BigInteger.ZERO))))
+      .withColumn("reward",
+        u256MulDiv(lit(U256.toBytes32(rate)), col("balance"), lit(U256.toBytes32(totalSupply))))
+    perBlock.agg(
+      count(lit(1)).as("n_blocks"),
+      min("block_number").as("range_min"),
+      max("block_number").as("range_max"),
+      Aggregators.u256Sum(col("reward")).as("result"))
+      .withColumn("gap_free", col("n_blocks") === col("range_max") - col("range_min") + 1)
+  }
+}

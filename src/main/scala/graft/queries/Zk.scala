@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.pipeline.{Fixtures, ZkPipeline}
+
+/** The reference's own query surface (SURVEY §3), run over the
+  * deterministic reference-shaped fixtures (FIXTURES.md §A) — these
+  * exercise the commitment aggregators (A2/A3/A4), the constraint
+  * joins (J1/J2/J3-style binding, W3 sequencing) and the two fixed
+  * query plans (Query2 / QueryERC20).
+  *
+  * No DuckDB oracle (keccak/U256 commitments are not SQL-expressible)
+  * → the driver records rows-only checks here; the bit-level
+  * correctness gate for these is `ZkPipelineSpec`, which golden-checks
+  * every output against driver-side pure-kernel recomputation — the
+  * exact native-vs-circuit strategy the reference tests itself with.
+  */
+object Zk {
+
+  private val cfg = Fixtures.Cfg()
+
+  val all: Seq[QueryDef] = Seq(
+
+    // storage DB build (§3.1 stages 1-5): per block×contract count,
+    // additive digest, order-fixed merkle root.
+    QueryDef(
+      "zk_storage_db",
+      (s, _) => ZkPipeline.storageDb(Fixtures.entries(s, cfg))
+        .select(col("block_number"), hex(col("contract")).as("contract"),
+          col("n"), hex(col("digest")).as("digest"), hex(col("storage_root")).as("storage_root"))
+        .orderBy("block_number", "contract"),
+    ),
+
+    // state DB build (§3.1 stage 7).
+    QueryDef(
+      "zk_state_db",
+      (s, _) => ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(s, cfg)))
+        .select(col("block_number"), col("n_contracts"), hex(col("state_root")).as("state_root"))
+        .orderBy("block_number"),
+    ),
+
+    // block DB rows (§3.1 stage 8): header binding + chain + sequencing
+    // verdicts per block.
+    QueryDef(
+      "zk_block_db",
+      (s, _) => {
+        val sdb = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(s, cfg)))
+        ZkPipeline.blockDb(sdb, Fixtures.headers(s, cfg))
+          .select(col("block_number"), hex(col("block_hash")).as("block_hash"),
+            hex(col("leaf_hash")).as("leaf_hash"),
+            col("header_ok"), col("chain_ok"), col("seq_ok"))
+          .orderBy("block_number")
+      },
+    ),
+
+    // Query2 (§3.2): user 0's sorted distinct NFT ids over the full
+    // block range, LIMIT 5 — the reference e2e expects ids 1..5.
+    QueryDef(
+      "zk_query2",
+      (s, _) => {
+        val (ids, _) = ZkPipeline.query2(
+          Fixtures.entries(s, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
+          Fixtures.userAddr(0), cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+        ids
+      },
+      headline = true,
+    ),
+
+    // QueryERC20 (§3.3): time-weighted reward share with U256 math,
+    // range clamped to DB bounds (the query overshoots on both ends on
+    // purpose to exercise P7).
+    QueryDef(
+      "zk_query_erc20",
+      (s, _) => {
+        import graft.functions.GraftFunctions.u256ToDecimal
+        ZkPipeline.queryErc20(
+          Fixtures.entries(s, cfg), Fixtures.contractAddr(1), cfg.erc20Slot,
+          Fixtures.userAddr(2), rate = BigInteger.valueOf(7L), totalSupply = BigInteger.valueOf(1000L),
+          minB = cfg.firstBlock - 50, maxB = cfg.firstBlock + cfg.nBlocks + 50)
+          .select(col("n_blocks"), col("range_min"), col("range_max"), col("gap_free"),
+            u256ToDecimal(col("result")).as("result"))
+      },
+      headline = true,
+    ),
+  )
+}

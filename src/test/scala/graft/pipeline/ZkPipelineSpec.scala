@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Bytes, Commitments, U256}
+
+/** Golden cross-check of the Spark pipeline against driver-side
+  * pure-kernel recomputation (the reference's native-vs-circuit test
+  * strategy, SURVEY §5): every commitment the distributed plan
+  * produces must byte-match the sequential fold. */
+class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val cfg = Fixtures.Cfg()
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("zk-pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("storage DB: distributed count/digest/root match sequential goldens") {
+    val got = ZkPipeline.storageDb(Fixtures.entries(spark, cfg))
+      .collect()
+      .map(r => (r.getAs[Long]("block_number"), Bytes.toHex(r.getAs[Array[Byte]]("contract"))) ->
+        ((r.getAs[Long]("n"), r.getAs[Array[Byte]]("digest"), r.getAs[Array[Byte]]("storage_root"))))
+      .toMap
+    val want = Fixtures.goldenStorageDb(cfg)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (n, digest, root)) =>
+      val (gn, gd, gr) = got(k)
+      assert(gn == n, s"count at $k")
+      assert(Bytes.toHex(gd) == Bytes.toHex(digest), s"digest at $k")
+      assert(Bytes.toHex(gr) == Bytes.toHex(root), s"root at $k")
+    }
+  }
+
+  test("digest is merge-order independent (A2 commutativity under repartition)") {
+    val base = ZkPipeline.storageDb(Fixtures.entries(spark, cfg))
+    val shuffled = ZkPipeline.storageDb(Fixtures.entries(spark, cfg).repartition(13, col("mapping_key")))
+    val a = base.select("block_number", "contract", "digest").collect()
+      .map(r => (r.getLong(0), Bytes.toHex(r.getAs[Array[Byte]](1))) -> Bytes.toHex(r.getAs[Array[Byte]](2))).toMap
+    val b = shuffled.select("block_number", "contract", "digest").collect()
+      .map(r => (r.getLong(0), Bytes.toHex(r.getAs[Array[Byte]](1))) -> Bytes.toHex(r.getAs[Array[Byte]](2))).toMap
+    assert(a == b)
+  }
+
+  test("state DB roots match goldens") {
+    val got = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(spark, cfg)))
+      .collect().map(r => r.getAs[Long]("block_number") -> Bytes.toHex(r.getAs[Array[Byte]]("state_root"))).toMap
+    val want = Fixtures.goldenStateDb(cfg).map { case (k, v) => k -> Bytes.toHex(v) }
+    assert(got == want)
+  }
+
+  test("block DB: header binding, chain linkage, sequencing all hold; root matches golden") {
+    val sdb = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(spark, cfg)))
+    val bdb = ZkPipeline.blockDb(sdb, Fixtures.headers(spark, cfg))
+    val rows = bdb.orderBy("block_number").collect()
+    assert(rows.forall(_.getAs[Boolean]("header_ok")), "header stateRoot binding")
+    assert(rows.forall(_.getAs[Boolean]("chain_ok")), "parent-hash chain")
+    assert(rows.forall(_.getAs[Boolean]("seq_ok")), "block sequencing")
+    val (goldenLeaves, goldenRoot) = Fixtures.goldenBlockDb(cfg)
+    assert(rows.map(r => Bytes.toHex(r.getAs[Array[Byte]]("leaf_hash"))).toSeq ==
+      goldenLeaves.map(Bytes.toHex))
+    val head = ZkPipeline.blockDbHead(bdb).collect()(0)
+    assert(Bytes.toHex(head.getAs[Array[Byte]]("root")) == Bytes.toHex(goldenRoot))
+    assert(head.getAs[Long]("first_block") == cfg.firstBlock)
+  }
+
+  test("block DB sequencing check catches a gap (St2 negative)") {
+    val sdb = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(spark, cfg)))
+    val gappy = Fixtures.headers(spark, cfg).filter(col("block_number") =!= (cfg.firstBlock + 3))
+    val bdb = ZkPipeline.blockDb(sdb.filter(col("block_number") =!= (cfg.firstBlock + 3)), gappy)
+    assert(bdb.filter(!col("seq_ok")).count() == 1)
+  }
+
+  test("J2 digest reconciliation catches a mutated entry (negative)") {
+    val clean = ZkPipeline.storageDb(Fixtures.entries(spark, cfg))
+    // flip one value byte on one block of contract 0
+    val tampered = Fixtures.entries(spark, cfg)
+      .withColumn("value",
+        when(col("block_number") === cfg.firstBlock && col("mapping_key") === lit(Bytes.leftPad32(Bytes.beBytes(1L, 4))),
+          lit(Bytes.leftPad32(Array[Byte](0x7f)))).otherwise(col("value")))
+    val rec = ZkPipeline.digestEqual(clean, ZkPipeline.storageDb(tampered))
+    assert(rec.filter(!col("digest_ok")).count() == 1)
+    assert(rec.filter(col("digest_ok")).count() == rec.count() - 1)
+  }
+
+  test("J1 length match verdict") {
+    val s2 = spark
+    import s2.implicits._
+    val sdb = ZkPipeline.storageDb(Fixtures.entries(spark, cfg))
+    val lengths = Fixtures.entriesSeq(cfg).groupBy(e => (e.block_number, Bytes.toHex(e.contract)))
+      .map { case ((b, c), es) => (b, c, es.size.toLong) }.toSeq
+      .toDF("block_number", "contract_hex", "declared_length")
+    val withBin = lengths.withColumn("contract", unhex(col("contract_hex"))).drop("contract_hex")
+    val ok = ZkPipeline.lengthMatch(sdb, withBin)
+    assert(ok.filter(!col("length_ok")).count() == 0)
+    val bad = ZkPipeline.lengthMatch(sdb, withBin.withColumn("declared_length", col("declared_length") + 1))
+    assert(bad.filter(!col("length_ok")).count() == bad.count())
+  }
+
+  test("Query2: user 0 owns exactly ids 1..5 across the range; digest cross-check") {
+    val (ids, checks) = ZkPipeline.query2(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
+      Fixtures.userAddr(0), cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+    assert(ids.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val chk = checks.collect()(0)
+    assert(chk.getAs[Long]("n_qualified") == 5L)
+    // revelation re-derivation: Σ key-only digests over the witnessed ids
+    val expected = (1 to 5).map(id => Commitments.keyOnlyDigest(Bytes.leftPad32(Bytes.beBytes(id.toLong, 4))))
+      .foldLeft(Commitments.ZeroDigest)(Commitments.digestCombine)
+    assert(Bytes.toHex(chk.getAs[Array[Byte]]("range_digest")) == Bytes.toHex(expected))
+  }
+
+  test("Query2 narrows correctly: sub-range and non-owner") {
+    val (ids, _) = ZkPipeline.query2(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
+      Fixtures.userAddr(6), cfg.firstBlock, cfg.firstBlock + 2)
+    assert(ids.collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("QueryERC20: clamped range, non-membership zeros, U256 sum matches golden") {
+    val rate = BigInteger.valueOf(7L)
+    val supply = BigInteger.valueOf(1000L)
+    val got = ZkPipeline.queryErc20(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(1), cfg.erc20Slot,
+      Fixtures.userAddr(2), rate, supply,
+      minB = cfg.firstBlock - 50, maxB = cfg.firstBlock + cfg.nBlocks + 50).collect()(0)
+    assert(got.getAs[Boolean]("gap_free"))
+    assert(got.getAs[Long]("range_min") == cfg.firstBlock) // P7 clamp low
+    assert(got.getAs[Long]("range_max") == cfg.firstBlock + cfg.nBlocks - 1) // P7 clamp high
+    val want = Fixtures.goldenErc20Sum(cfg, 2, rate, supply, cfg.firstBlock - 50, cfg.firstBlock + cfg.nBlocks + 50)
+    assert(U256.fromBytes32(got.getAs[Array[Byte]]("result")) == want)
+  }
+
+  test("QueryERC20: absent user sums to zero but blocks still count (P4)") {
+    val got = ZkPipeline.queryErc20(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(1), cfg.erc20Slot,
+      Fixtures.userAddr(99), BigInteger.valueOf(7L), BigInteger.valueOf(1000L),
+      cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1).collect()(0)
+    assert(U256.fromBytes32(got.getAs[Array[Byte]]("result")).signum == 0)
+    assert(got.getAs[Long]("n_blocks") == cfg.nBlocks.toLong)
+  }
+}
