@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Bytes, Commitments}
+import graft.pipeline.Fixtures
+
+/** St1–St4 behavior under a real Structured Streaming run
+  * (MemoryStream micro-batches → foreachBatch appender). */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("St1-St3: sequential appends accepted across micro-batches; IVC root matches golden") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val cfg = Fixtures.Cfg(nBlocks = 6)
+    val headers = Fixtures.headersSeq(cfg)
+    val states = Fixtures.goldenStateDb(cfg)
+    val events = headers.map(h => (h.block_number, h.block_hash, states(h.block_number)))
+
+    val stream = MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val sink = tmp("bdb-sink")
+    val quarantine = tmp("bdb-quar")
+    val appender = new BlockDbAppender(spark, sink, quarantine)
+    val q = appender.start(
+      stream.toDF().toDF("block_number", "block_hash", "state_root"), tmp("bdb-ckpt"))
+
+    stream.addData(events.take(3))
+    q.processAllAvailable()
+    stream.addData(events.drop(3))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(sink).orderBy("block_number").collect()
+    assert(rows.map(_.getAs[Long]("block_number")).toSeq == headers.map(_.block_number))
+    val (goldenLeaves, goldenRoot) = Fixtures.goldenBlockDb(cfg)
+    assert(rows.map(_.getAs[String]("leaf_hash_hex")).toSeq == goldenLeaves.map(Bytes.toHex))
+    assert(rows.last.getAs[String]("root_after_hex") == Bytes.toHex(goldenRoot))
+    // root_after at step k is the root of the first k+1 leaves (IVC carry)
+    val midRoot = Commitments.merkleRoot(goldenLeaves.take(3).toIndexedSeq)
+    assert(rows(2).getAs[String]("root_after_hex") == Bytes.toHex(midRoot))
+    val quarFiles = Files.list(java.nio.file.Paths.get(quarantine))
+    try assert(!quarFiles.anyMatch(f => f.getFileName.toString.endsWith(".parquet")))
+    finally quarFiles.close()
+  }
+
+  test("St2/St4: gaps, duplicates and reorders are quarantined, stream survives") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val cfg = Fixtures.Cfg(nBlocks = 6)
+    val headers = Fixtures.headersSeq(cfg)
+    val states = Fixtures.goldenStateDb(cfg)
+    def ev(i: Int) = { val h = headers(i); (h.block_number, h.block_hash, states(h.block_number)) }
+
+    val stream = MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val sink = tmp("bdb-sink")
+    val quarantine = tmp("bdb-quar")
+    val appender = new BlockDbAppender(spark, sink, quarantine)
+    val q = appender.start(
+      stream.toDF().toDF("block_number", "block_hash", "state_root"), tmp("bdb-ckpt"))
+
+    stream.addData(Seq(ev(0), ev(1)))
+    q.processAllAvailable()
+    // duplicate of block 1, and a gap (block 4 skips 2-3)
+    stream.addData(Seq(ev(1), ev(4)))
+    q.processAllAvailable()
+    // the missing blocks arrive later -> 2 and 3 accepted, 4 accepted after them
+    stream.addData(Seq(ev(2), ev(3), ev(4)))
+    q.processAllAvailable()
+    q.stop()
+
+    val accepted = spark.read.parquet(sink).select("block_number").collect().map(_.getLong(0)).sorted
+    assert(accepted.toSeq == headers.take(5).map(_.block_number))
+    val quar = spark.read.parquet(quarantine).collect()
+      .map(r => (r.getAs[Long]("block_number"), r.getAs[String]("reason")))
+    assert(quar.contains((headers(1).block_number, "duplicate_or_reorder")))
+    assert(quar.contains((headers(4).block_number, "gap")))
+  }
+
+  test("streaming windowed aggregation with watermark emits correct counts") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventWindows.hourly(stream.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.outputMode("update").format("memory").queryName("win").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData(Seq((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0), (t(11, 10), "view", 5.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((t(11, 30), "view", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT window_start, event_type, n, total FROM win")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.exists(r => r._1 == "2024-01-01 11:00:00.0" && r._2 == "view" && r._3 == 2L && r._4 == 8.0))
+  }
+
+  test("batch and streaming share the window plan (same results on static data)") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 4.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventWindows.hourly(df).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n") == 2L)
+  }
+}
