@@ -61,25 +61,23 @@ object Documents {
     * the sign of Σ_words (±1), where the ±1 comes from the parity of
     * hex digit p of md5(word). Engine-portable: md5 + instr + substring
     * behave identically in Spark and DuckDB. */
-  private def simhashDf(docs: DataFrame): DataFrame =
+  private def simhashDf(docs: DataFrame): DataFrame = {
+    // all 32 bit-position sums as aggregate columns of ONE groupBy:
+    // md5 evaluated once per (doc, word), no position explode, and the
+    // shuffle carries one 32-int row per doc (map-side partial sums)
+    val sums = (1 to 32).map { p =>
+      sum(expr(s"CASE WHEN (instr('0123456789abcdef', substring(h, $p, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$p")
+    }
     tokens(docs)
       .select(col("doc_id"), col("w")).distinct()
-      .select(
-        col("doc_id"),
-        col("w"),
-        explode(sequence(lit(1), lit(32))).as("p"))
-      .select(
-        col("doc_id"),
-        col("p"),
-        expr("CASE WHEN (instr('0123456789abcdef', substring(md5(w), p, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END").as("c"))
-      .groupBy("doc_id", "p")
-      .agg(sum(col("c")).as("sc"))
-      .select(col("doc_id"), col("p"), when(col("sc") >= 0, "1").otherwise("0").as("bit"))
+      .withColumn("h", md5(col("w").cast("binary")))
       .groupBy("doc_id")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("p"), col("bit")))), x => x.getField("bit")),
-          "").as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(
+        col("doc_id"),
+        concat((1 to 32).map(p => when(col(s"s$p") >= 0, "1").otherwise("0")): _*).as("simhash"))
+  }
 
   private val SimhashSql =
     """tok AS (SELECT DISTINCT doc_id, w FROM (
@@ -242,15 +240,31 @@ object Documents {
     QueryDef(
       "dd2_minhash_lsh",
       (s, d) => {
-        val sh = shingles(Tables.documents(s, d))
+        // the shingle set feeds three plan branches (minhash, counts,
+        // intersection) — persist it once
+        val sh = shingles(Tables.documents(s, d)).persist()
+        // one-pass MinHash: all 8 signature slots as aggregate columns
+        // of a single groupBy — map-side partial min means one row per
+        // doc crosses the shuffle (vs 8× with a seed explode)
         val mh = sh
-          .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(7))).as("seed"))
-          .groupBy("doc_id", "seed")
-          .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")).cast("binary"))).as("mh"))
-        val bands = mh
-          .withColumn("band", (col("seed") / 2).cast("int"))
-          .groupBy("doc_id", "band")
-          .agg(concat_ws("#", min("mh"), max("mh")).as("sig"))
+          .groupBy("doc_id")
+          .agg(
+            min(md5(concat(lit("0|"), col("sh")).cast("binary"))).as("mh0"),
+            min(md5(concat(lit("1|"), col("sh")).cast("binary"))).as("mh1"),
+            min(md5(concat(lit("2|"), col("sh")).cast("binary"))).as("mh2"),
+            min(md5(concat(lit("3|"), col("sh")).cast("binary"))).as("mh3"),
+            min(md5(concat(lit("4|"), col("sh")).cast("binary"))).as("mh4"),
+            min(md5(concat(lit("5|"), col("sh")).cast("binary"))).as("mh5"),
+            min(md5(concat(lit("6|"), col("sh")).cast("binary"))).as("mh6"),
+            min(md5(concat(lit("7|"), col("sh")).cast("binary"))).as("mh7"))
+        val bands = mh.select(
+          col("doc_id"),
+          explode(array((0 until 4).map { k =>
+            struct(lit(k).as("band"),
+              concat_ws("#", least(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}")),
+                greatest(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))).as("sig"))
+          }: _*)).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
         val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
           .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
           .filter(col("doc_a") < col("doc_b"))
@@ -316,19 +330,25 @@ object Documents {
     QueryDef(
       "dd4_simhash_neardup",
       (s, d) => {
+        // signatures are tiny (one row per doc) — persist so the
+        // 4-block candidate join reads them once, not once per branch
         val sig = simhashDf(Tables.documents(s, d))
-        val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
-        val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-        val blocks = (0 until 4).map { k =>
-          a.withColumn("blk", substring(col("sig_a"), k * 8 + 1, 8))
-            .join(b.withColumn("blk", substring(col("sig_b"), k * 8 + 1, 8)), Seq("blk"))
-            .filter(col("doc_a") < col("doc_b"))
-            .select("doc_a", "doc_b", "sig_a", "sig_b")
-        }
-        blocks.reduce(_ union _).distinct()
-          .withColumn("hamming", expr(hamming32))
+          // integer form of the signature: hamming becomes one
+          // bit_count(xor) instead of 32 substring compares
+          .withColumn("sig_int", expr("CAST(conv(simhash, 2, 10) AS BIGINT)"))
+          .persist()
+        val blk = sig
+          .select(col("doc_id"), col("simhash"), col("sig_int"), explode(sequence(lit(0), lit(3))).as("k"))
+          .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
+        val cand = blk.select(col("doc_id").as("doc_a"), col("sig_int").as("ia"), col("k"), col("blk"))
+          .join(blk.select(col("doc_id").as("doc_b"), col("sig_int").as("ib"), col("k"), col("blk")),
+            Seq("k", "blk"))
+          .filter(col("doc_a") < col("doc_b"))
+        // hamming filter runs BEFORE the dedup shuffle so only
+        // near-dup survivors get shuffled
+        cand.withColumn("hamming", expr("bit_count(ia ^ ib)"))
           .filter(col("hamming") <= 3)
-          .select("doc_a", "doc_b", "hamming")
+          .select("doc_a", "doc_b", "hamming").distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $SimhashSql,
