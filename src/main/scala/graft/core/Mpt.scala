@@ -1,0 +1,74 @@
+package graft.core
+
+/** Merkle-Patricia-trie proof verification (public algorithm: Ethereum
+  * Yellow Paper, appendix D). Behavioral contract mirrors the
+  * reference's proof walk (`mrp2-utils/src/mpt_sequential/mod.rs:116-230`
+  * in-circuit; `eth.rs:310-333` native re-verify): given the node list
+  * root→leaf for an EIP-1186-shaped proof, check keccak linkage and
+  * path-nibble consumption, and extract the proven value.
+  *
+  * Node kinds: branch = 17-item RLP list (16 children + value);
+  * leaf/extension = 2-item list with hex-prefix-encoded partial path.
+  * A child reference is keccak(rlp(child)) when the encoding is ≥ 32
+  * bytes, else the child node is inlined.
+  */
+object Mpt {
+
+  /** key (32B) → 64 nibbles, high first. */
+  def keyNibbles(key: Array[Byte]): Array[Int] =
+    key.flatMap(b => Array((b >> 4) & 0xf, b & 0xf))
+
+  /** Verify `proof` (nodes from root to leaf) for `mptKey` against
+    * `rootHash`; returns the RLP-decoded leaf value on success. */
+  def verifyProof(proof: Seq[Array[Byte]], mptKey: Array[Byte], rootHash: Array[Byte]): Option[Array[Byte]] = {
+    var expected: Either[Array[Byte], Array[Byte]] = Left(rootHash) // Left = hash ref, Right = inline node
+    var nibbles = keyNibbles(mptKey).toSeq
+    var i = 0
+    while (i < proof.length) {
+      val node = proof(i)
+      expected match {
+        case Left(h) =>
+          if (!Keccak.keccak256(node).sameElements(h)) return None
+        case Right(inline) =>
+          if (!node.sameElements(inline)) return None
+      }
+      Rlp.decode(node) match {
+        case Rlp.Lst(items) if items.length == 17 =>
+          if (nibbles.isEmpty) return None // fixed-width keys never terminate at a branch here
+          val child = items(nibbles.head)
+          nibbles = nibbles.tail
+          child match {
+            case Rlp.Str(h) if h.length == 32 => expected = Left(h)
+            case Rlp.Str(h) if h.isEmpty      => return None // empty slot: non-membership
+            case other                        => expected = Right(Rlp.encode(other))
+          }
+        case Rlp.Lst(items) if items.length == 2 =>
+          val (path, isLeaf) = (items(0), items(1)) match {
+            case (Rlp.Str(p), _) => Rlp.hexPrefixDecode(p)
+            case _               => return None
+          }
+          if (!nibbles.startsWith(path.toSeq)) return None
+          nibbles = nibbles.drop(path.length)
+          if (isLeaf) {
+            if (nibbles.nonEmpty || i != proof.length - 1) return None
+            return items(1) match {
+              case Rlp.Str(valueRlp) =>
+                Rlp.decode(valueRlp) match {
+                  case Rlp.Str(v) => Some(v)
+                  case _          => None
+                }
+              case _ => None
+            }
+          } else {
+            items(1) match {
+              case Rlp.Str(h) if h.length == 32 => expected = Left(h)
+              case other                        => expected = Right(Rlp.encode(other))
+            }
+          }
+        case _ => return None
+      }
+      i += 1
+    }
+    None // ran out of nodes before a leaf
+  }
+}

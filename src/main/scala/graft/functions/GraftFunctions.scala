@@ -53,6 +53,14 @@ object GraftFunctions {
   /** RLP leaf-value projection (P1, storage/mapping/leaf.rs:82-110). */
   def rlpExtractLeafValue(node: Column): Column = rlpLeafValueUdf(node)
 
+  // ---------------------------------------------------------------- S2
+  private val mptVerifyUdf = udf((nodes: Seq[Array[Byte]], key: Array[Byte], root: Array[Byte]) =>
+    Mpt.verifyProof(nodes, key, root).map(Bytes.leftPad32).orNull)
+  /** full MPT proof walk (S2, eth.rs:310-333 / mpt_sequential.rs:116-230):
+    * keccak linkage + nibble-path check; returns the proven value
+    * left-padded to 32B, or null when the proof does not verify. */
+  def mptVerify(nodes: Column, mptKey: Column, root: Column): Column = mptVerifyUdf(nodes, mptKey, root)
+
   private val headerParentUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).parentHash)
   private val headerStateRootUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).stateRoot)
   private val headerNumberUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).number)

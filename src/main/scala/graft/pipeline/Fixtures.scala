@@ -4,7 +4,7 @@ import java.math.BigInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.core.{Bytes, Commitments, Keccak, Rlp, U256}
+import graft.core.{Bytes, Commitments, Keccak, MptTrie, Rlp, StorageKey, U256}
 
 /** Reference-shaped blockchain fixtures (FIXTURES.md §A): deterministic
   * synthetic `storage_entries` + `headers`, plus *driver-side golden
@@ -146,10 +146,41 @@ object Fixtures {
     }
   }
 
+  // ---------------------------------------------------------- storage proofs (A2)
+  final case class ProofRow(
+      block_number: Long,
+      contract: Array[Byte],
+      mapping_slot: Int,
+      mapping_key: Array[Byte],
+      mpt_key: Array[Byte],
+      nodes: Seq[Array[Byte]],
+      mpt_root: Array[Byte],
+      value: Array[Byte])
+
+  /** EIP-1186-shaped storage proofs: one MPT per (block, contract)
+    * over the mapping entries (key = keccak'd slot location), one
+    * proof path per entry (FIXTURES.md §A2). */
+  def storageProofsSeq(cfg: Cfg): Seq[ProofRow] =
+    entriesSeq(cfg).groupBy(e => (e.block_number, Bytes.toHex(e.contract))).toSeq.flatMap {
+      case (_, es) =>
+        val keyed = es.map(e => (StorageKey.mappingMptKey(e.mapping_key, e.mapping_slot), e))
+        val trie = MptTrie.build(keyed.map { case (mk, e) => (mk, e.value) })
+        val root = MptTrie.rootHash(trie)
+        keyed.map { case (mk, e) =>
+          ProofRow(e.block_number, e.contract, e.mapping_slot, e.mapping_key, mk,
+            MptTrie.proof(trie, mk), root, e.value)
+        }
+    }
+
   // ---------------------------------------------------------- Spark side
   def entries(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
     import spark.implicits._
     spark.createDataset(entriesSeq(cfg)).toDF()
+  }
+
+  def storageProofs(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(storageProofsSeq(cfg)).toDF()
   }
 
   def headers(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {

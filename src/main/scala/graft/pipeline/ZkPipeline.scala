@@ -40,6 +40,15 @@ object ZkPipeline {
         Aggregators.digestAgg(mappingLeafDigest(col("mapping_key"), col("value"))).as("digest"),
         Aggregators.merkleRoot(col("mapping_key"), mappingLeafHash(col("mapping_key"), col("value"))).as("storage_root"))
 
+  /** S2 ingest-time proof validation (eth.rs:310-333): walk each
+    * EIP-1186 proof, check keccak linkage + path, and compare the
+    * extracted value against the claimed entry value. Embarrassingly
+    * parallel — one UDF call per row, no shuffle at all. */
+  def verifyStorageProofs(proofs: DataFrame): DataFrame =
+    proofs
+      .withColumn("extracted_value", mptVerify(col("nodes"), col("mpt_key"), col("mpt_root")))
+      .withColumn("proof_ok", col("extracted_value").isNotNull && col("extracted_value") === col("value"))
+
   /** J1 LengthMatch (length_match.rs:103-163): entry count must equal
     * the declared mapping length; `skip` bypasses (MAGIC_SLOT
     * sentinel). Returns rows with a `length_ok` verdict. */

@@ -57,6 +57,18 @@ object Zk {
       },
     ),
 
+    // S1/S2 (ingest): EIP-1186-shaped proof scan + full MPT re-verify
+    // per entry (keccak linkage, nibble path, value extraction).
+    QueryDef(
+      "zk_mpt_verify",
+      (s, _) => ZkPipeline.verifyStorageProofs(Fixtures.storageProofs(s, cfg))
+        .groupBy("block_number", "contract")
+        .agg(count(lit(1)).as("n_proofs"),
+          sum(when(col("proof_ok"), 1L).otherwise(0L)).as("n_valid"))
+        .select(col("block_number"), hex(col("contract")).as("contract"), col("n_proofs"), col("n_valid"))
+        .orderBy("block_number", "contract"),
+    ),
+
     // Query2 (§3.2): user 0's sorted distinct NFT ids over the full
     // block range, LIMIT 5 — the reference e2e expects ids 1..5.
     QueryDef(

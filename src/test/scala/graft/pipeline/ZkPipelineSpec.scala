@@ -97,6 +97,18 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec.filter(col("digest_ok")).count() == rec.count() - 1)
   }
 
+  test("S2: storage proofs verify; a tampered claimed value is flagged") {
+    val proofs = Fixtures.storageProofs(spark, cfg)
+    val ok = ZkPipeline.verifyStorageProofs(proofs)
+    assert(ok.filter(!col("proof_ok")).count() == 0)
+    assert(ok.count() == Fixtures.entriesSeq(cfg).size.toLong)
+    // claim a different value than the trie proves -> flagged
+    val tampered = proofs.withColumn("value",
+      when(col("block_number") === cfg.firstBlock && col("mapping_key") === lit(Bytes.leftPad32(Bytes.beBytes(2L, 4))),
+        lit(Bytes.leftPad32(Array[Byte](0x55)))).otherwise(col("value")))
+    assert(ZkPipeline.verifyStorageProofs(tampered).filter(!col("proof_ok")).count() == 1)
+  }
+
   test("J1 length match verdict") {
     val s2 = spark
     import s2.implicits._
