@@ -336,6 +336,74 @@ object Relational {
              |       count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin),
     ),
 
+    // ------------------------------------------------------------------
+    // §2.6 set operations (the reference only has digest-based set
+    // *equality*; union/intersect/except come free with Spark and are
+    // part of the complete surface).
+    QueryDef(
+      "set_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        val b = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        a.except(b).orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+             |ORDER BY o_custkey""".stripMargin),
+    ),
+    QueryDef(
+      "set_intersect",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        val b = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+        a.intersect(b).orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+             |ORDER BY o_custkey""".stripMargin),
+    ),
+    QueryDef(
+      "set_union",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(col("o_totalprice") > 400000).select("o_custkey")
+        val b = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        a.union(b).distinct().orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+             |UNION
+             |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_custkey""".stripMargin),
+    ),
+
+    // Hierarchical aggregation: ROLLUP / CUBE (subtotal lattices — the
+    // partial-agg tree reused across grouping sets).
+    QueryDef(
+      "agg_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+    QueryDef(
+      "agg_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+    ),
+
     // St4 (batch shape) — tumbling-window aggregation over the event-time
     // axis; the streaming twin lives in graft.streaming.
     QueryDef(

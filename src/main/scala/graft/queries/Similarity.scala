@@ -162,6 +162,19 @@ object Similarity {
       None,
     ),
 
+    // mm2 — the typed-Dataset twin of mm1: binary payloads through a
+    // mapPartitions stub decoder (the production shape for a JNI/FFI
+    // media decoder). Rows-only check (keccak-derived metadata is not
+    // SQL-expressible); golden-tested in MultimodalSpec.
+    QueryDef(
+      "mm2_decode_partitions",
+      (s, d) => graft.multimodal.Multimodal
+        .extractMeta(graft.multimodal.Multimodal.fromDocuments(s, d))
+        .toDF()
+        .orderBy("doc_id"),
+      None,
+    ),
+
     // ------------------------------------------------------------------
     // mm1 — multimodal metadata extraction over an opaque payload:
     // the decode step is a deterministic stub (md5-derived fake

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan shape guards — the scale properties the engine
+  * depends on must survive refactors:
+  *   - filters + projections reach the parquet scan (at 100 TB, scan
+  *     bytes are the whole game);
+  *   - small dimensions broadcast (no shuffle of the big fact);
+  *   - orderBy.limit compiles to TakeOrderedAndProject (no global
+  *     sort);
+  *   - aggregates are partial/final (map-side combine before the
+  *     shuffle).
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s1: shipdate filter and column projection are pushed to the parquet scan") {
+    val p = plan("s1_scan_pushdown")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+    // pruned read schema: the scan must not read all 16 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("q3: nation dimension broadcasts; q6 filter is pushed") {
+    assert(plan("q3_join_agg").contains("BroadcastHashJoin"))
+    val p6 = plan("q6_filter")
+    assert(p6.contains("PushedFilters") && p6.contains("l_discount"))
+  }
+
+  test("q2_topk: orderBy.limit compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q2_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: hash aggregation is partial/final (map-side combine before shuffle)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("partial_"), "expected partial aggregate functions in the map-side stage")
+  }
+
+  test("ss1: query side broadcasts under the nest-loop-free MIPS plan") {
+    val p = plan("ss1_topk_ip")
+    assert(p.contains("Broadcast"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
