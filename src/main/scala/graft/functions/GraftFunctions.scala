@@ -19,10 +19,13 @@ import graft.core._
   */
 object GraftFunctions {
 
+  import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
+  import graft.expressions.{Keccak256Expr, MappingLeafDigestExpr, MappingLeafHashExpr}
+
   // ---------------------------------------------------------------- F1
-  private val keccakUdf = udf((b: Array[Byte]) => Keccak.keccak256(b))
-  /** keccak256 over a binary column (F1, keccak.rs:35-267). */
-  def keccak256(c: Column): Column = keccakUdf(c)
+  /** keccak256 over a binary column (F1, keccak.rs:35-267) — native
+    * codegen expression, stays inside whole-stage codegen. */
+  def keccak256(c: Column): Column = toCol(Keccak256Expr(toExpr(c)))
 
   private val keccakHexUdf = udf((b: Array[Byte]) => Bytes.toHex(Keccak.keccak256(b)))
   def keccak256Hex(c: Column): Column = keccakHexUdf(c)
@@ -99,16 +102,18 @@ object GraftFunctions {
   def u256ToDecimal(a: Column): Column = u256ToDecimalUdf(a).cast("decimal(38,0)")
 
   // ---------------------------------------------------------------- A2 leaves
-  private val mappingLeafHashUdf = udf((k: Array[Byte], v: Array[Byte]) => Commitments.mappingLeafHash(k, v))
-  private val mappingLeafDigestUdf = udf((k: Array[Byte], v: Array[Byte]) => Commitments.mappingLeafDigest(k, v))
   private val keyOnlyDigestUdf = udf((k: Array[Byte]) => Commitments.keyOnlyDigest(k))
   private val stateLeafHashUdf = udf((c: Array[Byte], ms: Int, ls: Int, root: Array[Byte]) =>
     Commitments.stateLeafHash(c, ms, ls, root))
   private val blockLeafHashUdf = udf((bn: Long, bh: Array[Byte], sr: Array[Byte]) =>
     Commitments.blockLeafHash(bn, bh, sr))
 
-  def mappingLeafHash(key: Column, value: Column): Column = mappingLeafHashUdf(key, value)
-  def mappingLeafDigest(key: Column, value: Column): Column = mappingLeafDigestUdf(key, value)
+  /** codegen expressions (graft.expressions) — shared kernels with the
+    * sequential golden path, zero UDF overhead in the build pipeline. */
+  def mappingLeafHash(key: Column, value: Column): Column =
+    toCol(MappingLeafHashExpr(toExpr(key), toExpr(value)))
+  def mappingLeafDigest(key: Column, value: Column): Column =
+    toCol(MappingLeafDigestExpr(toExpr(key), toExpr(value)))
   def keyOnlyDigest(key: Column): Column = keyOnlyDigestUdf(key)
   def stateLeafHash(contract: Column, mappingSlot: Column, lengthSlot: Column, storageRoot: Column): Column =
     stateLeafHashUdf(contract, mappingSlot, lengthSlot, storageRoot)

@@ -1,0 +1,77 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Bytes, Commitments, Keccak}
+import graft.functions.GraftFunctions
+
+/** Native codegen expressions vs the pure kernels: the generated-Java
+  * path and the sequential path must agree byte-for-byte, and the SQL
+  * registration through SparkSessionExtensions must plan the native
+  * expression. */
+class CryptoExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("expr-spec")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("keccak256 expression matches the kernel under whole-stage codegen") {
+    val s2 = spark
+    import s2.implicits._
+    val inputs = (0 until 100).map(i => s"input-$i".getBytes("UTF-8"))
+    val df = spark.createDataset(inputs).toDF("b").repartition(4)
+    val got = df.select(hex(GraftFunctions.keccak256(col("b"))).as("h")).collect().map(_.getString(0))
+    val want = inputs.map(b => Bytes.toHex(Keccak.keccak256(b)).toUpperCase)
+    assert(got.sorted.toSeq == want.sorted)
+  }
+
+  test("codegen and interpreted evaluation agree") {
+    val s2 = spark
+    import s2.implicits._
+    val df = spark.createDataset(Seq("x".getBytes, "yy".getBytes)).toDF("b")
+    val on = df.select(hex(GraftFunctions.keccak256(col("b")))).collect().map(_.getString(0)).sorted.toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val off = df.select(hex(GraftFunctions.keccak256(col("b")))).collect().map(_.getString(0)).sorted.toSeq
+      assert(on == off)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("leaf hash/digest expressions match kernels") {
+    val s2 = spark
+    import s2.implicits._
+    val k = Bytes.leftPad32(Bytes.beBytes(7L, 4))
+    val v = Bytes.leftPad32(Bytes.beBytes(99L, 8))
+    val df = spark.createDataset(Seq((k, v))).toDF("k", "v")
+    val row = df.select(
+      hex(GraftFunctions.mappingLeafHash(col("k"), col("v"))).as("h"),
+      hex(GraftFunctions.mappingLeafDigest(col("k"), col("v"))).as("d")).collect()(0)
+    assert(row.getString(0).equalsIgnoreCase(Bytes.toHex(Commitments.mappingLeafHash(k, v))))
+    assert(row.getString(1).equalsIgnoreCase(Bytes.toHex(Commitments.mappingLeafDigest(k, v))))
+  }
+
+  test("SQL surface via SparkSessionExtensions plans the native expression") {
+    val out = spark.sql("SELECT hex(keccak256(CAST('abc' AS BINARY))) AS h").collect()(0).getString(0)
+    assert(out.equalsIgnoreCase(Bytes.toHex(Keccak.keccak256("abc".getBytes))))
+    val plan = spark.sql("SELECT keccak256(CAST('abc' AS BINARY))").queryExecution.analyzed.toString
+    assert(plan.contains("keccak256"))
+  }
+}
