@@ -18,9 +18,21 @@ object Mpt {
   def keyNibbles(key: Array[Byte]): Array[Int] =
     key.flatMap(b => Array((b >> 4) & 0xf, b & 0xf))
 
+  /** Verify and return the RLP-*decoded* leaf value (storage-trie
+    * convention: the payload is RLP(bytes)). */
+  def verifyProof(proof: Seq[Array[Byte]], mptKey: Array[Byte], rootHash: Array[Byte]): Option[Array[Byte]] =
+    verifyProofRaw(proof, mptKey, rootHash).flatMap { raw =>
+      Rlp.decode(raw) match {
+        case Rlp.Str(v) => Some(v)
+        case _          => None
+      }
+    }
+
   /** Verify `proof` (nodes from root to leaf) for `mptKey` against
-    * `rootHash`; returns the RLP-decoded leaf value on success. */
-  def verifyProof(proof: Seq[Array[Byte]], mptKey: Array[Byte], rootHash: Array[Byte]): Option[Array[Byte]] = {
+    * `rootHash`; returns the *raw* leaf payload on success — for the
+    * state trie this is RLP([nonce, balance, storageRoot, codeHash])
+    * (account leaves hold lists, storage leaves hold byte strings). */
+  def verifyProofRaw(proof: Seq[Array[Byte]], mptKey: Array[Byte], rootHash: Array[Byte]): Option[Array[Byte]] = {
     var expected: Either[Array[Byte], Array[Byte]] = Left(rootHash) // Left = hash ref, Right = inline node
     var nibbles = keyNibbles(mptKey).toSeq
     var i = 0
@@ -52,12 +64,8 @@ object Mpt {
           if (isLeaf) {
             if (nibbles.nonEmpty || i != proof.length - 1) return None
             return items(1) match {
-              case Rlp.Str(valueRlp) =>
-                Rlp.decode(valueRlp) match {
-                  case Rlp.Str(v) => Some(v)
-                  case _          => None
-                }
-              case _ => None
+              case Rlp.Str(valueRlp) => Some(valueRlp)
+              case _                 => None
             }
           } else {
             items(1) match {

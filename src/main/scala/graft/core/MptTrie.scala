@@ -19,10 +19,14 @@ object MptTrie {
   /** build from (mptKey32, rawValue) pairs; values are minimal-BE
     * encoded (leading zeros stripped) then RLP'd, per the storage-trie
     * convention. */
-  def build(entries: Seq[(Array[Byte], Array[Byte])]): Node = {
+  def build(entries: Seq[(Array[Byte], Array[Byte])]): Node =
+    buildRaw(entries.map { case (k, v) => (k, Rlp.encode(Rlp.Str(v.dropWhile(_ == 0)))) })
+
+  /** build with caller-supplied leaf payloads (state-trie convention:
+    * payload = RLP([nonce, balance, storageRoot, codeHash])). */
+  def buildRaw(entries: Seq[(Array[Byte], Array[Byte])]): Node = {
     require(entries.nonEmpty, "empty trie")
-    val nibbled = entries.map { case (k, v) =>
-      (Mpt.keyNibbles(k).toList, v.dropWhile(_ == 0)) }
+    val nibbled = entries.map { case (k, p) => (Mpt.keyNibbles(k).toList, p) }
     require(nibbled.map(_._1).distinct.size == nibbled.size, "duplicate keys")
     buildRec(nibbled)
   }
@@ -51,8 +55,8 @@ object MptTrie {
   }
 
   private def toItem(n: Node): Rlp.Item = n match {
-    case Leaf(path, v) =>
-      Rlp.Lst(Vector(Rlp.Str(Rlp.hexPrefixEncode(path, isLeaf = true)), Rlp.Str(Rlp.encode(Rlp.Str(v)))))
+    case Leaf(path, payload) =>
+      Rlp.Lst(Vector(Rlp.Str(Rlp.hexPrefixEncode(path, isLeaf = true)), Rlp.Str(payload)))
     case Ext(path, child) =>
       Rlp.Lst(Vector(Rlp.Str(Rlp.hexPrefixEncode(path, isLeaf = false)), childRef(child)))
     case Branch(children) =>

@@ -64,6 +64,21 @@ object GraftFunctions {
     * left-padded to 32B, or null when the proof does not verify. */
   def mptVerify(nodes: Column, mptKey: Column, root: Column): Column = mptVerifyUdf(nodes, mptKey, root)
 
+  private val mptVerifyRawUdf = udf((nodes: Seq[Array[Byte]], key: Array[Byte], root: Array[Byte]) =>
+    Mpt.verifyProofRaw(nodes, key, root).orNull)
+  /** S3 variant: raw leaf payload (state trie: the RLP'd account). */
+  def mptVerifyRaw(nodes: Column, mptKey: Column, root: Column): Column = mptVerifyRawUdf(nodes, mptKey, root)
+
+  private val accountStorageRootUdf = udf((acct: Array[Byte]) =>
+    if (acct == null) null
+    else Rlp.decodeList(acct)(2) match {
+      case Rlp.Str(v) => v
+      case _          => null
+    })
+  /** storageRoot field of an RLP account record (S3,
+    * state/block_linking/account/leaf.rs). */
+  def accountStorageRoot(acct: Column): Column = accountStorageRootUdf(acct)
+
   private val headerParentUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).parentHash)
   private val headerStateRootUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).stateRoot)
   private val headerNumberUdf = udf((h: Array[Byte]) => Rlp.headerFields(h).number)

@@ -98,13 +98,13 @@ object Fixtures {
     }
   }
 
-  /** headers chained by parent hash; the embedded stateRoot field IS
-    * the golden state-DB root, so the pipeline's J3-style binding check
-    * (header.stateRoot == built state root) must pass. Header layout:
-    * 9-field RLP list with the Ethereum positions the extractor reads
-    * (parentHash@0, stateRoot@3, number@8). */
+  /** headers chained by parent hash; the embedded stateRoot (field 3)
+    * is the *Ethereum* state root — the account-trie root — which the
+    * J3 block-linking join verifies account proofs against. Header
+    * layout: 9-field RLP list with the Ethereum positions the
+    * extractor reads (parentHash@0, stateRoot@3, number@8). */
   def headersSeq(cfg: Cfg): Seq[HeaderRow] = {
-    val stateRoots = goldenStateDb(cfg)
+    val stateRoots = ethStateRoots(cfg)
     var parent = new Array[Byte](32)
     (0 until cfg.nBlocks).map { i =>
       val b = cfg.firstBlock + i
@@ -157,20 +157,79 @@ object Fixtures {
       mpt_root: Array[Byte],
       value: Array[Byte])
 
+  /** storage MPT per (block, contract) over its mapping entries. */
+  private def storageTries(cfg: Cfg): Map[(Long, String), MptTrie.Node] =
+    entriesSeq(cfg).groupBy(e => (e.block_number, Bytes.toHex(e.contract))).map { case (k, es) =>
+      k -> MptTrie.build(es.map(e => (StorageKey.mappingMptKey(e.mapping_key, e.mapping_slot), e.value)))
+    }
+
   /** EIP-1186-shaped storage proofs: one MPT per (block, contract)
     * over the mapping entries (key = keccak'd slot location), one
     * proof path per entry (FIXTURES.md §A2). */
-  def storageProofsSeq(cfg: Cfg): Seq[ProofRow] =
-    entriesSeq(cfg).groupBy(e => (e.block_number, Bytes.toHex(e.contract))).toSeq.flatMap {
-      case (_, es) =>
-        val keyed = es.map(e => (StorageKey.mappingMptKey(e.mapping_key, e.mapping_slot), e))
-        val trie = MptTrie.build(keyed.map { case (mk, e) => (mk, e.value) })
-        val root = MptTrie.rootHash(trie)
-        keyed.map { case (mk, e) =>
-          ProofRow(e.block_number, e.contract, e.mapping_slot, e.mapping_key, mk,
-            MptTrie.proof(trie, mk), root, e.value)
-        }
+  def storageProofsSeq(cfg: Cfg): Seq[ProofRow] = {
+    val tries = storageTries(cfg)
+    entriesSeq(cfg).map { e =>
+      val trie = tries((e.block_number, Bytes.toHex(e.contract)))
+      val mk = StorageKey.mappingMptKey(e.mapping_key, e.mapping_slot)
+      ProofRow(e.block_number, e.contract, e.mapping_slot, e.mapping_key, mk,
+        MptTrie.proof(trie, mk), MptTrie.rootHash(trie), e.value)
     }
+  }
+
+  // ---------------------------------------------------------- account proofs (A3)
+  final case class AccountProofRow(
+      block_number: Long,
+      contract: Array[Byte],
+      account_mpt_key: Array[Byte],
+      nodes: Seq[Array[Byte]],
+      eth_state_root: Array[Byte])
+
+  /** account leaf payload: RLP([nonce, balance, storageRoot, codeHash])
+    * (state-trie convention; `state/block_linking/account/leaf.rs`). */
+  def accountPayload(storageRoot: Array[Byte], codeSeed: String): Array[Byte] =
+    Rlp.encode(Rlp.Lst(Vector(
+      Rlp.Str(Array(1.toByte)), // nonce
+      Rlp.Str(Array.empty), // balance 0
+      Rlp.Str(storageRoot),
+      Rlp.Str(Keccak.keccak256(codeSeed.getBytes("UTF-8"))))))
+
+  /** per-block state MPT: the two fixture contracts (storage roots =
+    * their storage-trie roots) + noise accounts; key = keccak(addr). */
+  private def accountTrie(cfg: Cfg, b: Long, tries: Map[(Long, String), MptTrie.Node]): MptTrie.Node = {
+    val contracts = (0 until 2).map { i =>
+      val addr = contractAddr(i)
+      val sroot = MptTrie.rootHash(tries((b, Bytes.toHex(addr))))
+      (Keccak.keccak256(addr), accountPayload(sroot, s"code:$i"))
+    }
+    val noise = (0 until 4).map { j =>
+      val addr = userAddr(40 + j)
+      (Keccak.keccak256(addr), accountPayload(Keccak.keccak256(s"fake-root:$j".getBytes), s"noise:$j"))
+    }
+    MptTrie.buildRaw(contracts ++ noise)
+  }
+
+  /** Ethereum-side state root per block (what headers embed). */
+  def ethStateRoots(cfg: Cfg): Map[Long, Array[Byte]] = {
+    val tries = storageTries(cfg)
+    (0 until cfg.nBlocks).map { i =>
+      val b = cfg.firstBlock + i
+      b -> MptTrie.rootHash(accountTrie(cfg, b, tries))
+    }.toMap
+  }
+
+  def accountProofsSeq(cfg: Cfg): Seq[AccountProofRow] = {
+    val tries = storageTries(cfg)
+    for {
+      i <- 0 until cfg.nBlocks
+      b = cfg.firstBlock + i
+      at = accountTrie(cfg, b, tries)
+      c <- 0 until 2
+    } yield {
+      val addr = contractAddr(c)
+      val ak = Keccak.keccak256(addr)
+      AccountProofRow(b, addr, ak, MptTrie.proof(at, ak), MptTrie.rootHash(at))
+    }
+  }
 
   // ---------------------------------------------------------- Spark side
   def entries(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
@@ -181,6 +240,11 @@ object Fixtures {
   def storageProofs(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
     import spark.implicits._
     spark.createDataset(storageProofsSeq(cfg)).toDF()
+  }
+
+  def accountProofs(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(accountProofsSeq(cfg)).toDF()
   }
 
   def headers(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {

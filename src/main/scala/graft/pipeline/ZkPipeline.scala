@@ -88,15 +88,31 @@ object ZkPipeline {
     val w = Window.orderBy("block_number")
     stateDb
       .join(headers, Seq("block_number"))
-      .withColumn("header_state_root", headerStateRoot(col("header_rlp")))
-      .withColumn("header_ok", col("header_state_root") === col("state_root"))
       .withColumn("chain_ok",
         headerParentHash(col("header_rlp")) === coalesce(lag("block_hash", 1).over(w), col("parent_hash")))
       .withColumn("seq_ok",
         coalesce(col("block_number") === lag("block_number", 1).over(w) + 1, lit(true)))
       .withColumn("leaf_hash", blockLeafHash(col("block_number"), col("block_hash"), col("state_root")))
-      .select("block_number", "block_hash", "state_root", "leaf_hash", "header_ok", "chain_ok", "seq_ok")
+      .select("block_number", "block_hash", "state_root", "leaf_hash", "chain_ok", "seq_ok")
   }
+
+  /** J3 BlockLinking (state/block_linking/mod.rs:62-106): the 3-way
+    * binding storage DB → account → header. Per (block, contract):
+    * the account proof must verify against the header's embedded
+    * Ethereum state root, and the storage root inside the proven
+    * account leaf must equal the storage trie root the entries were
+    * extracted from. Equi-joins on (block_number[, contract]) — at
+    * scale the headers side is tiny and broadcasts. */
+  def blockLinking(accountProofs: DataFrame, headers: DataFrame, storageMptRoots: DataFrame): DataFrame =
+    accountProofs
+      .join(broadcast(headers.select(col("block_number"), col("header_rlp"))), Seq("block_number"))
+      .withColumn("header_root_ok", headerStateRoot(col("header_rlp")) === col("eth_state_root"))
+      .withColumn("acct_raw", mptVerifyRaw(col("nodes"), col("account_mpt_key"), col("eth_state_root")))
+      .withColumn("acct_storage_root", accountStorageRoot(col("acct_raw")))
+      .join(storageMptRoots, Seq("block_number", "contract"))
+      .withColumn("storage_root_ok",
+        col("acct_storage_root").isNotNull && col("acct_storage_root") === col("mpt_root"))
+      .select("block_number", "contract", "header_root_ok", "storage_root_ok")
 
   /** block-DB head: final root over all leaves in block order + the
     * first/last block bounds the revelation joins against (J4). */
@@ -106,7 +122,6 @@ object ZkPipeline {
       max("block_number").as("last_block"),
       count(lit(1)).as("n_blocks"),
       Aggregators.merkleRoot(longToBytes32(col("block_number")), col("leaf_hash")).as("root"),
-      min(col("header_ok").cast("int")).as("all_headers_ok"),
       min(col("chain_ok").cast("int")).as("all_chain_ok"),
       min(col("seq_ok").cast("int")).as("all_seq_ok"))
 

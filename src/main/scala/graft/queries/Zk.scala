@@ -52,8 +52,22 @@ object Zk {
         ZkPipeline.blockDb(sdb, Fixtures.headers(s, cfg))
           .select(col("block_number"), hex(col("block_hash")).as("block_hash"),
             hex(col("leaf_hash")).as("leaf_hash"),
-            col("header_ok"), col("chain_ok"), col("seq_ok"))
+            col("chain_ok"), col("seq_ok"))
           .orderBy("block_number")
+      },
+    ),
+
+    // J3 BlockLinking (§3.1 stage 6): account proof verified against
+    // the header's state root; storage root bound to the account leaf.
+    QueryDef(
+      "zk_block_linking",
+      (s, _) => {
+        val sroots = Fixtures.storageProofs(s, cfg)
+          .select("block_number", "contract", "mpt_root").distinct()
+        ZkPipeline.blockLinking(Fixtures.accountProofs(s, cfg), Fixtures.headers(s, cfg), sroots)
+          .select(col("block_number"), hex(col("contract")).as("contract"),
+            col("header_root_ok"), col("storage_root_ok"))
+          .orderBy("block_number", "contract")
       },
     ),
 

@@ -63,11 +63,10 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
-  test("block DB: header binding, chain linkage, sequencing all hold; root matches golden") {
+  test("block DB: chain linkage, sequencing all hold; root matches golden") {
     val sdb = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(spark, cfg)))
     val bdb = ZkPipeline.blockDb(sdb, Fixtures.headers(spark, cfg))
     val rows = bdb.orderBy("block_number").collect()
-    assert(rows.forall(_.getAs[Boolean]("header_ok")), "header stateRoot binding")
     assert(rows.forall(_.getAs[Boolean]("chain_ok")), "parent-hash chain")
     assert(rows.forall(_.getAs[Boolean]("seq_ok")), "block sequencing")
     val (goldenLeaves, goldenRoot) = Fixtures.goldenBlockDb(cfg)
@@ -107,6 +106,22 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       when(col("block_number") === cfg.firstBlock && col("mapping_key") === lit(Bytes.leftPad32(Bytes.beBytes(2L, 4))),
         lit(Bytes.leftPad32(Array[Byte](0x55)))).otherwise(col("value")))
     assert(ZkPipeline.verifyStorageProofs(tampered).filter(!col("proof_ok")).count() == 1)
+  }
+
+  test("J3 block linking: account proofs bind storage roots to headers; tampering is flagged") {
+    val sroots = Fixtures.storageProofs(spark, cfg)
+      .select("block_number", "contract", "mpt_root").distinct()
+    val linked = ZkPipeline.blockLinking(
+      Fixtures.accountProofs(spark, cfg), Fixtures.headers(spark, cfg), sroots)
+    assert(linked.count() == cfg.nBlocks * 2L)
+    assert(linked.filter(!col("header_root_ok") || !col("storage_root_ok")).count() == 0)
+    // swap one block's claimed storage root -> storage_root_ok flips
+    val tampered = sroots.withColumn("mpt_root",
+      when(col("block_number") === cfg.firstBlock && col("contract") === lit(Fixtures.contractAddr(0)),
+        lit(new Array[Byte](32))).otherwise(col("mpt_root")))
+    val bad = ZkPipeline.blockLinking(
+      Fixtures.accountProofs(spark, cfg), Fixtures.headers(spark, cfg), tampered)
+    assert(bad.filter(!col("storage_root_ok")).count() == 1)
   }
 
   test("J1 length match verdict") {
