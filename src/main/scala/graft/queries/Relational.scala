@@ -337,6 +337,48 @@ object Relational {
     ),
 
     // ------------------------------------------------------------------
+    // Scalar-function surface beyond the reference (SURVEY §2.7 notes
+    // date/JSON functions come free with Spark): semi-structured
+    // extraction, calendar math, string ops — each pushed into a
+    // grouped aggregate so codegen covers the whole pipeline.
+    QueryDef(
+      "f_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+        .orderBy("k_mod"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+             |  count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    QueryDef(
+      "f_datetime",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("y", "m"),
+      Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+    QueryDef(
+      "f_string_ops",
+      (s, d) => Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("-", col("c_mktsegment"), col("c_nationkey")).as("seg"))
+        .filter(col("name_len") > 0)
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(substring(c_name, 1, 8)) AS prefix,
+             |  length(c_name) AS name_len,
+             |  concat_ws('-', c_mktsegment, c_nationkey) AS seg
+             |FROM customer WHERE length(c_name) > 0 ORDER BY c_custkey""".stripMargin),
+    ),
+
+    // ------------------------------------------------------------------
     // §2.6 set operations (the reference only has digest-based set
     // *equality*; union/intersect/except come free with Spark and are
     // part of the complete surface).

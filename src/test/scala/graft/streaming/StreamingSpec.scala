@@ -123,6 +123,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(r => r._1 == "2024-01-01 11:00:00.0" && r._2 == "view" && r._3 == 2L && r._4 == 8.0))
   }
 
+  test("mapGroupsWithState: per-key sequence state accumulates across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    import StatefulSequence._
+    val stream = MemoryStream[SeqEvent]
+    val out = track(stream.toDS())
+    val q = out.writeStream.outputMode("update").format("memory").queryName("seqstate").start()
+
+    // key 1: 10,11,12 in order; key 2: 5 then a gap to 8
+    stream.addData(Seq(SeqEvent(1, 10), SeqEvent(1, 11), SeqEvent(2, 5)))
+    q.processAllAvailable()
+    stream.addData(Seq(SeqEvent(1, 12), SeqEvent(2, 8)))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.sql("SELECT key, max(n) AS n, max(gaps) AS gaps FROM seqstate GROUP BY key")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(last(1L) == ((3L, 0L)), "key 1: three in-order events, no gaps")
+    assert(last(2L) == ((2L, 1L)), "key 2: two events with one gap")
+  }
+
   test("batch and streaming share the window plan (same results on static data)") {
     val s2 = spark
     import s2.implicits._
