@@ -247,6 +247,23 @@ object Fixtures {
     spark.createDataset(accountProofsSeq(cfg)).toDF()
   }
 
+  /** Distributed synthetic `storage_entries` at arbitrary scale (for
+    * ingest-throughput benchmarking): generated from `spark.range`, so
+    * the data is born partitioned on the executors — no driver-side
+    * materialization, the shape a real 100 TB backfill would have. */
+  def entriesScaled(spark: SparkSession, nBlocks: Int, keysPerBlock: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.longToBytes32
+    spark.range(nBlocks.toLong * keysPerBlock)
+      .select(
+        (lit(100L) + (col("id") / keysPerBlock).cast("long")).as("block_number"),
+        lit(contractAddr(0)).as("contract"),
+        lit(3).as("mapping_slot"),
+        lit(4).as("length_slot"),
+        longToBytes32((col("id") % keysPerBlock) + 1).as("mapping_key"),
+        longToBytes32(pmod(xxhash64(col("id")), lit(1000000L))).as("value"))
+  }
+
   def headers(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
     import spark.implicits._
     spark.createDataset(headersSeq(cfg)).toDF()

@@ -378,6 +378,30 @@ object Relational {
              |FROM customer WHERE length(c_name) > 0 ORDER BY c_custkey""".stripMargin),
     ),
 
+    // As-of join (graft.operators.AsOfJoin): for each purchase, the
+    // latest prior-or-equal click by the same user — the "value as of
+    // block b" lookup shape. One shuffle on the key; oracle is
+    // DuckDB's native ASOF JOIN.
+    QueryDef(
+      "asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val p = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+        val c = e.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+        graft.operators.AsOfJoin
+          .asofLookup(p, c, key = "user_id", time = "ts",
+            pick = "event_id", as = "click_id", tiebreak = "event_id")
+          .filter(col("click_id").isNotNull)
+          .select("event_id", "click_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, c.event_id AS click_id
+             |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // §2.6 set operations (the reference only has digest-based set
     // *equality*; union/intersect/except come free with Spark and are

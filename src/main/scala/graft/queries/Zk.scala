@@ -35,6 +35,17 @@ object Zk {
         .orderBy("block_number", "contract"),
     ),
 
+    // storage DB build at scale: 1M entries (1000 blocks × 1000 keys)
+    // generated on the executors, full commitment aggregation (count +
+    // digest + merkle root per block) — the ingest-throughput number.
+    QueryDef(
+      "zk_storage_db_scale",
+      (s, _) => ZkPipeline.storageDb(Fixtures.entriesScaled(s, nBlocks = 1000, keysPerBlock = 1000))
+        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_entries"),
+          countDistinct(col("storage_root")).as("n_distinct_roots")),
+      headline = true,
+    ),
+
     // state DB build (§3.1 stage 7).
     QueryDef(
       "zk_state_db",

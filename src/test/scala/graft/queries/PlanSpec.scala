@@ -62,6 +62,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), "expected partial aggregate functions in the map-side stage")
   }
 
+  test("partitioned storage layout prunes by block_number (P6 as a partition filter)") {
+    val dir = java.nio.file.Files.createTempDirectory("part-entries").toString
+    graft.pipeline.Fixtures.entries(spark)
+      .write.partitionBy("block_number").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("block_number") === 103L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.linesIterator
+      .find(_.contains("PartitionFilters")).get.contains("block_number"), p.take(2000))
+    assert(df.count() > 0)
+  }
+
   test("ss1: query side broadcasts under the nest-loop-free MIPS plan") {
     val p = plan("ss1_topk_ip")
     assert(p.contains("Broadcast"), p.take(2000))
