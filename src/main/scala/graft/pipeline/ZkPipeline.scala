@@ -40,6 +40,21 @@ object ZkPipeline {
         Aggregators.digestAgg(mappingLeafDigest(col("mapping_key"), col("value"))).as("digest"),
         Aggregators.merkleRoot(col("mapping_key"), mappingLeafHash(col("mapping_key"), col("value"))).as("storage_root"))
 
+  /** Incremental storage-DB maintenance (the reference's partial/full
+    * node split — recompute only the dirty path, reuse siblings
+    * (query2/storage/partial_inner.rs) — recast as incremental view
+    * maintenance): groups touched by the delta are rebuilt, untouched
+    * groups are carried over with an anti-join. `delta` must hold the
+    * FULL entry set of each dirty (block, contract) group. At scale
+    * the anti-join keys on the same (block, contract) partitioning the
+    * DB is stored under, so carrying over untouched groups reads only
+    * metadata-pruned partitions. */
+  def storageDbIncremental(prev: DataFrame, delta: DataFrame): DataFrame = {
+    val dirty = delta.select("block_number", "contract").distinct()
+    prev.join(broadcast(dirty), Seq("block_number", "contract"), "left_anti")
+      .unionByName(storageDb(delta))
+  }
+
   /** S2 ingest-time proof validation (eth.rs:310-333): walk each
     * EIP-1186 proof, check keccak linkage + path, and compare the
     * extracted value against the claimed entry value. Embarrassingly

@@ -378,6 +378,100 @@ object Relational {
              |FROM customer WHERE length(c_name) > 0 ORDER BY c_custkey""".stripMargin),
     ),
 
+    // TPC-H Q4 shape: EXISTS subquery as a semi-join feeding a grouped
+    // count.
+    QueryDef(
+      "q4_order_priority",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d).filter(col("l_discount") > 0.06)
+        o.filter(year(col("o_orderdate")) === 1996)
+          .join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE year(o_orderdate) = 1996 AND EXISTS (
+             |  SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // TPC-H Q5 shape: 5-way join through the full dimension chain, two
+    // broadcasts (nation, region) and fk shuffles for the rest.
+    QueryDef(
+      "q5_local_suppliers",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      headline = true,
+    ),
+
+    // TPC-H Q12 shape: conditional aggregation (CASE inside SUM).
+    QueryDef(
+      "q12_shipmode",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+             |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // TPC-H Q14 shape: ratio of conditional to total aggregate — two
+    // decimal sums in one pass, one double division at the end.
+    QueryDef(
+      "q14_promo_share",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("promo"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("total"))
+        .select((col("promo") / col("total")).as("promo_share")),
+      Some("""WITH t AS (SELECT
+             |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
+             |FROM lineitem JOIN part ON l_partkey = p_partkey)
+             |SELECT promo / total AS promo_share FROM t""".stripMargin),
+    ),
+
     // As-of join (graft.operators.AsOfJoin): for each purchase, the
     // latest prior-or-equal click by the same user — the "value as of
     // block b" lookup shape. One shuffle on the key; oracle is

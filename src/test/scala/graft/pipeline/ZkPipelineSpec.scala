@@ -56,6 +56,30 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("incremental storage-DB rebuild equals full rebuild") {
+    val entries = Fixtures.entries(spark, cfg)
+    val prev = ZkPipeline.storageDb(entries)
+    // delta: block firstBlock+1, contract 0 gets one value flipped
+    val changedBlock = cfg.firstBlock + 1
+    val mutated = entries
+      .withColumn("value",
+        when(col("block_number") === changedBlock &&
+          col("contract") === lit(Fixtures.contractAddr(0)) &&
+          col("mapping_key") === lit(Bytes.leftPad32(Bytes.beBytes(3L, 4))),
+          lit(Bytes.leftPad32(Array[Byte](0x42)))).otherwise(col("value")))
+    val delta = mutated.filter(col("block_number") === changedBlock && col("contract") === lit(Fixtures.contractAddr(0)))
+    val incremental = ZkPipeline.storageDbIncremental(prev, delta)
+    val full = ZkPipeline.storageDb(mutated)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("block_number"), Bytes.toHex(r.getAs[Array[Byte]]("contract"))) ->
+        ((r.getAs[Long]("n"), Bytes.toHex(r.getAs[Array[Byte]]("digest")), Bytes.toHex(r.getAs[Array[Byte]]("storage_root")))))
+      .toMap
+    assert(snap(incremental) == snap(full))
+    // and it actually differs from prev in exactly one group
+    val changed = snap(prev).toSet.diff(snap(incremental).toSet)
+    assert(changed.size == 1 && changed.head._1 == ((changedBlock, Bytes.toHex(Fixtures.contractAddr(0)))))
+  }
+
   test("state DB roots match goldens") {
     val got = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(spark, cfg)))
       .collect().map(r => r.getAs[Long]("block_number") -> Bytes.toHex(r.getAs[Array[Byte]]("state_root"))).toMap
