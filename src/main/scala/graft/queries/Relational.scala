@@ -564,6 +564,55 @@ object Relational {
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
     ),
 
+    // Pivot (conditional-aggregation lattice): event counts per user
+    // fanned into one column per event type.
+    QueryDef(
+      "pivot_event_types",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // Window frame (ROWS BETWEEN): per-user moving sum over the last 3
+    // events — exact decimal inside the frame, double out.
+    QueryDef(
+      "w2_moving_sum",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double").as("mov_sum"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             |    PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+             |FROM events ORDER BY user_id, event_id""".stripMargin),
+    ),
+
+    // spark.sql text surface: the same engine through SQL strings over
+    // temp views (ANSI text identical to the oracle's).
+    QueryDef(
+      "sql_text_query",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS first_key
+                |FROM orders_v GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS first_key
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    ),
+
     // St4 (batch shape) — tumbling-window aggregation over the event-time
     // axis; the streaming twin lives in graft.streaming.
     QueryDef(
