@@ -1,0 +1,58 @@
+package graft
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.ZkPipeline
+
+/** User-facing facade — the entry point a user of the reference would
+  * switch to. One object per concern, each returning plain DataFrames
+  * so everything composes with the rest of a Spark application:
+  *
+  * {{{
+  * val spark = Graft.session()                   // extensions installed
+  * val sdb   = Graft.buildStorageDb(entries)     // §3.1 stages 1-5
+  * val state = Graft.buildStateDb(sdb)           // stage 7
+  * val (ids, checks) = Graft.query2(entries, contract, slot, owner, 100, 109)
+  * val sum   = Graft.queryErc20(entries, contract, slot, user, rate, supply, 100, 109)
+  * }}}
+  */
+object Graft {
+
+  /** SparkSession with the engine's native expressions registered and
+    * the configs the synthetic tables need. */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .withExtensions(new graft.expressions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  // ------------------------------------------------------------ builds
+  def buildStorageDb(entries: DataFrame): DataFrame = ZkPipeline.storageDb(entries)
+  def buildStateDb(storageDb: DataFrame): DataFrame = ZkPipeline.stateDb(storageDb)
+  def buildBlockDb(stateDb: DataFrame, headers: DataFrame): DataFrame = ZkPipeline.blockDb(stateDb, headers)
+  def updateStorageDb(prev: DataFrame, delta: DataFrame): DataFrame = ZkPipeline.storageDbIncremental(prev, delta)
+
+  // ------------------------------------------------------------ checks
+  def verifyProofs(proofs: DataFrame): DataFrame = ZkPipeline.verifyStorageProofs(proofs)
+  def lengthMatch(storageDb: DataFrame, lengths: DataFrame): DataFrame = ZkPipeline.lengthMatch(storageDb, lengths)
+  def digestEqual(a: DataFrame, b: DataFrame): DataFrame = ZkPipeline.digestEqual(a, b)
+  def blockLinking(accountProofs: DataFrame, headers: DataFrame, roots: DataFrame): DataFrame =
+    ZkPipeline.blockLinking(accountProofs, headers, roots)
+
+  // ------------------------------------------------------------ queries
+  def query2(entries: DataFrame, contract: Array[Byte], slot: Int, owner: Array[Byte],
+      minBlock: Long, maxBlock: Long, limit: Int = 5): (DataFrame, DataFrame) =
+    ZkPipeline.query2(entries, contract, slot, owner, minBlock, maxBlock, limit)
+
+  def queryErc20(entries: DataFrame, contract: Array[Byte], slot: Int, user: Array[Byte],
+      rate: BigInteger, totalSupply: BigInteger, minBlock: Long, maxBlock: Long): DataFrame =
+    ZkPipeline.queryErc20(entries, contract, slot, user, rate, totalSupply, minBlock, maxBlock)
+}

@@ -243,9 +243,10 @@ object Documents {
         // the shingle set feeds three plan branches (minhash, counts,
         // intersection) — persist it once
         val sh = shingles(Tables.documents(s, d)).persist()
-        // one-pass MinHash: all 8 signature slots as aggregate columns
-        // of a single groupBy — map-side partial min means one row per
-        // doc crosses the shuffle (vs 8× with a seed explode)
+        // one-pass MinHash + set size: all 8 signature slots AND the
+        // distinct-shingle count as aggregate columns of a single
+        // groupBy over the (already-distinct) shingle set — map-side
+        // partial min/count means one row per doc crosses the shuffle
         val mh = sh
           .groupBy("doc_id")
           .agg(
@@ -256,7 +257,9 @@ object Documents {
             min(md5(concat(lit("4|"), col("sh")).cast("binary"))).as("mh4"),
             min(md5(concat(lit("5|"), col("sh")).cast("binary"))).as("mh5"),
             min(md5(concat(lit("6|"), col("sh")).cast("binary"))).as("mh6"),
-            min(md5(concat(lit("7|"), col("sh")).cast("binary"))).as("mh7"))
+            min(md5(concat(lit("7|"), col("sh")).cast("binary"))).as("mh7"),
+            count(lit(1)).as("n"))
+          .persist() // one row per doc; feeds both banding and Jaccard sizes
         val bands = mh.select(
           col("doc_id"),
           explode(array((0 until 4).map { k =>
@@ -269,7 +272,7 @@ object Documents {
           .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
-        val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val counts = mh.select(col("doc_id"), col("n"))
         val inter = cand
           .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

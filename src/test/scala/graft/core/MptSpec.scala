@@ -54,6 +54,27 @@ class MptSpec extends AnyFunSuite {
     assert(Mpt.verifyProof(proofA, entries(1)._1, root).isEmpty)
   }
 
+  test("property: random tries of varying size verify every key, reject every absent key") {
+    val rnd = new scala.util.Random(42)
+    for (size <- Seq(1, 2, 3, 5, 17, 64, 200)) {
+      val entries = (0 until size).map { i =>
+        (Keccak.keccak256(s"p:$size:$i".getBytes), {
+          val v = new Array[Byte](1 + rnd.nextInt(31)); rnd.nextBytes(v); v
+        })
+      }
+      val trie = MptTrie.build(entries)
+      val root = MptTrie.rootHash(trie)
+      entries.foreach { case (k, v) =>
+        val got = Mpt.verifyProof(MptTrie.proof(trie, k), k, root)
+        assert(got.isDefined, s"size=$size")
+        assert(got.get.sameElements(v.dropWhile(_ == 0)), s"size=$size value")
+      }
+      // a key not in the trie cannot be proven with any stored key's proof
+      val absent = Keccak.keccak256(s"absent:$size".getBytes)
+      assert(Mpt.verifyProof(MptTrie.proof(trie, entries.head._1), absent, root).isEmpty)
+    }
+  }
+
   test("short keys / tiny values exercise inline (<32B) children") {
     // 2-byte keys -> 4-nibble paths, 1-byte values: leaf encodings are
     // well under 32 bytes, so branch children embed inline
