@@ -142,6 +142,25 @@ object Similarity {
               |SELECT vec_id, ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
+    // ss5 — IVF ANN (operators.IvfIndex): k-means coarse quantizer,
+    // posting-list assignment (the at-rest bucketing key), probe the 8
+    // nearest of 16 lists with exact rerank. Rows-only check (k-means
+    // is not SQL-expressible); recall vs brute force is asserted in
+    // IvfIndexSpec.
+    QueryDef(
+      "ss5_ann_ivf",
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val emb = Tables.embeddings(s, d)
+        val model = IvfIndex.train(emb, nlist = 16)
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        IvfIndex.probe(IvfIndex.assign(emb, model).filter(col("vec_id") =!= 0), model, q, nprobe = 8, k = 10)
+          .select("vec_id", "list_id")
+      },
+      None,
+    ),
+
     // ss4 — float cosine top-k baseline (the conventional metric).
     // Float summation order is engine-specific, so this is a rows-only
     // check; the exact-ranking twin is ss1.

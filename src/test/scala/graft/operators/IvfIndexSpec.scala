@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN: deterministic under seed, and probing a fraction of the
+  * lists recovers most of the exact top-k (recall sanity). */
+class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("ivf-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("IVF probe recall vs exact brute force; assignment is deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = IvfIndex.train(emb, nlist = 16)
+    val assigned = IvfIndex.assign(emb, model).persist()
+
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+    // exact top-10 by the same metric (driver-side)
+    val all = emb.filter(col("vec_id") =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), IvfIndex.ip(r.getSeq[Float](1).toArray, query)))
+    val exact = all.sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+
+    val got = IvfIndex.probe(assigned.filter(col("vec_id") =!= 0), model, query, nprobe = 8, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(got).size
+    assert(recall >= 5, s"recall@10 too low: $recall (got=$got exact=$exact)")
+
+    // determinism: re-train + re-assign gives identical lists
+    val model2 = IvfIndex.train(emb, nlist = 16)
+    val a1 = assigned.select("vec_id", "list_id").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val a2 = IvfIndex.assign(emb, model2).select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(a1 == a2)
+  }
+
+  test("posting lists cover all vectors and are reasonably balanced") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = IvfIndex.train(emb, nlist = 8)
+    val sizes = IvfIndex.assign(emb, model).groupBy("list_id").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.sum == emb.count())
+    assert(sizes.forall(_ > 0), "no empty posting lists at this nlist")
+  }
+}
