@@ -613,6 +613,57 @@ object Relational {
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
 
+    // Exact interpolated percentiles (both engines implement the
+    // (n−1)·p linear-interpolation definition).
+    QueryDef(
+      "agg_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med,
+             |  quantile_cont(l_quantity, 0.9) AS p90
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // Sessionization (gaps-and-islands): per-user sessions split at
+    // >30-minute inactivity gaps — cumulative sum over a lag-derived
+    // new-session flag, then grouped per session. One shuffle on
+    // user_id; session ids are deterministic.
+    QueryDef(
+      "sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_session").over(byUser))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, event_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+    ),
+
     // St4 (batch shape) — tumbling-window aggregation over the event-time
     // axis; the streaming twin lives in graft.streaming.
     QueryDef(

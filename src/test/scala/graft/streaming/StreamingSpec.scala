@@ -123,6 +123,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(r => r._1 == "2024-01-01 11:00:00.0" && r._2 == "view" && r._3 == 2L && r._4 == 8.0))
   }
 
+  test("streaming session windows close on watermark and merge within the gap") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = stream.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("user"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("sessions").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // two events 10 min apart -> one session; a much later event
+    // advances the watermark so the first session closes and emits
+    stream.addData(Seq((t(10, 0), "alice"), (t(10, 10), "alice")))
+    q.processAllAvailable()
+    stream.addData(Seq((t(13, 0), "alice")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT session_start, user, n FROM sessions").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "alice", 2L)), rows.mkString(", "))
+  }
+
   test("mapGroupsWithState: per-key sequence state accumulates across micro-batches") {
     implicit val sq = spark.sqlContext
     val s2 = spark
