@@ -40,6 +40,35 @@ object ZkPipeline {
         Aggregators.digestAgg(mappingLeafDigest(col("mapping_key"), col("value"))).as("digest"),
         Aggregators.merkleRoot(col("mapping_key"), mappingLeafHash(col("mapping_key"), col("value"))).as("storage_root"))
 
+  /** Scale-out Merkle root (SURVEY §7.4.2 fallback): when a single
+    * group's leaf set exceeds executor memory, the in-buffer
+    * `MerkleRootAgg` fold is replaced by log₂(n) level-wise grouped
+    * reductions — each level pairs positions (2i, 2i+1) → i with an
+    * odd-tail passthrough, exactly [[graft.core.Commitments.merkleRoot]]'s
+    * pairing, so the two paths are bit-identical. Each level is one
+    * shuffle on (group, pos/2) with map-side combine; no single task
+    * ever holds more than a partition of one level.
+    *
+    * Input: one row per leaf with `pos` (0-based dense rank within the
+    * group, in the fixed leaf order) and `hash`. Output: one row per
+    * group with `root`. */
+  def merkleRootScalable(leaves: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val pairHashUdf = udf((l: Array[Byte], r: Array[Byte]) =>
+      if (r == null) l else graft.core.Commitments.innerNodeHash(l, r))
+    var cur = leaves.select(groupCols.map(col) :+ col("pos") :+ col("hash"): _*)
+    var maxN = cur.groupBy(groupCols.map(col): _*).count().agg(max("count")).collect()(0).getLong(0)
+    while (maxN > 1) {
+      cur = cur
+        .groupBy(groupCols.map(col) :+ (col("pos") / 2).cast("long").as("pos"): _*)
+        .agg(
+          first(when(col("pos") % 2 === 0, col("hash")), ignoreNulls = true).as("l"),
+          first(when(col("pos") % 2 === 1, col("hash")), ignoreNulls = true).as("r"))
+        .select(groupCols.map(col) :+ col("pos") :+ pairHashUdf(col("l"), col("r")).as("hash"): _*)
+      maxN = (maxN + 1) / 2
+    }
+    cur.select(groupCols.map(col) :+ col("hash").as("root"): _*)
+  }
+
   /** Incremental storage-DB maintenance (the reference's partial/full
     * node split — recompute only the dirty path, reuse siblings
     * (query2/storage/partial_inner.rs) — recast as incremental view
