@@ -613,6 +613,45 @@ object Relational {
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
 
+    // Data-quality constraint report (operators.Constraints — the
+    // reference's integrity checks generalized): null checks, key
+    // uniqueness, value ranges, referential integrity, dense
+    // per-group sequencing, in one union of aggregates.
+    QueryDef(
+      "dq_constraints",
+      (s, d) => {
+        import graft.operators.Constraints._
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        notNull(li, Seq("l_orderkey", "l_quantity"))
+          .unionByName(unique(li, Seq("l_orderkey", "l_linenumber")))
+          .unionByName(inRange(li, "l_discount", 0.0, 0.5))
+          .unionByName(refIntegrity(li, "l_orderkey", o, "o_orderkey"))
+          .unionByName(denseSequence(li, "l_orderkey", "l_linenumber"))
+          .orderBy("check_name")
+      },
+      Some("""SELECT 'not_null(l_orderkey,l_quantity)' AS check_name,
+             |  sum(CASE WHEN l_orderkey IS NULL OR l_quantity IS NULL THEN 1 ELSE 0 END) AS n_violations
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'unique(l_orderkey,l_linenumber)',
+             |  coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)
+             |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) t
+             |UNION ALL
+             |SELECT 'in_range(l_discount,0.0,0.5)',
+             |  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'ref_integrity(l_orderkey->o_orderkey)', count(*)
+             |FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+             |UNION ALL
+             |SELECT 'dense_sequence(l_orderkey,l_linenumber)',
+             |  sum(CASE WHEN lo <> 1 OR hi <> n THEN 1 ELSE 0 END)
+             |FROM (SELECT count(*) AS n, min(l_linenumber) AS lo, max(l_linenumber) AS hi
+             |      FROM lineitem GROUP BY l_orderkey) t
+             |ORDER BY check_name""".stripMargin),
+    ),
+
     // Exact interpolated percentiles (both engines implement the
     // (n−1)·p linear-interpolation definition).
     QueryDef(

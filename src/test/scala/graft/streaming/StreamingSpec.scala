@@ -171,6 +171,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last(2L) == ((2L, 1L)), "key 2: two events with one gap")
   }
 
+  test("flatMapGroupsWithState: sessions close on event-time timeout and emit once") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    import StatefulSessions._
+    val stream = MemoryStream[Ev]
+    val out = sessions(stream.toDS(), gapSeconds = 1800L)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("closed_sessions").start()
+
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData(Seq(Ev("alice", t(10, 0)), Ev("alice", t(10, 20))))
+    q.processAllAvailable()
+    // no session closed yet (watermark hasn't passed the deadline)
+    assert(spark.sql("SELECT * FROM closed_sessions").count() == 0)
+    // a much later event pushes the watermark past 10:20 + 30min
+    stream.addData(Seq(Ev("bob", t(14, 0))))
+    q.processAllAvailable()
+    stream.addData(Seq(Ev("bob", t(14, 1))))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT key, start_s, end_s, n_events FROM closed_sessions").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.contains(("alice", t(10, 0).getTime / 1000, t(10, 20).getTime / 1000, 2L)), rows.mkString(", "))
+  }
+
   test("batch and streaming share the window plan (same results on static data)") {
     val s2 = spark
     import s2.implicits._
