@@ -613,6 +613,19 @@ object Relational {
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     ),
 
+    // HLL sketch cardinality (approx_count_distinct) next to the exact
+    // count — engines disagree on sketch internals, so this is a
+    // rows-only check; the exact twin (a8_count_distinct) is the
+    // oracle-checked one.
+    QueryDef(
+      "a8_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts")),
+      None,
+    ),
+
     // Data-quality constraint report (operators.Constraints — the
     // reference's integrity checks generalized): null checks, key
     // uniqueness, value ranges, referential integrity, dense

@@ -94,6 +94,30 @@ object Zk {
         .orderBy("block_number", "contract"),
     ),
 
+    // block-DB head (J4's join target): final root + bounds + global
+    // chain/sequencing verdicts in one row.
+    QueryDef(
+      "zk_block_db_head",
+      (s, _) => {
+        val sdb = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(s, cfg)))
+        ZkPipeline.blockDbHead(ZkPipeline.blockDb(sdb, Fixtures.headers(s, cfg)))
+          .select(col("first_block"), col("last_block"), col("n_blocks"),
+            hex(col("root")).as("root"), col("all_chain_ok"), col("all_seq_ok"))
+      },
+    ),
+
+    // Query2 revelation checks (§3.2 step 4): qualified-key count and
+    // the re-derived key-digest the revelation pins to the aggregate.
+    QueryDef(
+      "zk_query2_checks",
+      (s, _) => {
+        val (_, checks) = ZkPipeline.query2(
+          Fixtures.entries(s, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
+          Fixtures.userAddr(0), cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+        checks.select(col("n_qualified"), hex(col("range_digest")).as("range_digest"))
+      },
+    ),
+
     // Query2 (§3.2): user 0's sorted distinct NFT ids over the full
     // block range, LIMIT 5 — the reference e2e expects ids 1..5.
     QueryDef(
