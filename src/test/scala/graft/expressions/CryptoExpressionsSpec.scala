@@ -68,6 +68,13 @@ class CryptoExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(1).equalsIgnoreCase(Bytes.toHex(Commitments.mappingLeafDigest(k, v))))
   }
 
+  test("keccak256 of literals constant-folds in the optimizer (foldable expression)") {
+    val df = spark.sql("SELECT keccak256(CAST('abc' AS BINARY)) AS h FROM range(3)")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // after ConstantFolding the keccak call is gone — only the literal remains
+    assert(!optimized.toLowerCase.contains("keccak256"), optimized)
+  }
+
   test("SQL surface via SparkSessionExtensions plans the native expression") {
     val out = spark.sql("SELECT hex(keccak256(CAST('abc' AS BINARY))) AS h").collect()(0).getString(0)
     assert(out.equalsIgnoreCase(Bytes.toHex(Keccak.keccak256("abc".getBytes))))
