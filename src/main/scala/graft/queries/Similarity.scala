@@ -142,6 +142,32 @@ object Similarity {
               |SELECT vec_id, ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
+    // dd5 — embedding near-dup pairs (the embedding-cosine dedup from
+    // the brief, in exact fixed-point IP form): candidate pairs share
+    // a sign-projection bucket (blocked equi-join, never O(n²)), then
+    // exact integer inner product ≥ τ. Fully deterministic → oracled.
+    QueryDef(
+      "dd5_embedding_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol).withColumn("bucket", sigCol)
+        val a = e.select(col("vec_id").as("vec_a"), col("f").as("fa"), col("bucket"))
+        val b = e.select(col("vec_id").as("vec_b"), col("f").as("fb"), col("bucket"))
+        a.join(b, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), ip(col("fa"), col("fb")).as("ip"))
+          .filter(col("ip") >= 35000000000000L)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH $FxSql,
+              |sig AS (SELECT vec_id, f, $sigSql AS bucket FROM fx),
+              |cand AS (SELECT a.vec_id AS vec_a, a.f AS fa, b.vec_id AS vec_b, b.f AS fb
+              |         FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |pos AS (SELECT vec_a, vec_b, unnest(range(1, len(fa)+1)) AS i, fa, fb FROM cand),
+              |ips AS (SELECT vec_a, vec_b, sum(fa[i] * fb[i]) AS ip FROM pos GROUP BY vec_a, vec_b)
+              |SELECT vec_a, vec_b, ip FROM ips WHERE ip >= 35000000000000
+              |ORDER BY vec_a, vec_b""".stripMargin),
+    ),
+
     // ss5 — IVF ANN (operators.IvfIndex): k-means coarse quantizer,
     // posting-list assignment (the at-rest bucketing key), probe the 8
     // nearest of 16 lists with exact rerank. Rows-only check (k-means
