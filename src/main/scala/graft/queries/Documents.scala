@@ -114,6 +114,24 @@ object Documents {
              |WHERE w <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // d1b — BPE-ish regex tokenization (word / number / punctuation
+    // classes, the GPT-style pre-tokenizer shape) next to the
+    // whitespace count; the class pattern evaluates identically under
+    // Java regex and RE2.
+    QueryDef(
+      "d1b_token_bpe",
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).as("n_bpe_tokens"),
+          size(filter(split(col("text"), " "), w => w =!= "")).as("n_ws_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+             |  len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_ws_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
     // d2 — quality scoring: length/stopword/token-shape ratios folded
     // into one score. Every double op is a single shared expression
     // tree, so Spark and DuckDB produce bit-identical IEEE results.
