@@ -260,7 +260,7 @@ object Documents {
       (s, d) => {
         // the shingle set feeds three plan branches (minhash, counts,
         // intersection) — persist it once
-        val sh = shingles(Tables.documents(s, d)).persist()
+        val sh = shingles(Tables.documents(s, d))
         // one-pass MinHash + set size: all 8 signature slots AND the
         // distinct-shingle count as aggregate columns of a single
         // groupBy over the (already-distinct) shingle set — map-side
@@ -277,7 +277,6 @@ object Documents {
             min(md5(concat(lit("6|"), col("sh")).cast("binary"))).as("mh6"),
             min(md5(concat(lit("7|"), col("sh")).cast("binary"))).as("mh7"),
             count(lit(1)).as("n"))
-          .persist() // one row per doc; feeds both banding and Jaccard sizes
         val bands = mh.select(
           col("doc_id"),
           explode(array((0 until 4).map { k =>
@@ -357,6 +356,8 @@ object Documents {
           // integer form of the signature: hamming becomes one
           // bit_count(xor) instead of 32 substring compares
           .withColumn("sig_int", expr("CAST(conv(simhash, 2, 10) AS BIGINT)"))
+          // tiny (one row per doc) and feeds both join sides above the
+          // aggregation, which ReuseExchange alone would recompute
           .persist()
         val blk = sig
           .select(col("doc_id"), col("simhash"), col("sig_int"), explode(sequence(lit(0), lit(3))).as("k"))
