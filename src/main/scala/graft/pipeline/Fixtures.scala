@@ -157,10 +157,17 @@ object Fixtures {
       mpt_root: Array[Byte],
       value: Array[Byte])
 
-  /** storage MPT per (block, contract) over its mapping entries. */
+  /** storage MPT per (block, contract) over its mapping entries PLUS
+    * the simple length slot (reference stage 2, `length_extract.rs`:
+    * the mapping's declared length lives at its own storage slot in
+    * the same trie). */
   private def storageTries(cfg: Cfg): Map[(Long, String), MptTrie.Node] =
     entriesSeq(cfg).groupBy(e => (e.block_number, Bytes.toHex(e.contract))).map { case (k, es) =>
-      k -> MptTrie.build(es.map(e => (StorageKey.mappingMptKey(e.mapping_key, e.mapping_slot), e.value)))
+      val lengthSlot = es.head.length_slot
+      val lengthEntry = (StorageKey.simpleSlotMptKey(lengthSlot),
+        Bytes.leftPad32(Bytes.beBytes(es.size.toLong, 8)))
+      k -> MptTrie.build(es.map(e =>
+        (StorageKey.mappingMptKey(e.mapping_key, e.mapping_slot), e.value)) :+ lengthEntry)
     }
 
   /** EIP-1186-shaped storage proofs: one MPT per (block, contract)
@@ -174,6 +181,32 @@ object Fixtures {
       ProofRow(e.block_number, e.contract, e.mapping_slot, e.mapping_key, mk,
         MptTrie.proof(trie, mk), MptTrie.rootHash(trie), e.value)
     }
+  }
+
+  final case class LengthProofRow(
+      block_number: Long,
+      contract: Array[Byte],
+      length_slot: Int,
+      mpt_key: Array[Byte],
+      nodes: Seq[Array[Byte]],
+      mpt_root: Array[Byte])
+
+  /** proof of the simple length slot per (block, contract) — the input
+    * to the LengthExtract stage (§3.1 stage 2). */
+  def lengthProofsSeq(cfg: Cfg): Seq[LengthProofRow] = {
+    val tries = storageTries(cfg)
+    entriesSeq(cfg).groupBy(e => (e.block_number, Bytes.toHex(e.contract))).toSeq.map {
+      case ((b, cHex), es) =>
+        val trie = tries((b, cHex))
+        val mk = StorageKey.simpleSlotMptKey(es.head.length_slot)
+        LengthProofRow(b, Bytes.fromHex(cHex), es.head.length_slot, mk,
+          MptTrie.proof(trie, mk), MptTrie.rootHash(trie))
+    }
+  }
+
+  def lengthProofs(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(lengthProofsSeq(cfg)).toDF()
   }
 
   // ---------------------------------------------------------- account proofs (A3)

@@ -93,6 +93,15 @@ object ZkPipeline {
       .withColumn("extracted_value", mptVerify(col("nodes"), col("mpt_key"), col("mpt_root")))
       .withColumn("proof_ok", col("extracted_value").isNotNull && col("extracted_value") === col("value"))
 
+  /** LengthExtract (§3.1 stage 2, length_extract.rs:100-192): walk the
+    * simple-slot proof for the mapping's length variable and decode
+    * the u64 count from the proven 32-byte value. */
+  def lengthExtract(lengthProofs: DataFrame): DataFrame =
+    lengthProofs
+      .withColumn("extracted", mptVerify(col("nodes"), col("mpt_key"), col("mpt_root")))
+      .withColumn("declared_length", bytesToLong(expr("substring(extracted, 25, 8)")))
+      .select("block_number", "contract", "declared_length", "mpt_root")
+
   /** J1 LengthMatch (length_match.rs:103-163): entry count must equal
     * the declared mapping length; `skip` bypasses (MAGIC_SLOT
     * sentinel). Returns rows with a `length_ok` verdict. */

@@ -68,6 +68,20 @@ object Zk {
       },
     ),
 
+    // §3.1 stages 2-3: LengthExtract (simple-slot proof walk) feeding
+    // J1 LengthMatch — count of mapping entries vs the proven length.
+    QueryDef(
+      "zk_length_match",
+      (s, _) => {
+        val sdb = ZkPipeline.storageDb(Fixtures.entries(s, cfg))
+        val lengths = ZkPipeline.lengthExtract(Fixtures.lengthProofs(s, cfg)).drop("mpt_root")
+        ZkPipeline.lengthMatch(sdb, lengths)
+          .select(col("block_number"), hex(col("contract")).as("contract"),
+            col("n"), col("declared_length"), col("length_ok"))
+          .orderBy("block_number", "contract")
+      },
+    ),
+
     // J3 BlockLinking (§3.1 stage 6): account proof verified against
     // the header's state root; storage root bound to the account leaf.
     QueryDef(

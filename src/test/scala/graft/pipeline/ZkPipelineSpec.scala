@@ -169,6 +169,18 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.filter(!col("storage_root_ok")).count() == 1)
   }
 
+  test("LengthExtract (proof-backed) feeds J1: counts match the proven slot value") {
+    val sdb = ZkPipeline.storageDb(Fixtures.entries(spark, cfg))
+    val lengths = ZkPipeline.lengthExtract(Fixtures.lengthProofs(spark, cfg))
+    assert(lengths.filter(col("declared_length").isNull).count() == 0)
+    val matched = ZkPipeline.lengthMatch(sdb, lengths.drop("mpt_root"))
+    assert(matched.filter(!col("length_ok")).count() == 0)
+    // a mismatching declared length is caught
+    val off = ZkPipeline.lengthMatch(sdb,
+      lengths.drop("mpt_root").withColumn("declared_length", col("declared_length") + 1))
+    assert(off.filter(!col("length_ok")).count() == off.count())
+  }
+
   test("J1 length match verdict") {
     val s2 = spark
     import s2.implicits._
