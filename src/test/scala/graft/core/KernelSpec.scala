@@ -182,3 +182,18 @@ class StorageKeySpec extends AnyFunSuite {
     assert(StorageKey.mappingMptKey(key, 2).sameElements(Keccak.keccak256(loc)))
   }
 }
+
+
+/** F5 packing gadgets: u8→u32 LE limbs and BE integer round trips. */
+class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("packU32LE groups 4 bytes little-endian with zero padding") {
+    val in = Array[Byte](0x01, 0x02, 0x03, 0x04, 0x05)
+    val out = Bytes.packU32LE(in)
+    assert(out.toSeq == Seq(0x04030201, 0x00000005))
+  }
+  test("beBytes/beLong round trip at all widths") {
+    for (w <- 1 to 8; v <- Seq(0L, 1L, 255L, 65535L, 1234567L).filter(x => w >= 1 && x < math.pow(256, w))) {
+      assert(Bytes.beLong(Bytes.beBytes(v, w)) == v, s"w=$w v=$v")
+    }
+  }
+}
