@@ -63,6 +63,39 @@ object Bytes {
     out
   }
 
+  /** Rabin-Karp polynomial rolling hash over a sliding byte window
+    * (document fingerprinting, builder brief): returns one 64-bit hash
+    * per window position, computed incrementally in O(n). Base/modulus
+    * arithmetic in Long with the modulus < 2^31 so products never
+    * overflow. */
+  def rollingHashes(in: Array[Byte], window: Int): Array[Long] = {
+    require(window > 0)
+    if (in.length < window) return Array.empty
+    val B = 257L
+    val M = 1000000007L
+    var pow = 1L // B^(window-1) mod M
+    var i = 1
+    while (i < window) { pow = pow * B % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = (h * B + (in(i) & 0xff)) % M; i += 1 }
+    val out = new Array[Long](in.length - window + 1)
+    out(0) = h
+    i = window
+    while (i < in.length) {
+      h = ((h - (in(i - window) & 0xff) * pow % M + M) % M * B + (in(i) & 0xff)) % M
+      out(i - window + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** winnowing-style fingerprint: minimum rolling hash over the doc. */
+  def minRollingHash(in: Array[Byte], window: Int): Long = {
+    val hs = rollingHashes(in, window)
+    if (hs.isEmpty) -1L else hs.min
+  }
+
   def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     require(a.length == b.length, s"xor length mismatch ${a.length} vs ${b.length}")
     val out = new Array[Byte](a.length)

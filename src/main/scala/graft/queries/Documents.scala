@@ -97,6 +97,21 @@ object Documents {
       .map(i => s"(CASE WHEN substring(sig_a,$i,1) <> substring(sig_b,$i,1) THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
+  /** 60-bit MinHash slot: the first 15 hex digits of md5("<seed>|sh")
+    * as a BIGINT. Numeric order == hex-string lexicographic order, so
+    * min() picks the same element in both engines — but a LONG min
+    * hash-aggregates (map-side combine), where a binary/string min
+    * falls back to SortAggregate. DuckDB side parses the same 15
+    * digits positionally. */
+  private def mhSparkSql(seed: Int): String =
+    s"CAST(conv(substring(md5(concat('$seed|', sh)), 1, 15), 16, 10) AS BIGINT)"
+
+  private def mhDuckSql(seed: Int): String =
+    (0 until 15).map { k =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(14 - k)
+      s"(instr('0123456789abcdef', substring(md5('$seed|' || sh), ${k + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -235,6 +250,21 @@ object Documents {
               |FROM documents d JOIN fp ON d.doc_id = fp.doc_id ORDER BY d.doc_id""".stripMargin),
     ),
 
+    // d4b — Rabin-Karp rolling-hash fingerprint (incremental O(n)
+    // sliding window over the raw bytes; winnowing min-hash). Not
+    // SQL-expressible → rows-only; the kernel is golden-tested in
+    // PackingSpec/RollingHashSpec.
+    QueryDef(
+      "d4b_rolling_fingerprint",
+      (s, d) => {
+        val rollUdf = udf((t: String) => graft.core.Bytes.minRollingHash(t.getBytes("UTF-8"), 16))
+        Tables.documents(s, d)
+          .select(col("doc_id"), rollUdf(col("text")).as("min_rolling_hash"))
+          .orderBy("doc_id")
+      },
+      None,
+    ),
+
     // ------------------------------------------------------------------
     // dd1 — exact dedup: hash-groupBy on the content hash, keep the
     // smallest doc_id per group. Map-side partial agg means only one
@@ -263,20 +293,14 @@ object Documents {
         val sh = shingles(Tables.documents(s, d))
         // one-pass MinHash + set size: all 8 signature slots AND the
         // distinct-shingle count as aggregate columns of a single
-        // groupBy over the (already-distinct) shingle set — map-side
-        // partial min/count means one row per doc crosses the shuffle
+        // groupBy over the (already-distinct) shingle set — 60-bit
+        // LONG slots keep the whole thing in HashAggregate with
+        // map-side partial min/count: one row per doc crosses the
+        // shuffle, no sort anywhere
+        val mhAggs = (0 until 8).map(j => min(expr(mhSparkSql(j))).as(s"mh$j")) :+ count(lit(1)).as("n")
         val mh = sh
           .groupBy("doc_id")
-          .agg(
-            min(md5(concat(lit("0|"), col("sh")).cast("binary"))).as("mh0"),
-            min(md5(concat(lit("1|"), col("sh")).cast("binary"))).as("mh1"),
-            min(md5(concat(lit("2|"), col("sh")).cast("binary"))).as("mh2"),
-            min(md5(concat(lit("3|"), col("sh")).cast("binary"))).as("mh3"),
-            min(md5(concat(lit("4|"), col("sh")).cast("binary"))).as("mh4"),
-            min(md5(concat(lit("5|"), col("sh")).cast("binary"))).as("mh5"),
-            min(md5(concat(lit("6|"), col("sh")).cast("binary"))).as("mh6"),
-            min(md5(concat(lit("7|"), col("sh")).cast("binary"))).as("mh7"),
-            count(lit(1)).as("n"))
+          .agg(mhAggs.head, mhAggs.tail: _*)
         val bands = mh.select(
           col("doc_id"),
           explode(array((0 until 4).map { k =>
@@ -307,16 +331,22 @@ object Documents {
       },
       Some(s"""WITH $ShinglesSql,
               |mh AS (
-              |  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS mh
-              |  FROM sh CROSS JOIN (SELECT unnest(range(0,8)) AS seed) seeds
-              |  GROUP BY doc_id, seed),
+              |  SELECT doc_id,
+              |    ${(0 until 8).map(j => s"min(${mhDuckSql(j)}) AS mh$j").mkString(", ")},
+              |    count(*) AS n
+              |  FROM sh GROUP BY doc_id),
               |bands AS (
-              |  SELECT doc_id, seed//2 AS band, min(mh) || '#' || max(mh) AS sig
-              |  FROM mh GROUP BY doc_id, seed//2),
+              |  SELECT doc_id, b.band,
+              |    CAST(CASE b.band WHEN 0 THEN least(mh0,mh1) WHEN 1 THEN least(mh2,mh3)
+              |         WHEN 2 THEN least(mh4,mh5) ELSE least(mh6,mh7) END AS VARCHAR)
+              |    || '#' ||
+              |    CAST(CASE b.band WHEN 0 THEN greatest(mh0,mh1) WHEN 1 THEN greatest(mh2,mh3)
+              |         WHEN 2 THEN greatest(mh4,mh5) ELSE greatest(mh6,mh7) END AS VARCHAR) AS sig
+              |  FROM mh CROSS JOIN (SELECT unnest(range(0,4)) AS band) b),
               |cand AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-              |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |counts AS (SELECT doc_id, n FROM mh),
               |inter AS (
               |  SELECT c.doc_a, c.doc_b, count(*) AS inter
               |  FROM cand c

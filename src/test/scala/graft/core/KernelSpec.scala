@@ -197,3 +197,33 @@ class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+
+/** Rabin-Karp rolling hash: incremental vs direct recomputation. */
+class RollingHashSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def direct(in: Array[Byte], off: Int, w: Int): Long = {
+    var h = 0L
+    for (i <- off until off + w) h = (h * 257L + (in(i) & 0xff)) % 1000000007L
+    h
+  }
+  test("incremental hashes equal direct per-window recomputation") {
+    val rnd = new scala.util.Random(7)
+    val in = new Array[Byte](300); rnd.nextBytes(in)
+    for (w <- Seq(1, 4, 16, 64)) {
+      val hs = Bytes.rollingHashes(in, w)
+      assert(hs.length == in.length - w + 1)
+      for (o <- hs.indices) assert(hs(o) == direct(in, o, w), s"w=$w o=$o")
+    }
+  }
+  test("window longer than input yields empty; min is -1 sentinel") {
+    assert(Bytes.rollingHashes(Array[Byte](1, 2), 5).isEmpty)
+    assert(Bytes.minRollingHash(Array[Byte](1, 2), 5) == -1L)
+  }
+  test("shifted content shares window hashes (locality property)") {
+    val a = "the quick brown fox jumps over it".getBytes
+    val b = "xx the quick brown fox jumps over it".getBytes
+    val ha = Bytes.rollingHashes(a, 8).toSet
+    val hb = Bytes.rollingHashes(b, 8).toSet
+    assert(ha.intersect(hb).size >= a.length - 8) // all of a's windows appear in b
+  }
+}
