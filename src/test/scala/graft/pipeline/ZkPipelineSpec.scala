@@ -46,6 +46,19 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("odd-shaped fixtures (11 ids, 7 holders, odd merkle levels) still match goldens") {
+    val odd = Fixtures.Cfg(nBlocks = 3, nNftIds = 11, nHolders = 7)
+    val got = ZkPipeline.storageDb(Fixtures.entries(spark, odd))
+      .collect()
+      .map(r => (r.getAs[Long]("block_number"), Bytes.toHex(r.getAs[Array[Byte]]("contract"))) ->
+        Bytes.toHex(r.getAs[Array[Byte]]("storage_root"))).toMap
+    val want = Fixtures.goldenStorageDb(odd).map { case (k, (_, _, root)) => k -> Bytes.toHex(root) }
+    assert(got == want)
+    val stateGot = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(spark, odd)))
+      .collect().map(r => r.getAs[Long]("block_number") -> Bytes.toHex(r.getAs[Array[Byte]]("state_root"))).toMap
+    assert(stateGot == Fixtures.goldenStateDb(odd).map { case (k, v) => k -> Bytes.toHex(v) })
+  }
+
   test("digest is merge-order independent (A2 commutativity under repartition)") {
     val base = ZkPipeline.storageDb(Fixtures.entries(spark, cfg))
     val shuffled = ZkPipeline.storageDb(Fixtures.entries(spark, cfg).repartition(13, col("mapping_key")))
