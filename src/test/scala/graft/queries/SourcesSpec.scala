@@ -1,0 +1,52 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-format breadth (S1): the same rows through parquet, CSV and
+  * JSON-lines with explicit schemas (no inference — SURVEY §1.2's
+  * fixed-schema rule) must agree. */
+class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("sources-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("parquet, CSV and JSONL round-trip the same rows under explicit schemas") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .limit(500)
+    val dir = Files.createTempDirectory("sources").toString
+    base.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    base.write.mode("overwrite").json(s"$dir/json")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderstatus", StringType)))
+    val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$dir/csv")
+    val fromJson = spark.read.schema(schema).json(s"$dir/json")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
+    assert(snap(fromCsv) == snap(base))
+    assert(snap(fromJson) == snap(base))
+    // and filters still prune on the alternative sources
+    assert(fromCsv.filter(col("o_totalprice") > 100000).count() ==
+      base.filter(col("o_totalprice") > 100000).count())
+  }
+}
