@@ -430,6 +430,90 @@ object Relational {
       headline = true,
     ),
 
+    // TPC-H Q7 shape: fact joined through two different dimension
+    // paths (customer nation × supplier nation), grouped on the pair.
+    QueryDef(
+      "q7_nation_volume",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val sup = Tables.supplier(s, d)
+        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), c("c_nationkey") === n1("c_nk"))
+          .join(broadcast(n2), sup("s_nationkey") === n2("s_nk"))
+          .filter(col("cust_nation") =!= col("supp_nation"))
+          .groupBy("cust_nation", "supp_nation")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("volume"))
+          .orderBy("cust_nation", "supp_nation")
+      },
+      Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation, count(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE n1.n_name <> n2.n_name
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+
+    // TPC-H Q10 shape: returned-item top customers (filter + 3-way
+    // join + grouped revenue + top-k).
+    QueryDef(
+      "q10_returned_items",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    ),
+
+    // TPC-H Q19 shape: disjunction of conjunctive range predicates —
+    // the optimizer must still push the common join key and fold the
+    // OR branches into the scan.
+    QueryDef(
+      "q19_disjunctive",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30)))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      },
+      Some("""SELECT count(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+    ),
+
     // TPC-H Q12 shape: conditional aggregation (CASE inside SUM).
     QueryDef(
       "q12_shipmode",
