@@ -102,6 +102,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(quar.contains((headers(4).block_number, "gap")))
   }
 
+  test("streaming storage-DB maintenance: incremental snapshots equal full rebuild") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    import graft.pipeline.{Fixtures, ZkPipeline}
+    val cfg = Fixtures.Cfg(nBlocks = 4)
+    val stream = MemoryStream[Fixtures.Entry]
+    val base = tmp("sdb-maint")
+    val maintainer = new StorageDbMaintainer(spark, base)
+    val q = maintainer.start(stream.toDS().toDF(), tmp("sdb-ckpt"))
+
+    val all = Fixtures.entriesSeq(cfg)
+    // batch 1: everything as-is
+    stream.addData(all)
+    q.processAllAvailable()
+    val v1 = maintainer.currentVersion().get
+    // batch 2: one (block, contract) group resubmitted with a changed value
+    val changedBlock = cfg.firstBlock + 2
+    val delta = all
+      .filter(e => e.block_number == changedBlock && Bytes.toHex(e.contract) == Bytes.toHex(Fixtures.contractAddr(0)))
+      .map(e => if (Bytes.beLong(e.mapping_key.takeRight(4)) == 2L)
+        e.copy(value = Bytes.leftPad32(Array[Byte](0x13))) else e)
+    stream.addData(delta)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(maintainer.currentVersion().get != v1, "a new snapshot version was published")
+    val mutatedAll = all.map(e =>
+      if (e.block_number == changedBlock && Bytes.toHex(e.contract) == Bytes.toHex(Fixtures.contractAddr(0)) &&
+        Bytes.beLong(e.mapping_key.takeRight(4)) == 2L)
+        e.copy(value = Bytes.leftPad32(Array[Byte](0x13))) else e)
+    val want = ZkPipeline.storageDb(spark.createDataset(mutatedAll).toDF()).collect()
+      .map(r => (r.getAs[Long]("block_number"), Bytes.toHex(r.getAs[Array[Byte]]("contract"))) ->
+        Bytes.toHex(r.getAs[Array[Byte]]("storage_root"))).toMap
+    val got = maintainer.current().get.collect()
+      .map(r => (r.getAs[Long]("block_number"), Bytes.toHex(r.getAs[Array[Byte]]("contract"))) ->
+        Bytes.toHex(r.getAs[Array[Byte]]("storage_root"))).toMap
+    assert(got == want)
+  }
+
   test("streaming windowed aggregation with watermark emits correct counts") {
     implicit val sq = spark.sqlContext
     val s2 = spark
