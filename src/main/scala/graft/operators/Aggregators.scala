@@ -81,6 +81,28 @@ object Aggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  // ---------------------------------------------------------------- top-k
+  /** Grouped top-k as an aggregate: the buffer is a bounded sorted
+    * list (score desc, id asc), so map-side partial aggregation sends
+    * at most k rows per group per partition across the shuffle — the
+    * scalable alternative to a window `row_number` filter, which
+    * shuffles and sorts EVERY row of every group. Output is the
+    * ranked (score, id) list. */
+  class TopKAgg(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+    private def insert(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] = {
+      val merged = (in :: buf).sortBy { case (s, id) => (-s, id) }
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[(Double, Long)] = Nil
+    def reduce(buf: List[(Double, Long)], in: (Double, Long)): List[(Double, Long)] = insert(buf, in)
+    def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+      b.foldLeft(a)(insert)
+    def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+    def bufferEncoder: Encoder[List[(Double, Long)]] = Encoders.kryo[List[(Double, Long)]]
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** digest_agg(entryDigest) — A2 as a Column aggregate */
   def digestAgg(entryDigest: Column): Column = udaf(new DigestAgg).apply(entryDigest)
 

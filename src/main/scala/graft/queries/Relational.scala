@@ -259,6 +259,31 @@ object Relational {
              |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
     ),
 
+    // W1b — grouped top-k as a bounded-buffer AGGREGATE
+    // (operators.Aggregators.TopKAgg): map-side partials ship at most
+    // k rows per group per partition, vs the window row_number filter
+    // that shuffles + sorts every row (w1_rank_window is the oracle
+    // twin of the same result).
+    QueryDef(
+      "w1b_topk_agg",
+      (s, d) => {
+        val topk = udaf(new graft.operators.Aggregators.TopKAgg(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("o_custkey"), col("t._2").as("o_orderkey"), (col("pos") + 1).as("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+    ),
+
     // W3 — lag-based sequencing constraint (block/mod.rs:246-257: each
     // block number = prev + 1). Per-user event sequences: count the gaps.
     // Partitioned by user so the window never needs a global sort.
