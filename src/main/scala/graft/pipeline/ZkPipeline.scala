@@ -212,6 +212,39 @@ object ZkPipeline {
     (ids, checks)
   }
 
+  /** §3.2 step 4 — the fixed-width revelation record: block range,
+    * the L result ids (zero-padded like the reference's fixed result
+    * array), entry count, re-derived key digest, the proving block's
+    * header hash, and the block-DB root the result is bound to (J4).
+    * Every input is a 1-row frame → broadcast cross joins, no
+    * shuffles. */
+  def query2Revelation(entries: DataFrame, headers: DataFrame, contract: Array[Byte], slot: Int,
+      owner: Array[Byte], minB: Long, maxB: Long, limit: Int = 5): DataFrame = {
+    val (ids, checks) = query2(entries, contract, slot, owner, minB, maxB, limit)
+    val idsArr = ids
+      .agg(sort_array(collect_list(col("nft_id"))).as("ids_raw"))
+      .select(expr(s"concat(ids_raw, array_repeat(0L, $limit - size(ids_raw)))").as("nft_ids"))
+    val head = blockDbHead(blockDb(stateDb(storageDb(entries)), headers))
+      .select(col("first_block"), col("last_block"), col("root"))
+    val provingHash = headers
+      .filter(col("block_number").between(minB, maxB))
+      .orderBy(col("block_number").desc).limit(1)
+      .select(col("block_hash").as("proving_block_hash"))
+    idsArr
+      .crossJoin(broadcast(checks))
+      .crossJoin(broadcast(head))
+      .crossJoin(broadcast(provingHash))
+      .select(
+        lit(67).as("query_id"), // NFT query identifier (tests/common/mod.rs:15)
+        greatest(lit(minB), col("first_block")).as("min_block"),
+        least(lit(maxB), col("last_block")).as("max_block"),
+        col("n_qualified").as("num_entries"),
+        col("nft_ids"),
+        col("range_digest"),
+        col("proving_block_hash"),
+        col("root").as("block_db_root"))
+  }
+
   // ------------------------------------------------------------ §3.3 QueryERC20
   /** QueryERC20: Σ_b rate·balance(user, b)/total_supply over the query
     * range clamped to the DB bounds (P7), U256 arithmetic with

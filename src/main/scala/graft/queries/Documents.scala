@@ -371,6 +371,40 @@ object Documents {
               |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
     ),
 
+    // dd3b — term-frequency-weighted SimHash (the classical form):
+    // each word contributes ±count instead of ±1, so repeated terms
+    // dominate the signature. Same portable md5-parity construction.
+    QueryDef(
+      "dd3b_simhash_weighted",
+      (s, d) => {
+        val sums = (1 to 32).map { p =>
+          sum(expr(s"CASE WHEN (instr('0123456789abcdef', substring(h, $p, 1)) - 1) % 2 = 1 THEN cnt ELSE -cnt END"))
+            .as(s"s$p")
+        }
+        tokens(Tables.documents(s, d))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+          .withColumn("h", md5(col("w").cast("binary")))
+          .groupBy("doc_id")
+          .agg(sums.head, sums.tail: _*)
+          .select(
+            col("doc_id"),
+            concat((1 to 32).map(p => when(col(s"s$p") >= 0, "1").otherwise("0")): _*).as("simhash_w"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, w, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+             |  WHERE w <> '' GROUP BY doc_id, w),
+             |bits AS (
+             |  SELECT doc_id, p,
+             |    CASE WHEN sum(CASE WHEN (instr('0123456789abcdef', substring(md5(w), p, 1)) - 1) % 2 = 1 THEN cnt ELSE -cnt END) >= 0
+             |         THEN '1' ELSE '0' END AS bit
+             |  FROM tok CROSS JOIN (SELECT unnest(range(1,33)) AS p) ps
+             |  GROUP BY doc_id, p),
+             |sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash_w FROM bits GROUP BY doc_id)
+             |SELECT doc_id, simhash_w FROM sig ORDER BY doc_id""".stripMargin),
+    ),
+
     // dd4 — SimHash near-dup pairs: hamming ≤ 3 over the 32-bit
     // signatures. Candidate blocking by the 4 8-bit blocks — by
     // pigeonhole, any pair within distance 3 shares at least one

@@ -145,6 +145,21 @@ object Zk {
       headline = true,
     ),
 
+    // Query2 revelation record (§3.2 step 4): the complete fixed-width
+    // result vector (range, L zero-padded ids, digest, proving header
+    // hash, block-DB root).
+    QueryDef(
+      "zk_query2_revelation",
+      (s, _) => ZkPipeline.query2Revelation(
+        Fixtures.entries(s, cfg), Fixtures.headers(s, cfg),
+        Fixtures.contractAddr(0), cfg.nftSlot, Fixtures.userAddr(0),
+        cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+        .select(col("query_id"), col("min_block"), col("max_block"), col("num_entries"),
+          col("nft_ids"), hex(col("range_digest")).as("range_digest"),
+          hex(col("proving_block_hash")).as("proving_block_hash"),
+          hex(col("block_db_root")).as("block_db_root")),
+    ),
+
     // QueryERC20 (§3.3): time-weighted reward share with U256 math,
     // range clamped to DB bounds (the query overshoots on both ends on
     // purpose to exercise P7).

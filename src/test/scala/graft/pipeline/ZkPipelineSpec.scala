@@ -221,6 +221,28 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bytes.toHex(chk.getAs[Array[Byte]]("range_digest")) == Bytes.toHex(expected))
   }
 
+  test("Query2 revelation record: padded ids, bounds, proving hash, block-DB root") {
+    val rec = ZkPipeline.query2Revelation(
+      Fixtures.entries(spark, cfg), Fixtures.headers(spark, cfg),
+      Fixtures.contractAddr(0), cfg.nftSlot, Fixtures.userAddr(0),
+      cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1).collect()(0)
+    assert(rec.getAs[Int]("query_id") == 67)
+    assert(rec.getAs[scala.collection.Seq[Long]]("nft_ids").toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rec.getAs[Long]("num_entries") == 5L)
+    assert(rec.getAs[Long]("min_block") == cfg.firstBlock)
+    assert(rec.getAs[Long]("max_block") == cfg.firstBlock + cfg.nBlocks - 1)
+    val lastHeader = Fixtures.headersSeq(cfg).last
+    assert(Bytes.toHex(rec.getAs[Array[Byte]]("proving_block_hash")) == Bytes.toHex(lastHeader.block_hash))
+    val (_, goldenRoot) = Fixtures.goldenBlockDb(cfg)
+    assert(Bytes.toHex(rec.getAs[Array[Byte]]("block_db_root")) == Bytes.toHex(goldenRoot))
+    // a narrower owner pads with zeros
+    val rec6 = ZkPipeline.query2Revelation(
+      Fixtures.entries(spark, cfg), Fixtures.headers(spark, cfg),
+      Fixtures.contractAddr(0), cfg.nftSlot, Fixtures.userAddr(6),
+      cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1).collect()(0)
+    assert(rec6.getAs[scala.collection.Seq[Long]]("nft_ids").toSeq == Seq(6L, 0L, 0L, 0L, 0L))
+  }
+
   test("Query2 narrows correctly: sub-range and non-owner") {
     val (ids, _) = ZkPipeline.query2(
       Fixtures.entries(spark, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
