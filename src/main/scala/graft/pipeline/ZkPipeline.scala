@@ -245,6 +245,33 @@ object ZkPipeline {
         col("root").as("block_db_root"))
   }
 
+  /** §3.3 step 4 — the ERC20 revelation record (layout padded to the
+    * Query2 width in the reference, revelation/public_inputs.rs:28-60):
+    * clamped range, the single U256 result, and the block-DB binding. */
+  def queryErc20Revelation(entries: DataFrame, headers: DataFrame, contract: Array[Byte], slot: Int,
+      user: Array[Byte], rate: java.math.BigInteger, totalSupply: java.math.BigInteger,
+      minB: Long, maxB: Long): DataFrame = {
+    val result = queryErc20(entries, contract, slot, user, rate, totalSupply, minB, maxB)
+    val head = blockDbHead(blockDb(stateDb(storageDb(entries)), headers))
+      .select(col("root"))
+    val provingHash = headers
+      .filter(col("block_number").between(minB, maxB))
+      .orderBy(col("block_number").desc).limit(1)
+      .select(col("block_hash").as("proving_block_hash"))
+    result
+      .crossJoin(broadcast(head))
+      .crossJoin(broadcast(provingHash))
+      .select(
+        lit(88).as("query_id"), // ERC20 query identifier (tests/common/mod.rs:16)
+        col("range_min").as("min_block"),
+        col("range_max").as("max_block"),
+        col("n_blocks"),
+        col("gap_free"),
+        col("result"),
+        col("proving_block_hash"),
+        col("root").as("block_db_root"))
+  }
+
   // ------------------------------------------------------------ §3.3 QueryERC20
   /** QueryERC20: Σ_b rate·balance(user, b)/total_supply over the query
     * range clamped to the DB bounds (P7), U256 arithmetic with

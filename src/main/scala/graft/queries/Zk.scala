@@ -25,6 +25,24 @@ object Zk {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ERC20 revelation record (§3.3 step 4): clamped range + single
+    // U256 result bound to the block DB.
+    QueryDef(
+      "zk_query_erc20_revelation",
+      (s, _) => {
+        import graft.functions.GraftFunctions.u256ToDecimal
+        ZkPipeline.queryErc20Revelation(
+          Fixtures.entries(s, cfg), Fixtures.headers(s, cfg),
+          Fixtures.contractAddr(1), cfg.erc20Slot, Fixtures.userAddr(2),
+          BigInteger.valueOf(7L), BigInteger.valueOf(1000L),
+          cfg.firstBlock - 50, cfg.firstBlock + cfg.nBlocks + 50)
+          .select(col("query_id"), col("min_block"), col("max_block"), col("n_blocks"),
+            col("gap_free"), u256ToDecimal(col("result")).as("result"),
+            hex(col("proving_block_hash")).as("proving_block_hash"),
+            hex(col("block_db_root")).as("block_db_root"))
+      },
+    ),
+
     // storage DB build (§3.1 stages 1-5): per block×contract count,
     // additive digest, order-fixed merkle root.
     QueryDef(

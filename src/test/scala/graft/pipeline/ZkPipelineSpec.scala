@@ -264,6 +264,22 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(U256.fromBytes32(got.getAs[Array[Byte]]("result")) == want)
   }
 
+  test("ERC20 revelation record: clamped bounds, result, block-DB binding") {
+    val rate = BigInteger.valueOf(7L); val supply = BigInteger.valueOf(1000L)
+    val rec = ZkPipeline.queryErc20Revelation(
+      Fixtures.entries(spark, cfg), Fixtures.headers(spark, cfg),
+      Fixtures.contractAddr(1), cfg.erc20Slot, Fixtures.userAddr(2), rate, supply,
+      cfg.firstBlock - 50, cfg.firstBlock + cfg.nBlocks + 50).collect()(0)
+    assert(rec.getAs[Int]("query_id") == 88)
+    assert(rec.getAs[Long]("min_block") == cfg.firstBlock)
+    assert(rec.getAs[Long]("max_block") == cfg.firstBlock + cfg.nBlocks - 1)
+    assert(rec.getAs[Boolean]("gap_free"))
+    val want = Fixtures.goldenErc20Sum(cfg, 2, rate, supply, cfg.firstBlock - 50, cfg.firstBlock + cfg.nBlocks + 50)
+    assert(U256.fromBytes32(rec.getAs[Array[Byte]]("result")) == want)
+    val (_, goldenRoot) = Fixtures.goldenBlockDb(cfg)
+    assert(Bytes.toHex(rec.getAs[Array[Byte]]("block_db_root")) == Bytes.toHex(goldenRoot))
+  }
+
   test("QueryERC20: absent user sums to zero but blocks still count (P4)") {
     val got = ZkPipeline.queryErc20(
       Fixtures.entries(spark, cfg), Fixtures.contractAddr(1), cfg.erc20Slot,
