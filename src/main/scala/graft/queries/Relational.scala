@@ -515,6 +515,30 @@ object Relational {
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
     ),
 
+    // TPC-H Q17 shape: correlated scalar aggregate (per-part average
+    // quantity), decorrelated into a grouped join — rows below 0.2×
+    // their part's average contribute to the total.
+    QueryDef(
+      "q17_small_quantity",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+            count(lit(1)).cast("double")).as("avg_qty"))
+        li.join(avgq, li("l_partkey") === avgq("ap_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+      },
+      Some("""WITH avgq AS (
+             |  SELECT l_partkey AS ap_partkey,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT count(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM lineitem JOIN avgq ON l_partkey = ap_partkey
+             |WHERE l_quantity < 0.2 * avg_qty""".stripMargin),
+    ),
+
     // TPC-H Q19 shape: disjunction of conjunctive range predicates —
     // the optimizer must still push the common join key and fold the
     // OR branches into the scan.
