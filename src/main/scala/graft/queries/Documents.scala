@@ -265,6 +265,52 @@ object Documents {
       None,
     ),
 
+    // d5 — deterministic train/validation/test split: the assignment
+    // is a pure function of the stable id (md5 bucket 0..99 → 80/10/10)
+    // so the split is reproducible across runs, engines and cluster
+    // sizes — the property a training pipeline needs from its split.
+    QueryDef(
+      "d5_train_test_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket",
+          expr("(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 + " +
+            "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1)") % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train").when(col("bucket") < 90, "valid").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy("split"),
+      Some("""SELECT split, count(*) AS n, sum(n_chars) AS total_chars FROM (
+             |  SELECT n_chars,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+             |  FROM (SELECT n_chars,
+             |    ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+             |     (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100 AS b
+             |    FROM documents) t) s
+             |GROUP BY split ORDER BY split""".stripMargin),
+    ),
+
+    // d6 — class-balanced sampling: deterministic top-n per label in
+    // md5-shuffled order (a reproducible stratified sample keyed only
+    // on stable ids).
+    QueryDef(
+      "d6_balanced_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select("lang", "doc_id", "rn")
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, doc_id, rn FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // dd1 — exact dedup: hash-groupBy on the content hash, keep the
     // smallest doc_id per group. Map-side partial agg means only one
