@@ -409,6 +409,34 @@ object Documents {
       headline = true,
     ),
 
+    // dd6 — edit-distance near-dup: levenshtein over a 60-char prefix
+    // with length-bucket blocking (the classic length-filter for edit
+    // distance — only docs of similar size can be near in edit space,
+    // so the join key is the length bucket, never all pairs).
+    QueryDef(
+      "dd6_levenshtein_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            substring(col("text"), 1, 20).as("prefix"),
+            (col("n_chars") / 10).cast("long").as("lb"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa"), col("lb"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb"), col("lb"))
+        a.join(b, Seq("lb"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("dist", levenshtein(col("pa"), col("pb")))
+          .filter(col("dist") <= 3)
+          .select("doc_a", "doc_b", "dist")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH p AS (SELECT doc_id, substring(text, 1, 20) AS prefix, n_chars // 10 AS lb FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  levenshtein(a.prefix, b.prefix) AS dist
+             |FROM p a JOIN p b ON a.lb = b.lb AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.prefix, b.prefix) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+
     // dd3 — SimHash fingerprints (32-bit bit-string per doc).
     QueryDef(
       "dd3_simhash",
