@@ -280,7 +280,9 @@ object Documents {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
         .orderBy("split"),
-      Some("""SELECT split, count(*) AS n, sum(n_chars) AS total_chars FROM (
+      // CAST(sum AS BIGINT): DuckDB integer SUM is HUGEINT → float64 in
+      // the driver's pandas compare; cast pins it to int64 like Spark.
+      Some("""SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM (
              |  SELECT n_chars,
              |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
              |  FROM (SELECT n_chars,

@@ -192,7 +192,8 @@ object Relational {
              |b AS (
              |  SELECT l_partkey, sum(l_orderkey*1000003 + l_linenumber) AS digest_b
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_partkey)
-             |SELECT a.l_partkey, a.digest FROM a JOIN b ON a.l_partkey = b.l_partkey
+             |SELECT a.l_partkey, CAST(a.digest AS BIGINT) AS digest
+             |FROM a JOIN b ON a.l_partkey = b.l_partkey
              |WHERE a.digest = b.digest_b ORDER BY a.l_partkey""".stripMargin),
     ),
 
@@ -369,12 +370,21 @@ object Relational {
     QueryDef(
       "f_json_extract",
       (s, d) => Tables.events(s, d)
-        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        // from_json with an explicit 1-field schema: single vectorized
+        // parse in codegen, vs get_json_object's per-row ad-hoc parse
+        // (was the 2nd-slowest query in BENCH_r01 at 12.7 s).
+        .select(from_json(col("props"), org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
         .orderBy("k_mod"),
+      // CAST(sum AS BIGINT): DuckDB integer SUM returns HUGEINT, which
+      // pandas renders as float64 and the driver's value-hash then
+      // mismatches Spark's int64 — cast pins the oracle to int64.
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-             |  count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+             |  count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
     QueryDef(
@@ -576,8 +586,8 @@ object Relational {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-             |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
@@ -708,10 +718,10 @@ object Relational {
         .na.fill(0L)
         .orderBy("user_id"),
       Some("""SELECT user_id,
-             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     ),
 
@@ -777,22 +787,22 @@ object Relational {
           .orderBy("check_name")
       },
       Some("""SELECT 'not_null(l_orderkey,l_quantity)' AS check_name,
-             |  sum(CASE WHEN l_orderkey IS NULL OR l_quantity IS NULL THEN 1 ELSE 0 END) AS n_violations
+             |  CAST(sum(CASE WHEN l_orderkey IS NULL OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
              |FROM lineitem
              |UNION ALL
              |SELECT 'unique(l_orderkey,l_linenumber)',
-             |  coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0)
+             |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT)
              |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) t
              |UNION ALL
              |SELECT 'in_range(l_discount,0.0,0.5)',
-             |  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
              |FROM lineitem
              |UNION ALL
              |SELECT 'ref_integrity(l_orderkey->o_orderkey)', count(*)
              |FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
              |UNION ALL
              |SELECT 'dense_sequence(l_orderkey,l_linenumber)',
-             |  sum(CASE WHEN lo <> 1 OR hi <> n THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN lo <> 1 OR hi <> n THEN 1 ELSE 0 END) AS BIGINT)
              |FROM (SELECT count(*) AS n, min(l_linenumber) AS lo, max(l_linenumber) AS hi
              |      FROM lineitem GROUP BY l_orderkey) t
              |ORDER BY check_name""".stripMargin),
@@ -840,8 +850,8 @@ object Relational {
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |sess AS (
              |  SELECT user_id, event_id, ts,
-             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM flagged)
              |SELECT user_id, session_id, count(*) AS n_events,
              |  max(CAST(floor(epoch(ts)) AS BIGINT)) - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s

@@ -99,7 +99,8 @@ object Similarity {
               |pos AS (SELECT e.vec_id, unnest(range(1, len(e.f)+1)) AS i, e.f, q.qf
               |        FROM fx e CROSS JOIN q WHERE e.vec_id <> 0),
               |ips AS (SELECT vec_id, sum(f[i] * qf[i]) AS ip FROM pos GROUP BY vec_id)
-              |SELECT vec_id, ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
+              |SELECT vec_id, CAST(ip AS BIGINT) AS ip FROM ips
+              |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
       headline = true,
     ),
 
@@ -139,7 +140,8 @@ object Similarity {
               |         WHERE s.bucket = q.qbucket AND s.vec_id <> 0),
               |pos AS (SELECT vec_id, unnest(range(1, len(f)+1)) AS i, f, qf FROM cand),
               |ips AS (SELECT vec_id, sum(f[i] * qf[i]) AS ip FROM pos GROUP BY vec_id)
-              |SELECT vec_id, ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
+              |SELECT vec_id, CAST(ip AS BIGINT) AS ip FROM ips
+              |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
     // dd5 — embedding near-dup pairs (the embedding-cosine dedup from
@@ -164,7 +166,8 @@ object Similarity {
               |         FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
               |pos AS (SELECT vec_a, vec_b, unnest(range(1, len(fa)+1)) AS i, fa, fb FROM cand),
               |ips AS (SELECT vec_a, vec_b, sum(fa[i] * fb[i]) AS ip FROM pos GROUP BY vec_a, vec_b)
-              |SELECT vec_a, vec_b, ip FROM ips WHERE ip >= 35000000000000
+              |SELECT vec_a, vec_b, CAST(ip AS BIGINT) AS ip FROM ips
+              |WHERE ip >= 35000000000000
               |ORDER BY vec_a, vec_b""".stripMargin),
     ),
 

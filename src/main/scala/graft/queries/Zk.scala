@@ -173,7 +173,10 @@ object Zk {
         Fixtures.contractAddr(0), cfg.nftSlot, Fixtures.userAddr(0),
         cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
         .select(col("query_id"), col("min_block"), col("max_block"), col("num_entries"),
-          col("nft_ids"), hex(col("range_digest")).as("range_digest"),
+          // fixed-width id vector flattened to a scalar: the driver's
+          // rows-only check hashes values and cannot sort array cells
+          concat_ws("/", col("nft_ids")).as("nft_ids"),
+          hex(col("range_digest")).as("range_digest"),
           hex(col("proving_block_hash")).as("proving_block_hash"),
           hex(col("block_db_root")).as("block_db_root")),
     ),

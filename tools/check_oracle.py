@@ -19,9 +19,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(rows):
+def norm(rel, cols):
+    # pandas-faithful normalization (the driver compares via pandas, so
+    # dtype drift like DuckDB HUGEINT -> float64 must be visible here:
+    # str() of a float64 renders 3 as '3.0' while int64 renders '3').
+    df = rel.df()[cols]
     out = []
-    for r in rows:
+    for r in df.itertuples(index=False):
         out.append(tuple(str(v) for v in r))
     return sorted(out)
 
@@ -47,8 +51,8 @@ def main(sf_dir, out_dir):
         try:
             oracle_rel = con.sql(sql)
             ocols = sorted(oracle_rel.columns)
-            odata = con.sql(
-                f"SELECT {', '.join(ocols)} FROM oracle_rel").fetchall()
+            o = norm(con.sql(f"SELECT {', '.join(ocols)} FROM oracle_rel"),
+                     ocols)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -57,8 +61,8 @@ def main(sf_dir, out_dir):
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet({spark_files!r})")
             scols = sorted(spark_rel.columns)
-            sdata = con.sql(
-                f"SELECT {', '.join(scols)} FROM spark_rel").fetchall()
+            s = norm(con.sql(f"SELECT {', '.join(scols)} FROM spark_rel"),
+                     scols)
         except Exception as e:
             print(f"FAIL {name}: spark read error: {e}")
             n_fail += 1
@@ -67,7 +71,6 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
             n_fail += 1
             continue
-        o, s = norm(odata), norm(sdata)
         if o == s:
             print(f"PASS {name} ({len(s)} rows)")
             n_pass += 1
