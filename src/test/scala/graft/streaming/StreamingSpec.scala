@@ -102,6 +102,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(quar.contains((headers(4).block_number, "gap")))
   }
 
+  test("St1 at scale: 2k-block append via O(log n) frontier, bit-equal to batch root") {
+    val s2 = spark
+    import s2.implicits._
+    val n = 2000
+    def bh(i: Int) = graft.core.Keccak.keccak256(graft.core.Bytes.beBytes(i.toLong, 8))
+    def sr(i: Int) = graft.core.Keccak.keccak256(graft.core.Bytes.beBytes(i.toLong + 1000000, 8))
+    val sink = tmp("bdb-scale-sink")
+    val appender = new BlockDbAppender(spark, sink, tmp("bdb-scale-quar"))
+
+    // four direct micro-batches of 500 blocks each
+    (0 until 4).foreach { b =>
+      val batch = ((b * 500) until ((b + 1) * 500))
+        .map(i => (i.toLong, bh(i), sr(i))).toDF("block_number", "block_hash", "state_root")
+      appender.processBatch(batch, b.toLong)
+    }
+
+    val rows = spark.read.parquet(sink).orderBy("block_number").collect()
+    assert(rows.length == n)
+    val allLeaves = (0 until n).map(i => Commitments.blockLeafHash(i.toLong, bh(i), sr(i)))
+    assert(rows.last.getAs[String]("root_after_hex") ==
+      Bytes.toHex(Commitments.merkleRoot(allLeaves)))
+    // persisted frontier is the logarithmic spine, not the history
+    val spine = java.nio.file.Files.readString(java.nio.file.Paths.get(sink, "_frontier.txt"))
+    assert(spine.count(_ == ':') <= 15, s"spine entries: ${spine.count(_ == ':')}")
+
+    // crash recovery: a fresh appender with a deleted frontier file must
+    // rebuild from the sink and keep appending bit-identically
+    java.nio.file.Files.delete(java.nio.file.Paths.get(sink, "_frontier.txt"))
+    val recovered = new BlockDbAppender(spark, sink, tmp("bdb-scale-quar2"))
+    recovered.processBatch(
+      Seq((n.toLong, bh(n), sr(n))).toDF("block_number", "block_hash", "state_root"), 99L)
+    val after = spark.read.parquet(sink).orderBy("block_number").collect()
+    assert(after.length == n + 1)
+    assert(after.last.getAs[String]("root_after_hex") ==
+      Bytes.toHex(Commitments.merkleRoot(allLeaves :+ Commitments.blockLeafHash(n.toLong, bh(n), sr(n)))))
+  }
+
   test("streaming storage-DB maintenance: incremental snapshots equal full rebuild") {
     implicit val sq = spark.sqlContext
     val s2 = spark
