@@ -26,13 +26,19 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable => System.err.println(s"[bench] $name FAILED: $t"); false
+      }
+      // a crashed query must not pose as a normal timing: record the
+      // elapsed time negated as an unambiguous failure sentinel
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -secs)
     }
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

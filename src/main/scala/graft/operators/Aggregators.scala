@@ -19,9 +19,12 @@ object Aggregators {
   // ---------------------------------------------------------------- A2
   /** Additive set digest (group_hashing: Σ map_to_curve(entry)). Input
     * rows are per-entry 32-byte digests ([[graft.functions.GraftFunctions.mappingLeafDigest]]);
-    * the combine is XOR — commutative + associative, so ANY merge order
-    * across partitions/shuffles yields the same result. Zero buffer is
-    * the identity. O(1) state per group regardless of group size: this
+    * the combine is additive mod 2^256 ([[Commitments.digestCombine]])
+    * — commutative + associative, so ANY merge order across
+    * partitions/shuffles yields the same result, and multiset-sensitive
+    * (duplicate entries shift the digest; an XOR combine would cancel
+    * them, which must NOT hold — see Commitments). Zero buffer is the
+    * identity. O(1) state per group regardless of group size: this
     * aggregator is safe at any scale.
     */
   class DigestAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
@@ -70,10 +73,21 @@ object Aggregators {
     * self-joins instead (documented fallback, not needed for v0).
     */
   class MerkleRootAgg extends Aggregator[(Array[Byte], Array[Byte]), Map[String, Array[Byte]], Array[Byte]] {
+    // A duplicate sort key would silently collapse two leaves into one
+    // and change the commitment; the reference's tree has unique keys
+    // by construction, so a collision here is corrupt input — fail
+    // loudly instead of committing to the wrong root.
+    private def put(buf: Map[String, Array[Byte]], key: String, leaf: Array[Byte]): Map[String, Array[Byte]] =
+      buf.get(key) match {
+        case Some(prev) if !java.util.Arrays.equals(prev, leaf) =>
+          throw new IllegalStateException(s"MerkleRootAgg: duplicate sort key $key with differing leaves")
+        case _ => buf + (key -> leaf)
+      }
     def zero: Map[String, Array[Byte]] = Map.empty
     def reduce(buf: Map[String, Array[Byte]], in: (Array[Byte], Array[Byte])): Map[String, Array[Byte]] =
-      buf + (Bytes.toHex(in._1) -> in._2)
-    def merge(a: Map[String, Array[Byte]], b: Map[String, Array[Byte]]): Map[String, Array[Byte]] = a ++ b
+      put(buf, Bytes.toHex(in._1), in._2)
+    def merge(a: Map[String, Array[Byte]], b: Map[String, Array[Byte]]): Map[String, Array[Byte]] =
+      b.foldLeft(a) { case (acc, (k, v)) => put(acc, k, v) }
     def finish(buf: Map[String, Array[Byte]]): Array[Byte] =
       Commitments.merkleRoot(buf.toIndexedSeq.sortBy(_._1).map(_._2))
     def bufferEncoder: Encoder[Map[String, Array[Byte]]] =

@@ -42,9 +42,20 @@ object IvfIndex {
     s
   }
 
-  /** train the coarse quantizer (k-means, fixed seed). */
+  /** rows the quantizer trains on — k-means centroid quality plateaus
+    * far below this; at 100 TB the fit must never see the full table. */
+  val TrainCap = 1000000L
+
+  /** train the coarse quantizer (k-means over a bounded sample, fixed
+    * seed). count() is answered from parquet footers; the fit input is
+    * ≤ [[TrainCap]] rows regardless of table size. */
   def train(embeddings: DataFrame, nlist: Int, seed: Long = 42L): Model = {
-    val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
+    val total = embeddings.count()
+    val sampled =
+      if (total <= TrainCap) embeddings
+      // 1.2× oversample so the Bernoulli draw lands ≥ cap with margin
+      else embeddings.sample(withReplacement = false, math.min(1.0, 1.2 * TrainCap / total), seed)
+    val withVec = sampled.withColumn("features", array_to_vector(col("embedding")))
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
     val model = km.fit(withVec)
     Model(model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
@@ -58,15 +69,18 @@ object IvfIndex {
     embeddings.withColumn("list_id", listUdf(col("embedding")))
   }
 
-  /** top-k by inner product probing the query's nprobe nearest lists. */
+  /** top-k by inner product probing the query's nprobe nearest lists.
+    * Scoring is the same codegen'd fixed-point `aggregate(zip_with)`
+    * form as the exact-MIPS path (`queries/Similarity.scala`) — the
+    * query vector is inlined as a literal array, so the whole probe
+    * stays inside whole-stage codegen with no serde. */
   def probe(assigned: DataFrame, model: Model, query: Array[Float], nprobe: Int, k: Int): DataFrame = {
-    val spark = assigned.sparkSession
     val lists = model.nearest(query, nprobe)
-    val qBc = spark.sparkContext.broadcast(query)
-    val ipUdf = udf((emb: Seq[Float]) => IvfIndex.ip(emb.toArray, qBc.value))
+    val qFx = array(query.map(x => lit(math.round(x * 1e7))): _*)
+    val fx = transform(col("embedding"), x => round(x * lit(1e7)).cast("long"))
     assigned
       .filter(col("list_id").isin(lists: _*)) // partition-prunable at rest
-      .withColumn("score", ipUdf(col("embedding")))
+      .withColumn("score", aggregate(zip_with(fx, qFx, (x, y) => x * y), lit(0L), (acc, v) => acc + v))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

@@ -336,9 +336,10 @@ object Documents {
     QueryDef(
       "dd2_minhash_lsh",
       (s, d) => {
-        // the shingle set feeds three plan branches (minhash, counts,
-        // intersection) — persist it once
-        val sh = shingles(Tables.documents(s, d))
+        // the shingle set feeds three plan branches (minhash and both
+        // sides of the candidate-pair intersection) — persist it once
+        // so the document scan + shingle explode run once, not 5×
+        val sh = shingles(Tables.documents(s, d)).persist()
         // one-pass MinHash + set size: all 8 signature slots AND the
         // distinct-shingle count as aggregate columns of a single
         // groupBy over the (already-distinct) shingle set — 60-bit
@@ -349,6 +350,9 @@ object Documents {
         val mh = sh
           .groupBy("doc_id")
           .agg(mhAggs.head, mhAggs.tail: _*)
+          // one tiny row per doc, read by the band explode and both
+          // count sides of the Jaccard — keep the aggregate hot too
+          .persist()
         val bands = mh.select(
           col("doc_id"),
           explode(array((0 until 4).map { k =>
