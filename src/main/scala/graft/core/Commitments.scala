@@ -5,42 +5,43 @@ package graft.core
   * `state/lpn/mod.rs:25-57`, `block/mod.rs:55-82`,
   * `group_hashing/mod.rs:19-60`).
   *
-  * Hash swap, documented (SURVEY §7.4.4): the reference commits with
-  * Poseidon over the Goldilocks field and an EcGFp5 additive curve
-  * digest; those constants live in the (unvendored) plonky2 crate, so
-  * bit-parity is untestable here. We keep the exact *structure* —
-  * same leaf layouts, same tree shapes, same algebraic properties
-  * (the set digest is commutative/associative with an identity, the
-  * merkle root is position-dependent) — over Keccak-256:
+  * Tree hashes are **bit-exact** with the reference since round 2:
+  * every leaf/inner hash is the same Poseidon-Goldilocks sponge
+  * plonky2's `PoseidonHash` computes ([[PoseidonGoldilocks]]), over
+  * the reference's exact preimages — u32-LE packed bytes for raw
+  * inputs, 4-u64 `HashOut` elements for child hashes.
   *
-  *   - leaf/inner hashes: keccak with one-byte domain separation tags
-  *     in place of `Poseidon(...)`;
-  *   - set digest: sum of keccak(entry) mod 2^256 in place of
-  *     `Σ map_to_curve_point(entry)` — both are order-insensitive
-  *     *additive* monoids (merge in any shuffle order, duplicates
-  *     accumulate rather than cancel), which is the property the
-  *     distributed aggregation relies on.
+  * Remaining documented swap (SURVEY §7.4.4): the *set digest* — the
+  * reference sums EcGFp5 curve points (`Σ map_to_curve_point(entry)`,
+  * `group_hashing/mod.rs`); we sum keccak(entry) mod 2^256. Both are
+  * order-insensitive *additive* monoids (merge in any shuffle order,
+  * duplicates accumulate rather than cancel), which is the property
+  * the distributed aggregation relies on.
   */
 object Commitments {
 
-  /** domain-separation tags (keccak's first input byte) */
-  private val TagMappingLeaf: Byte = 0x00
-  private val TagInner: Byte = 0x01
+  /** domain-separation tags for the keccak-based set digest */
   private val TagDigestLeaf: Byte = 0x02
-  private val TagStateLeaf: Byte = 0x03
-  private val TagBlockLeaf: Byte = 0x04
 
   val DigestLen = 32
   val ZeroDigest: Array[Byte] = new Array[Byte](DigestLen)
 
-  /** `leaf_hash_for_mapping` (storage/lpn/mod.rs:44-56): storage-DB
-    * leaf over one mapping entry. */
-  def mappingLeafHash(key32: Array[Byte], value32: Array[Byte]): Array[Byte] =
-    Keccak.keccak256(Bytes.concat(Array(TagMappingLeaf), Bytes.leftPad32(key32), Bytes.leftPad32(value32)))
+  /** `leaf_hash_for_mapping` (storage/lpn/mod.rs:33-56): storage-DB
+    * leaf = Poseidon(u32-LE-packed left_pad32(key) ‖ left_pad32(value)),
+    * 16 field elements. Bit-exact with the reference. */
+  def mappingLeafHash(key32: Array[Byte], value32: Array[Byte]): Array[Byte] = {
+    val preimage = Bytes.concat(Bytes.leftPad32(key32), Bytes.leftPad32(value32))
+    PoseidonGoldilocks.hashOutToBytes(
+      PoseidonGoldilocks.hashNoPad(PoseidonGoldilocks.bytesToFields(preimage)))
+  }
 
-  /** `intermediate_node_hash` (storage/lpn/inner_node.rs:28-64). */
+  /** `intermediate_node_hash` (storage/lpn/mod.rs:59-67):
+    * Poseidon(left.elements ‖ right.elements), 8 elements — also
+    * `state_node_hash` and `block_node_hash` (two_to_one compresses
+    * identically). Bit-exact with the reference. */
   def innerNodeHash(left: Array[Byte], right: Array[Byte]): Array[Byte] =
-    Keccak.keccak256(Bytes.concat(Array(TagInner), left, right))
+    PoseidonGoldilocks.hashOutToBytes(PoseidonGoldilocks.hashNoPad(
+      PoseidonGoldilocks.hashOutFromBytes(left) ++ PoseidonGoldilocks.hashOutFromBytes(right)))
 
   /** `leaf_digest_for_mapping` (storage/lpn/mod.rs:30-42): per-entry
     * set-digest contribution; combine with [[digestCombine]]. */
@@ -72,20 +73,31 @@ object Commitments {
     out
   }
 
-  /** `state_leaf_hash` (state/lpn/leaf/mod.rs:34-72):
-    * Poseidon(contract ‖ mapping_slot ‖ length_slot ‖ storage_root). */
+  /** `state_leaf_hash` (state/lpn/mod.rs:25-45): Poseidon over
+    * 5×u32(address LE-packed) ‖ mapping_slot ‖ length_slot ‖
+    * storage_root.elements — 11 field elements. Bit-exact with the
+    * reference (slots are u8 there; we range-check). */
   def stateLeafHash(contract20: Array[Byte], mappingSlot: Int, lengthSlot: Int,
-      storageRoot: Array[Byte]): Array[Byte] =
-    Keccak.keccak256(Bytes.concat(
-      Array(TagStateLeaf), Bytes.leftPad(contract20, 20),
-      Bytes.beBytes(mappingSlot.toLong, 4), Bytes.beBytes(lengthSlot.toLong, 4),
-      storageRoot))
+      storageRoot: Array[Byte]): Array[Byte] = {
+    require(mappingSlot >= 0 && mappingSlot <= 255 && lengthSlot >= 0 && lengthSlot <= 255,
+      s"slots are u8 in the reference: $mappingSlot/$lengthSlot")
+    val fields = PoseidonGoldilocks.bytesToFields(Bytes.leftPad(contract20, 20)) ++
+      Array(mappingSlot.toLong, lengthSlot.toLong) ++
+      PoseidonGoldilocks.hashOutFromBytes(storageRoot)
+    PoseidonGoldilocks.hashOutToBytes(PoseidonGoldilocks.hashNoPad(fields))
+  }
 
-  /** `block_leaf_hash` (block/mod.rs:55-82):
-    * Poseidon(block_number ‖ block_hash ‖ state_root). */
-  def blockLeafHash(blockNumber: Long, blockHash: Array[Byte], stateRoot: Array[Byte]): Array[Byte] =
-    Keccak.keccak256(Bytes.concat(
-      Array(TagBlockLeaf), Bytes.beBytes(blockNumber, 8), blockHash, stateRoot))
+  /** `block_leaf_hash` (block/mod.rs:59-74): Poseidon over
+    * block_number ‖ 8×u32(block_hash LE-packed) ‖
+    * state_root.elements — 13 field elements. Bit-exact with the
+    * reference (block_number is u32 there; we range-check). */
+  def blockLeafHash(blockNumber: Long, blockHash: Array[Byte], stateRoot: Array[Byte]): Array[Byte] = {
+    require(blockNumber >= 0 && blockNumber <= 0xffffffffL,
+      s"block_number is u32 in the reference: $blockNumber")
+    val fields = blockNumber +: (PoseidonGoldilocks.bytesToFields(blockHash) ++
+      PoseidonGoldilocks.hashOutFromBytes(stateRoot))
+    PoseidonGoldilocks.hashOutToBytes(PoseidonGoldilocks.hashNoPad(fields))
+  }
 
   /** Merkle root over leaves in a *fixed, documented order* (we sort by
     * mapping_key — the reference takes prover-supplied tree positions;
