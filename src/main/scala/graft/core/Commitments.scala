@@ -11,20 +11,21 @@ package graft.core
   * the reference's exact preimages — u32-LE packed bytes for raw
   * inputs, 4-u64 `HashOut` elements for child hashes.
   *
-  * Remaining documented swap (SURVEY §7.4.4): the *set digest* — the
-  * reference sums EcGFp5 curve points (`Σ map_to_curve_point(entry)`,
-  * `group_hashing/mod.rs`); we sum keccak(entry) mod 2^256. Both are
-  * order-insensitive *additive* monoids (merge in any shuffle order,
-  * duplicates accumulate rather than cancel), which is the property
-  * the distributed aggregation relies on.
+  * The set digest is bit-exact too: `Σ map_to_curve_point(entry)`
+  * over the EcGFp5 curve ([[EcGFp5]], `group_hashing/mod.rs`), the
+  * same order-insensitive additive group the reference aggregates in
+  * (merge in any shuffle order, duplicates accumulate rather than
+  * cancel). Digest wire format: 81-byte affine point
+  * ([[EcGFp5.serialize]]); identity = the point at infinity.
   */
 object Commitments {
 
-  /** domain-separation tags for the keccak-based set digest */
-  private val TagDigestLeaf: Byte = 0x02
-
   val DigestLen = 32
   val ZeroDigest: Array[Byte] = new Array[Byte](DigestLen)
+
+  /** additive identity of the curve-digest group (point at infinity);
+    * [[EcGFp5.SerLen]] bytes. */
+  val DigestIdentity: Array[Byte] = EcGFp5.serialize(EcGFp5.Point.Infinity)
 
   /** `leaf_hash_for_mapping` (storage/lpn/mod.rs:33-56): storage-DB
     * leaf = Poseidon(u32-LE-packed left_pad32(key) ‖ left_pad32(value)),
@@ -43,35 +44,29 @@ object Commitments {
     PoseidonGoldilocks.hashOutToBytes(PoseidonGoldilocks.hashNoPad(
       PoseidonGoldilocks.hashOutFromBytes(left) ++ PoseidonGoldilocks.hashOutFromBytes(right)))
 
-  /** `leaf_digest_for_mapping` (storage/lpn/mod.rs:30-42): per-entry
-    * set-digest contribution; combine with [[digestCombine]]. */
-  def mappingLeafDigest(key32: Array[Byte], value32: Array[Byte]): Array[Byte] =
-    Keccak.keccak256(Bytes.concat(Array(TagDigestLeaf), Bytes.leftPad32(key32), Bytes.leftPad32(value32)))
-
-  /** digest-on-key-only variant (query2/storage/leaf.rs:46-49): lets
-    * the revelation stage re-derive the aggregate digest from just the
-    * L result keys. */
-  def keyOnlyDigest(key32: Array[Byte]): Array[Byte] =
-    Keccak.keccak256(Bytes.concat(Array(TagDigestLeaf), Bytes.leftPad32(key32)))
-
-  /** curve_add analog: 256-bit modular addition — commutative,
-    * associative, identity = zeros, and (unlike XOR) *multiset*-
-    * sensitive: N copies of an entry contribute N·x, never cancel —
-    * matching the additive-group semantics the reference's digest
-    * relies on (a duplicated pair of entries must NOT vanish from the
-    * commitment). */
-  def digestCombine(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val out = new Array[Byte](DigestLen)
-    var carry = 0
-    var i = DigestLen - 1
-    while (i >= 0) {
-      val s = (a(i) & 0xff) + (b(i) & 0xff) + carry
-      out(i) = (s & 0xff).toByte
-      carry = s >>> 8
-      i -= 1
-    }
-    out
+  /** `leaf_digest_for_mapping` (storage/lpn/mod.rs:70-88):
+    * map_to_curve_point over the 16 u32-packed key‖value elements.
+    * Bit-exact with the reference; combine with [[digestCombine]]. */
+  def mappingLeafDigest(key32: Array[Byte], value32: Array[Byte]): Array[Byte] = {
+    val preimage = Bytes.concat(Bytes.leftPad32(key32), Bytes.leftPad32(value32))
+    EcGFp5.serialize(EcGFp5.mapToCurvePoint(PoseidonGoldilocks.bytesToFields(preimage)))
   }
+
+  /** digest-on-key-only variant (query2/storage/leaf.rs:46-49):
+    * map_to_curve_point over the 8 packed key elements — lets the
+    * revelation stage re-derive the aggregate digest from just the L
+    * result keys. Bit-exact with the reference. */
+  def keyOnlyDigest(key32: Array[Byte]): Array[Byte] =
+    EcGFp5.serialize(EcGFp5.mapToCurvePoint(
+      PoseidonGoldilocks.bytesToFields(Bytes.leftPad32(key32))))
+
+  /** `add_curve_point` (group_hashing/curve_add.rs:17-21): EcGFp5
+    * point addition — commutative, associative, identity =
+    * [[DigestIdentity]], and *multiset*-sensitive: N copies of an
+    * entry contribute N·P, never cancel. Bit-exact with the
+    * reference's digest group. */
+  def digestCombine(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    EcGFp5.serialize(EcGFp5.deserialize(a) + EcGFp5.deserialize(b))
 
   /** `state_leaf_hash` (state/lpn/mod.rs:25-45): Poseidon over
     * 5×u32(address LE-packed) ‖ mapping_slot ‖ length_slot ‖

@@ -254,8 +254,10 @@ object PoseidonGoldilocks {
   // ---------------------------------------------------------- sponge
   private val Rate = 8
 
-  /** plonky2 `hash_n_to_hash_no_pad`: 4-element output. */
-  def hashNoPad(inputs: Array[Long]): Array[Long] = {
+  /** plonky2 `hash_n_to_m_no_pad` for m ≤ rate: first m squeezed
+    * elements after the final absorb permutation. */
+  def hashNoPadN(inputs: Array[Long], m: Int): Array[Long] = {
+    require(m <= Rate)
     var state = new Array[Long](Width)
     var off = 0
     while (off < inputs.length) {
@@ -264,8 +266,11 @@ object PoseidonGoldilocks {
       state = permute(state)
       off += n
     }
-    java.util.Arrays.copyOfRange(state, 0, 4)
+    java.util.Arrays.copyOfRange(state, 0, m)
   }
+
+  /** plonky2 `hash_n_to_hash_no_pad`: 4-element output. */
+  def hashNoPad(inputs: Array[Long]): Array[Long] = hashNoPadN(inputs, 4)
 
   /** `PoseidonHash::two_to_one` == one permutation over l ‖ r. */
   def twoToOne(left: Array[Long], right: Array[Long]): Array[Long] =

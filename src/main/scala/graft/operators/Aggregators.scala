@@ -18,17 +18,18 @@ object Aggregators {
 
   // ---------------------------------------------------------------- A2
   /** Additive set digest (group_hashing: Σ map_to_curve(entry)). Input
-    * rows are per-entry 32-byte digests ([[graft.functions.GraftFunctions.mappingLeafDigest]]);
-    * the combine is additive mod 2^256 ([[Commitments.digestCombine]])
+    * rows are per-entry serialized EcGFp5 points
+    * ([[graft.functions.GraftFunctions.mappingLeafDigest]]); the
+    * combine is curve-point addition ([[Commitments.digestCombine]])
     * — commutative + associative, so ANY merge order across
     * partitions/shuffles yields the same result, and multiset-sensitive
     * (duplicate entries shift the digest; an XOR combine would cancel
-    * them, which must NOT hold — see Commitments). Zero buffer is the
-    * identity. O(1) state per group regardless of group size: this
-    * aggregator is safe at any scale.
+    * them, which must NOT hold — see Commitments). The identity buffer
+    * is the point at infinity. O(1) state per group regardless of
+    * group size: this aggregator is safe at any scale.
     */
   class DigestAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    def zero: Array[Byte] = Commitments.ZeroDigest
+    def zero: Array[Byte] = Commitments.DigestIdentity
     def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
       if (in == null) buf else Commitments.digestCombine(buf, in)
     def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Commitments.digestCombine(a, b)

@@ -79,7 +79,7 @@ object Fixtures {
       val sorted = es.sortBy(e => Bytes.toHex(e.mapping_key))
       val root = Commitments.merkleRoot(sorted.map(e => Commitments.mappingLeafHash(e.mapping_key, e.value)).toIndexedSeq)
       val digest = es.map(e => Commitments.mappingLeafDigest(e.mapping_key, e.value))
-        .foldLeft(Commitments.ZeroDigest)(Commitments.digestCombine)
+        .foldLeft(Commitments.DigestIdentity)(Commitments.digestCombine)
       k -> ((es.size.toLong, digest, root))
     }
 

@@ -143,12 +143,14 @@ class CommitmentsSpec extends AnyFunSuite {
   private val rnd = new Random(99)
   private def b32(): Array[Byte] = { val b = new Array[Byte](32); rnd.nextBytes(b); b }
 
-  test("digest combine is commutative + associative with zero identity") {
-    (1 to 100).foreach { _ =>
-      val a = b32(); val b = b32(); val c = b32()
+  test("digest combine is commutative + associative with infinity identity") {
+    (1 to 20).foreach { _ =>
+      val a = mappingLeafDigest(b32(), b32())
+      val b = mappingLeafDigest(b32(), b32())
+      val c = keyOnlyDigest(b32())
       assert(digestCombine(a, b).sameElements(digestCombine(b, a)))
       assert(digestCombine(digestCombine(a, b), c).sameElements(digestCombine(a, digestCombine(b, c))))
-      assert(digestCombine(a, ZeroDigest).sameElements(a))
+      assert(digestCombine(a, DigestIdentity).sameElements(a))
     }
   }
 

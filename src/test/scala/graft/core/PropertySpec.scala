@@ -32,14 +32,17 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("digest combine: commutative, associative, identity, duplicate-sensitive") {
-    for (_ <- 1 to 500) {
-      val a = bytes(32); val b = bytes(32); val c = bytes(32)
+    for (_ <- 1 to 40) {
+      // digests are curve points — derive them from random entries
+      val a = Commitments.mappingLeafDigest(bytes(32), bytes(32))
+      val b = Commitments.mappingLeafDigest(bytes(32), bytes(32))
+      val c = Commitments.keyOnlyDigest(bytes(32))
       assert(Commitments.digestCombine(a, b).sameElements(Commitments.digestCombine(b, a)))
       assert(Commitments.digestCombine(Commitments.digestCombine(a, b), c)
         .sameElements(Commitments.digestCombine(a, Commitments.digestCombine(b, c))))
-      assert(Commitments.digestCombine(a, Commitments.ZeroDigest).sameElements(a))
-      // doubling a random nonzero digest never cancels to zero
-      assert(!Commitments.digestCombine(a, a).sameElements(Commitments.ZeroDigest))
+      assert(Commitments.digestCombine(a, Commitments.DigestIdentity).sameElements(a))
+      // doubling a nonzero digest never cancels to the identity
+      assert(!Commitments.digestCombine(a, a).sameElements(Commitments.DigestIdentity))
     }
   }
 

@@ -217,7 +217,7 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chk.getAs[Long]("n_qualified") == 5L)
     // revelation re-derivation: Σ key-only digests over the witnessed ids
     val expected = (1 to 5).map(id => Commitments.keyOnlyDigest(Bytes.leftPad32(Bytes.beBytes(id.toLong, 4))))
-      .foldLeft(Commitments.ZeroDigest)(Commitments.digestCombine)
+      .foldLeft(Commitments.DigestIdentity)(Commitments.digestCombine)
     assert(Bytes.toHex(chk.getAs[Array[Byte]]("range_digest")) == Bytes.toHex(expected))
   }
 
