@@ -197,5 +197,28 @@ object Zk {
       },
       headline = true,
     ),
+
+    // S1 live-shaped ingest: EIP-1186 eth_getProof dump → explicit-
+    // schema JSON read → normalize → per-row MPT re-verification —
+    // the reference's query_mpt_proof + verify_storage_proof path
+    // (eth.rs:242-333) end-to-end from an external source format.
+    // The dump is generated once (deterministic fixture) into tmp.
+    QueryDef(
+      "zk_ingest_rpc",
+      (s, _) => {
+        import graft.sources.Eip1186Source
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_rpc_dump_v1").getAbsolutePath
+        val marker = new java.io.File(dir, "_SUCCESS")
+        if (!marker.exists()) Eip1186Source.writeFixtureDump(s, dir, cfg)
+        val rows = ZkPipeline.verifyStorageProofs(
+          Eip1186Source.toProofRows(Eip1186Source.read(s, dir)))
+        rows.agg(
+          count(lit(1)).as("n_proofs"),
+          sum(when(col("proof_ok"), 1L).otherwise(0L)).as("n_verified"),
+          sum(when(col("key_ok"), 1L).otherwise(0L)).as("n_key_ok"),
+          countDistinct(col("block_number")).as("n_blocks"))
+      },
+    ),
   )
 }

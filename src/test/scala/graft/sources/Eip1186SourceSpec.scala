@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Bytes
+import graft.pipeline.{Fixtures, ZkPipeline}
+
+/** S1 source connector: EIP-1186 dump → proof rows → ingest-time MPT
+  * re-verification, end-to-end against the deterministic fixtures. */
+class Eip1186SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dumpDir: String = _
+  private val cfg = Fixtures.Cfg()
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("eip1186-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dumpDir = Files.createTempDirectory("eip1186dump").toString
+    Eip1186Source.writeFixtureDump(spark, dumpDir, cfg)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("dump roundtrip: explicit-schema read recovers every fixture proof") {
+    val rows = Eip1186Source.toProofRows(Eip1186Source.read(spark, dumpDir))
+    val want = Fixtures.storageProofsSeq(cfg)
+    assert(rows.count() == want.size)
+    // byte-exact recovery of (mpt_key, root, value) per entry
+    val got = rows
+      .select(col("block_number"), hex(col("contract")).as("c"), hex(col("mpt_key")).as("k"),
+        hex(col("mpt_root")).as("r"), hex(col("value")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase, r.getString(2).toLowerCase) ->
+        (r.getString(3).toLowerCase, r.getString(4).toLowerCase))
+      .toMap
+    want.foreach { p =>
+      val key = (p.block_number, Bytes.toHex(p.contract), Bytes.toHex(p.mpt_key))
+      assert(got.contains(key), s"missing $key")
+      assert(got(key) == (Bytes.toHex(p.mpt_root), Bytes.toHex(p.value)))
+    }
+  }
+
+  test("ingest verification: every proof re-verifies, keys cross-check") {
+    val verified = ZkPipeline.verifyStorageProofs(
+      Eip1186Source.toProofRows(Eip1186Source.read(spark, dumpDir)))
+    val agg = verified.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("proof_ok"), 1L).otherwise(0L)).as("ok"),
+      sum(when(col("key_ok"), 1L).otherwise(0L)).as("kok")).head()
+    assert(agg.getLong(0) > 0)
+    assert(agg.getLong(1) == agg.getLong(0), "all proofs must verify")
+    assert(agg.getLong(2) == agg.getLong(0), "all keys must cross-check")
+  }
+
+  test("negative: a tampered node hex fails verification, stream keeps flowing") {
+    val dump = Eip1186Source.read(spark, dumpDir)
+    // flip the stored value of every proof — extraction then
+    // mismatches the claimed value
+    val tampered = dump.withColumn("result",
+      struct(
+        col("result.address").as("address"),
+        col("result.storageHash").as("storageHash"),
+        col("result.accountProof").as("accountProof"),
+        transform(col("result.storageProof"), sp =>
+          struct(sp.getField("key").as("key"),
+            lit("0xdeadbeef").as("value"),
+            sp.getField("proof").as("proof"))).as("storageProof")))
+    val verified = ZkPipeline.verifyStorageProofs(Eip1186Source.toProofRows(tampered))
+    val okCount = verified.filter(col("proof_ok")).count()
+    assert(okCount == 0, "tampered values must not verify")
+    assert(verified.count() > 0, "rows still flow (quarantine-able, not a crash)")
+  }
+}
