@@ -18,11 +18,23 @@ object SkewTools {
     * (key, salt) — the hot key's rows land on `salts` partitions
     * instead of one. Result is row-identical to `big.join(small, key)`
     * (inner). */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int, saltSource: Column): DataFrame = {
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int, saltSource: Column): DataFrame =
+    saltedJoin(big, small, Seq(key), salts, saltSource)
+
+  /** composite-key variant (e.g. an LSH band join on (band, sig)). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String], salts: Int,
+      saltSource: Column): DataFrame = {
     require(salts > 0)
     val bigS = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts.toLong)).cast("int"))
     val smallS = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+    bigS.join(smallS, keys :+ "__salt").drop("__salt")
+  }
+
+  /** max rows any single key holds — the cheap skew probe gating a
+    * salted rewrite (one partial-aggregated job over the key frame). */
+  def maxKeyCardinality(df: DataFrame, keys: Seq[String]): Long = {
+    val r = df.groupBy(keys.map(col): _*).count().agg(max("count")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /** Two-phase salted aggregation for count/sum-like aggregates whose

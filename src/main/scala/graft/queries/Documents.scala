@@ -26,6 +26,13 @@ import graft.{QueryDef, Tables}
   */
 object Documents {
 
+  /** LSH band-join skew guard: buckets above this row count get a
+    * salted self-join (a 10k-doc bucket would otherwise pin 10k² pair
+    * work on one task); below it, plain equi-join — no salt overhead
+    * at healthy cardinalities. */
+  private val BandSkewThreshold = 2000L
+  private val BandSalts = 16
+
   /** doc → one row per word (keeps empty tokens out). */
   private def tokens(docs: DataFrame): DataFrame =
     docs
@@ -361,8 +368,19 @@ object Documents {
                 greatest(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))).as("sig"))
           }: _*)).as("b"))
           .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+        // Skew guard (100 TB hazard: boilerplate-heavy docs share a
+        // band signature → one bucket key dominates the self-join).
+        // Probe the max bucket once (cheap agg over the tiny band
+        // frame); past the threshold, salt the left side so the hot
+        // bucket spreads over BandSalts tasks — row-identical output
+        // (SkewToolsSpec), AQE can't split a self-join bucket itself.
+        val bandsA = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+        val bandsB = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+        val joined =
+          if (graft.operators.SkewTools.maxKeyCardinality(bands, Seq("band", "sig")) > BandSkewThreshold)
+            graft.operators.SkewTools.saltedJoin(bandsA, bandsB, Seq("band", "sig"), BandSalts, col("doc_a"))
+          else bandsA.join(bandsB, Seq("band", "sig"))
+        val cand = joined
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
         val counts = mh.select(col("doc_id"), col("n"))

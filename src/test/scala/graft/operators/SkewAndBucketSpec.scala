@@ -37,6 +37,32 @@ class SkewAndBucketSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.length == salted.length && plain.sameElements(salted))
   }
 
+  test("LSH-shaped skewed bucket: composite-key salted self-join is row-identical and spreads the hot key") {
+    val s2 = spark
+    import s2.implicits._
+    // one boilerplate bucket of 300 docs + 50 healthy buckets of 2
+    val rows = (0 until 300).map(i => (i.toLong, 0, "HOT")) ++
+      (0 until 100).map(i => (1000L + i, 1 + (i / 2) % 50, s"b${i / 2}"))
+    val bands = rows.toDF("doc_id", "band", "sig")
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    assert(SkewTools.maxKeyCardinality(bands, Seq("band", "sig")) == 300L)
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val plain = pairs(a.join(b, Seq("band", "sig")))
+    val salted = pairs(SkewTools.saltedJoin(a, b, Seq("band", "sig"), salts = 16, col("doc_a")))
+    assert(plain == salted, "salted band join must be row-identical")
+    // the hot bucket's left side really lands on many salt shards,
+    // so its pair work spreads over that many tasks instead of one
+    val shards = bands.filter(col("sig") === "HOT")
+      .select(pmod(xxhash64(col("doc_id")), lit(16L)).cast("int").as("s"))
+      .distinct().count()
+    assert(shards >= 12, s"expected the hot bucket on ~16 shards, got $shards")
+  }
+
   test("salted aggregation matches direct groupBy") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val direct = li.groupBy("l_returnflag")
