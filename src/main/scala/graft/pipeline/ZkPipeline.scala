@@ -57,6 +57,12 @@ object ZkPipeline {
       if (r == null) l else graft.core.Commitments.innerNodeHash(l, r))
     var cur = leaves.select(groupCols.map(col) :+ col("pos") :+ col("hash"): _*)
     var maxN = cur.groupBy(groupCols.map(col): _*).count().agg(max("count")).collect()(0).getLong(0)
+    // Lineage guard: at depth ~40 (10^12 leaves) an unbroken chain of
+    // 40 grouped reductions re-plans and (on executor loss) recomputes
+    // from the raw scan. Materialize + truncate every 8 levels; each
+    // barrier's frame is half the previous barrier's size.
+    var level = 0
+    var pinned: Option[DataFrame] = None
     while (maxN > 1) {
       cur = cur
         .groupBy(groupCols.map(col) :+ (col("pos") / 2).cast("long").as("pos"): _*)
@@ -65,6 +71,13 @@ object ZkPipeline {
           first(when(col("pos") % 2 === 1, col("hash")), ignoreNulls = true).as("r"))
         .select(groupCols.map(col) :+ col("pos") :+ pairHashUdf(col("l"), col("r")).as("hash"): _*)
       maxN = (maxN + 1) / 2
+      level += 1
+      if (level % 8 == 0 && maxN > 1) {
+        val cp = cur.localCheckpoint(eager = true) // truncates lineage
+        pinned.foreach(_.unpersist())
+        pinned = Some(cp)
+        cur = cp
+      }
     }
     cur.select(groupCols.map(col) :+ col("hash").as("root"): _*)
   }

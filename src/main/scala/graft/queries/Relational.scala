@@ -876,5 +876,242 @@ object Relational {
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q8 shape: national market share — 6-table snowflake join,
+    // conditional aggregation (share = national volume / total). The
+    // dims (nation, region, part-filter) broadcast; the one shuffle is
+    // the grouped year aggregation.
+    QueryDef(
+      "q8_market_share",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val cu = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val r = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+        val vol = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cu, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          // exact decimal sums; the ratio is taken in IEEE double on
+          // both engines (decimal-division rounding rules differ)
+          .agg((sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast(DecimalType(18, 2))))
+            .cast("double") / sum(vol).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT year(o_orderdate) AS o_year,
+             |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+             |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
+    // TPC-H Q9 shape (adapted: the corpus has no partsupp, so profit
+    // is revenue-only): per-nation per-year revenue over a part-name
+    // subset — the classic "profit" rollup join tree.
+    QueryDef(
+      "q9_nation_profit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val su = Tables.supplier(s, d)
+        val p = Tables.part(s, d).filter(col("p_name").contains("a"))
+        val n = Tables.nation(s, d)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast("double").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
+    ),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join (zero-order customers must appear), two-level aggregation.
+    QueryDef(
+      "q13_order_distribution",
+      (s, d) => {
+        val cu = Tables.customer(s, d)
+        val o = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+        cu.join(o, cu("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    ),
+
+    // TPC-H Q15 shape: top supplier — revenue CTE consumed twice (per-
+    // supplier revenue ⋈ its global max); the max side is a 1-row
+    // broadcast, no correlated re-evaluation.
+    QueryDef(
+      "q15_top_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(year(col("l_shipdate")) === 2000)
+        val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+            .as("total_revenue_d"))
+        val top = rev.agg(max("total_revenue_d").as("max_rev"))
+        val su = Tables.supplier(s, d)
+        rev.join(broadcast(top), col("total_revenue_d") === col("max_rev"))
+          .join(su, col("supplier_no") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_revenue_d").cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue_d
+             |  FROM lineitem WHERE year(l_shipdate) = 2000 GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(total_revenue_d AS DOUBLE) AS total_revenue
+             |FROM revenue JOIN supplier ON supplier_no = s_suppkey
+             |WHERE total_revenue_d = (SELECT MAX(total_revenue_d) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin),
+    ),
+
+    // TPC-H Q18 shape: large-volume customers — grouped HAVING on the
+    // fact, then semi-joined back through orders/customer. The HAVING
+    // side is tiny after aggregation → broadcast.
+    QueryDef(
+      "q18_large_orders",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val cu = Tables.customer(s, d)
+        val big = li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        cu.join(o, cu("c_custkey") === o("o_custkey"))
+          .join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("sum_qty").cast("double").as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+             |  ON o_orderkey = big.l_orderkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+    ),
+
+    // TPC-H Q21 shape (adapted: no commit/receipt dates in the corpus,
+    // "late" := shipped >90 days after the order date): suppliers who
+    // were the ONLY late supplier on a multi-supplier order — the
+    // classic EXISTS + NOT EXISTS double self-correlation, decorrelated
+    // to a semi-join plus an anti-join on the same grouped frame.
+    QueryDef(
+      "q21_waiting_supplier",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        val su = Tables.supplier(s, d)
+        val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("is_late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
+        val l1 = late.filter(col("is_late"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        // another supplier exists on the order (late or not)
+        val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        // no OTHER supplier was late
+        val otherLate = late.filter(col("is_late"))
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        l1.join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+          .join(otherLate, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+          .join(su, col("sk") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM lineitem l1
+             |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+             |JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+             |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND o3.o_orderstatus = 'F'
+             |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+    ),
+
+    // TPC-H Q22 shape (adapted: no phone column — country buckets come
+    // from c_nationkey): positive-balance customers above the average
+    // balance with no orders — scalar subquery broadcast + anti-join.
+    QueryDef(
+      "q22_global_sales",
+      (s, d) => {
+        val cu = Tables.customer(s, d).filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        val o = Tables.orders(s, d)
+        // exact threshold compare: bal > sum/cnt ⇔ bal·cnt > sum —
+        // no decimal division, so both engines agree bit-for-bit
+        val avgBal = cu.filter(col("c_acctbal") > 0.0)
+          .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal_sum"),
+            count(lit(1)).as("bal_cnt"))
+        cu.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("bal_cnt") > col("bal_sum"))
+          .join(o, cu("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""WITH eligible AS (
+             |  SELECT * FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+             |threshold AS (
+             |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, COUNT(*) AS bal_cnt
+             |  FROM eligible WHERE c_acctbal > 0.0)
+             |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM eligible, threshold
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_cnt > bal_sum
+             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
   )
 }
