@@ -109,15 +109,30 @@ object Documents {
     * min() picks the same element in both engines — but a LONG min
     * hash-aggregates (map-side combine), where a binary/string min
     * falls back to SortAggregate. DuckDB side parses the same 15
-    * digits positionally. */
-  private def mhSparkSql(seed: Int): String =
-    s"CAST(conv(substring(md5(concat('$seed|', sh)), 1, 15), 16, 10) AS BIGINT)"
+    * digits positionally.
+    *
+    * One md5 per shingle: the 8 MinHash permutations are affine
+    * universal hashes h_j(x) = (a_j·(H mod M) + b_j) mod M over the
+    * single 60-bit base digest H — the standard single-base-hash
+    * MinHash construction; md5 (the expensive part) runs once per
+    * row instead of 8×. All arithmetic stays below 2^62 (a_j < 2^31,
+    * H mod M < 2^31), portable BIGINT in both engines. */
+  private val MhM = 2147483647L // 2^31 − 1 (prime)
+  private val MhA = Array(1299709L, 15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L)
+  private val MhB = Array(15487469L, 32452867L, 49979693L, 67867979L, 86028157L, 104395303L, 122949829L, 141650939L)
 
-  private def mhDuckSql(seed: Int): String =
+  /** base 60-bit digest column (one md5 per shingle), Spark side. */
+  private val mhBaseSpark = "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
+
+  /** same base digest in DuckDB (positional hex parse). */
+  private val mhBaseDuck =
     (0 until 15).map { k =>
       val pow = java.math.BigInteger.valueOf(16L).pow(14 - k)
-      s"(instr('0123456789abcdef', substring(md5('$seed|' || sh), ${k + 1}, 1)) - 1) * $pow"
+      s"(instr('0123456789abcdef', substring(md5(sh), ${k + 1}, 1)) - 1) * $pow"
     }.mkString("(", " + ", ")")
+
+  private def mhSlot(j: Int, base: String): String =
+    s"(${MhA(j)} * (($base) % $MhM) + ${MhB(j)}) % $MhM"
 
   val all: Seq[QueryDef] = Seq(
 
@@ -335,11 +350,12 @@ object Documents {
     ),
 
     // dd2 — MinHash + LSH near-dup detection, the full pipeline:
-    // shingle → 8-seed MinHash (min over md5(seed|shingle) strings) →
-    // 4 bands × 2 rows → candidate pairs from band-signature equi-join
-    // → exact n-gram Jaccard verification ≥ 0.5. Candidates come only
-    // from band buckets (never O(n²)); at 100 TB the band join is the
-    // one shuffle and Jaccard runs per candidate pair.
+    // shingle → 8-permutation MinHash (one md5 base digest per
+    // shingle, affine universal hashes per slot) → 4 bands × 2 rows →
+    // candidate pairs from band-signature equi-join → exact n-gram
+    // Jaccard verification ≥ 0.5. Candidates come only from band
+    // buckets (never O(n²)); at 100 TB the band join is the one
+    // shuffle and Jaccard runs per candidate pair.
     QueryDef(
       "dd2_minhash_lsh",
       (s, d) => {
@@ -353,8 +369,9 @@ object Documents {
         // LONG slots keep the whole thing in HashAggregate with
         // map-side partial min/count: one row per doc crosses the
         // shuffle, no sort anywhere
-        val mhAggs = (0 until 8).map(j => min(expr(mhSparkSql(j))).as(s"mh$j")) :+ count(lit(1)).as("n")
+        val mhAggs = (0 until 8).map(j => min(expr(mhSlot(j, "hb"))).as(s"mh$j")) :+ count(lit(1)).as("n")
         val mh = sh
+          .withColumn("hb", expr(mhBaseSpark)) // md5 once per shingle
           .groupBy("doc_id")
           .agg(mhAggs.head, mhAggs.tail: _*)
           // one tiny row per doc, read by the band explode and both
@@ -400,11 +417,12 @@ object Documents {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $ShinglesSql,
+              |shb AS (SELECT doc_id, $mhBaseDuck AS hb FROM sh),
               |mh AS (
               |  SELECT doc_id,
-              |    ${(0 until 8).map(j => s"min(${mhDuckSql(j)}) AS mh$j").mkString(", ")},
+              |    ${(0 until 8).map(j => s"min(${mhSlot(j, "hb")}) AS mh$j").mkString(", ")},
               |    count(*) AS n
-              |  FROM sh GROUP BY doc_id),
+              |  FROM shb GROUP BY doc_id),
               |bands AS (
               |  SELECT doc_id, b.band,
               |    CAST(CASE b.band WHEN 0 THEN least(mh0,mh1) WHEN 1 THEN least(mh2,mh3)

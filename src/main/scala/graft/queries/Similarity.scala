@@ -223,6 +223,37 @@ object Similarity {
       None,
     ),
 
+    // mm3 — REAL container-header extraction: forged-but-valid
+    // PNG/JPEG/GIF/WAV payloads parsed byte-level (MediaParsers — no
+    // codec libs needed for structural metadata). Per-format summary;
+    // deterministic. Golden-tested in MultimodalSpec.
+    QueryDef(
+      "mm3_container_meta",
+      (s, _) => graft.multimodal.Multimodal
+        .extractContainerMeta(graft.multimodal.Multimodal.mediaFixture(s, 400))
+        .toDF()
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"), sum(when(col("parsed"), 1L).otherwise(0L)).as("n_parsed"),
+          max("width").as("max_w"), max("height").as("max_h"),
+          max("sample_rate").as("max_rate"))
+        .orderBy("format"),
+      None,
+    ),
+
+    // mm4 — audio windowing driven by REAL WAV headers: window
+    // offsets derive from the parsed sample rate; decode-in-window
+    // remains the stub seam. One row per (doc, window).
+    QueryDef(
+      "mm4_audio_windows",
+      (s, _) => graft.multimodal.Multimodal
+        .audioWindows(graft.multimodal.Multimodal.mediaFixture(s, 400), windowSeconds = 0.25)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"), sum("n_samples").as("total_samples"))
+        .orderBy("doc_id"),
+      None,
+    ),
+
     // ------------------------------------------------------------------
     // mm1 — multimodal metadata extraction over an opaque payload:
     // the decode step is a deterministic stub (md5-derived fake

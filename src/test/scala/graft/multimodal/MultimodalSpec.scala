@@ -49,4 +49,50 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = Multimodal.extractMeta(spark.createDataset(recs).repartition(11)).collect().sortBy(_.doc_id).toSeq
     assert(a == b)
   }
+
+  test("container parsers recover forged-header metadata byte-exactly") {
+    val png = MediaParsers.parse(MediaParsers.makePng(37, 21)).get
+    assert(png.format == "png" && png.width == 37 && png.height == 21)
+    val jpg = MediaParsers.parse(MediaParsers.makeJpegHeader(640, 480)).get
+    assert(jpg.format == "jpeg" && jpg.width == 640 && jpg.height == 480)
+    val gif = MediaParsers.parse(MediaParsers.makeGif(13, 7)).get
+    assert(gif.format == "gif" && gif.width == 13 && gif.height == 7)
+    val wav = MediaParsers.parse(MediaParsers.makeWav(2, 16000, 48000L)).get
+    assert(wav.format == "wav" && wav.channels == 2 && wav.sampleRate == 16000 && wav.nSamples == 48000L)
+    // java's own decoder agrees with our PNG forging + parsing
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(MediaParsers.makePng(37, 21)))
+    assert(img != null && img.getWidth == 37 && img.getHeight == 21)
+    // garbage is rejected, not misparsed
+    assert(MediaParsers.parse("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("extractContainerMeta: real parse with stub fallback flag") {
+    val mixed = Multimodal.mediaFixture(spark, 40)
+    val metas = Multimodal.extractContainerMeta(mixed).collect()
+    assert(metas.length == 40)
+    assert(metas.forall(_.parsed), "every fixture payload is a known container")
+    assert(metas.map(_.format).toSet == Set("png", "jpeg", "gif", "wav"))
+    // unknown payloads flow through the stub, flagged
+    val s2 = spark
+    import s2.implicits._
+    val unk = spark.createDataset(Seq(MediaRecord(999L, "???".getBytes("UTF-8"))))
+    val m = Multimodal.extractContainerMeta(unk).collect().head
+    assert(!m.parsed && m.doc_id == 999L)
+  }
+
+  test("audio windows derive from the real WAV header math") {
+    val s2 = spark
+    import s2.implicits._
+    // 48000 samples at 16 kHz = 3.0 s → 12 windows of 0.25 s
+    val rec = spark.createDataset(Seq(MediaRecord(1L, MediaParsers.makeWav(1, 16000, 48000L))))
+    val w = Multimodal.audioWindows(rec, 0.25).collect().sortBy(_.window_idx)
+    assert(w.length == 12)
+    assert(w.map(_.n_samples).sum == 48000L)
+    assert(w.head.start_sample == 0L && w.last.start_sample == 44000L)
+    // frame sampling: every 3rd 1 KiB frame of an 8 KiB payload
+    val frames = Multimodal.sampleFrames(
+      spark.createDataset(Seq(MediaRecord(2L, new Array[Byte](8192)))), 1024, 3).collect()
+    assert(frames.map(_.frame_idx).toSeq.sorted == Seq(0, 3, 6))
+    assert(frames.forall(f => f.byte_offset == f.frame_idx.toLong * 1024))
+  }
 }

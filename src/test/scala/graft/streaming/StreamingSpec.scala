@@ -200,6 +200,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(r => r._1 == "2024-01-01 11:00:00.0" && r._2 == "view" && r._3 == 2L && r._4 == 8.0))
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark drops cross-batch dupes") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    // the streaming face of dd1 exact dedup: documents arriving as a
+    // stream, identified by content hash; duplicates within the
+    // watermark horizon are dropped with BOUNDED state (keys expire
+    // past the watermark — at 100 TB/day the state store holds only
+    // the horizon's keys, not history)
+    val stream = MemoryStream[(Timestamp, String)]
+    val dedup = stream.toDF().toDF("ts", "text")
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = dedup.writeStream.outputMode("append").format("memory").queryName("dedup").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData(Seq((t(10, 0), "alpha"), (t(10, 1), "beta"), (t(10, 2), "alpha")))
+    q.processAllAvailable()
+    // same content arriving in a LATER micro-batch, still within the
+    // watermark horizon → dropped
+    stream.addData(Seq((t(10, 3), "alpha"), (t(10, 4), "gamma")))
+    q.processAllAvailable()
+    q.stop()
+
+    val texts = spark.sql("SELECT text FROM dedup").collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("alpha", "beta", "gamma"), texts.mkString(", "))
+  }
+
   test("streaming session windows close on watermark and merge within the gap") {
     implicit val sq = spark.sqlContext
     val s2 = spark
