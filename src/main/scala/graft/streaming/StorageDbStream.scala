@@ -1,41 +1,64 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.pipeline.ZkPipeline
+import graft.sources.VersionedTable
 
 /** Streaming storage-DB maintenance: each micro-batch carries the FULL
   * entry set of the (block, contract) groups it touches; the
   * maintainer rebuilds exactly those groups (`storageDbIncremental` —
-  * the reference's dirty-path-only recomputation) and publishes a new
-  * immutable snapshot version. Readers always see a consistent
-  * version via the LATEST pointer — the storage layout a table format
-  * (Delta/Iceberg) would provide, reduced to its mechanism.
+  * the reference's dirty-path-only recomputation) and commits them to
+  * a [[graft.sources.VersionedTable]]:
+  *
+  *   - only the dirty groups' hash buckets are rewritten — untouched
+  *     buckets inherit the previous version's immutable files
+  *     (partition-level copy-on-write, no full-table rewrite);
+  *   - the manifest + LATEST swap is atomic, so concurrent readers
+  *     always see a consistent snapshot (and can pin/time-travel);
+  *   - commit conflicts (another writer landed first) retry against
+  *     the new base — optimistic concurrency, single-winner.
   */
-class StorageDbMaintainer(spark: SparkSession, baseDir: String) {
+class StorageDbMaintainer(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
 
-  private val latestFile = Paths.get(baseDir, "LATEST")
+  private val table = new VersionedTable(spark, baseDir, nBuckets)
+  private val keys = Seq("block_number", "contract")
 
-  def currentVersion(): Option[String] =
-    if (Files.exists(latestFile)) Some(Files.readString(latestFile).trim) else None
+  def currentVersion(): Option[String] = table.currentVersion().map(v => f"v$v%06d")
 
-  def current(): Option[DataFrame] =
-    currentVersion().map(v => spark.read.parquet(s"$baseDir/$v"))
+  def current(): Option[DataFrame] = table.read()
+
+  def readAt(version: Int): Option[DataFrame] = table.read(Some(version))
 
   def processBatch(delta: DataFrame, batchId: Long): Unit = {
     if (delta.isEmpty) return
-    val next = current() match {
-      case None       => ZkPipeline.storageDb(delta)
-      case Some(prev) => ZkPipeline.storageDbIncremental(prev, delta)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val base = table.currentVersion()
+      val next = table.read() match {
+        case None       => ZkPipeline.storageDb(delta)
+        case Some(prev) => ZkPipeline.storageDbIncremental(prev, delta)
+      }
+      // a bucket must be written whole: rewrite every bucket the
+      // delta's groups hash into, inherit the rest
+      val dirtyBuckets = delta.select(table.bucketCol(keys).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val rows = next.withColumn("__b", table.bucketCol(keys))
+        .filter(col("__b").isin(dirtyBuckets.toSeq: _*)).drop("__b")
+      try {
+        table.commit(rows, keys, base)
+        done = true
+      } catch {
+        case _: table.CommitConflict if attempts < 5 => // re-read base, retry
+      }
     }
-    val version = f"v$batchId%06d"
-    next.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/$version")
-    Files.writeString(latestFile, version,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
+
+  def vacuum(keepVersions: Int): Unit = table.vacuum(keepVersions)
 
   def start(deltas: DataFrame, checkpointDir: String): StreamingQuery =
     deltas.writeStream
