@@ -58,9 +58,12 @@ object Zk {
     // digest + merkle root per block) — the ingest-throughput number.
     QueryDef(
       "zk_storage_db_scale",
+      // the digest column MUST be consumed here, or Catalyst prunes
+      // the per-entry EcGFp5 map_to_curve out of the benchmark
       (s, _) => ZkPipeline.storageDb(Fixtures.entriesScaled(s, nBlocks = 1000, keysPerBlock = 1000))
         .agg(count(lit(1)).as("n_groups"), sum("n").as("n_entries"),
-          countDistinct(col("storage_root")).as("n_distinct_roots")),
+          countDistinct(col("storage_root")).as("n_distinct_roots"),
+          countDistinct(col("digest")).as("n_distinct_digests")),
       headline = true,
     ),
 
