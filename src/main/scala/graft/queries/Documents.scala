@@ -335,6 +335,122 @@ object Documents {
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin),
     ),
 
+    // d7 — PII scrubbing: regex redaction of emails and phone-shaped
+    // numbers with per-doc hit counts. The corpus is synthetic, so a
+    // deterministic injector plants PII in a known subset on BOTH
+    // engines — the redactor must then remove exactly what was
+    // planted. Per-row regex, fully codegen'd, embarrassingly
+    // parallel at any scale.
+    QueryDef(
+      "d7_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+        Tables.documents(s, d)
+          // plant: every 3rd doc gets an email, every 5th a phone
+          .withColumn("dirty", concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" +12-345-6789")).otherwise(lit(""))))
+          .select(
+            col("doc_id"),
+            regexp_count(col("dirty"), lit(emailRe)).as("n_emails"),
+            regexp_count(col("dirty"), lit(phoneRe)).as("n_phones"),
+            length(regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+              .as("clean_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 3 = 0 THEN ' user' || doc_id || '@example.com' ELSE '' END ||
+             |    CASE WHEN doc_id % 5 = 0 THEN ' +12-345-6789' ELSE '' END AS dirty
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(dirty, '\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+             |  length(regexp_replace(regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_len
+             |FROM dirty ORDER BY doc_id""".stripMargin),
+    ),
+
+    // d8 — benchmark-contamination check: fraction of each training
+    // doc's 3-gram shingles that appear in a held-out benchmark set
+    // (docs 0–9 here). The benchmark shingle set is tiny → broadcast
+    // semi-join per shingle; no O(n²), scales with corpus size only.
+    QueryDef(
+      "d8_contamination",
+      (s, d) => {
+        val sh = shingles(Tables.documents(s, d))
+        val bench = sh.filter(col("doc_id") < 10).select(col("sh").as("bsh")).distinct()
+        val train = sh.filter(col("doc_id") >= 10)
+        train
+          .join(broadcast(bench), col("sh") === col("bsh"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("bsh").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+          .withColumn("contamination",
+            (col("n_contaminated").cast("double") / col("n_shingles").cast("double")))
+          .filter(col("contamination") >= 0.5)
+          .select("doc_id", "n_shingles", "n_contaminated", "contamination")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $ShinglesSql,
+              |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 10),
+              |scored AS (
+              |  SELECT t.doc_id, count(*) AS n_shingles,
+              |    CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+              |  FROM sh t LEFT OUTER JOIN bench b ON t.sh = b.sh
+              |  WHERE t.doc_id >= 10 GROUP BY t.doc_id)
+              |SELECT doc_id, n_shingles, n_contaminated,
+              |  CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination
+              |FROM scored
+              |WHERE CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5
+              |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // d9 — token-sequence packing: documents laid out contiguously (by
+    // doc_id) into fixed 512-token training sequences, straddling
+    // allowed (the standard pretraining packing with cross-boundary
+    // attention masks). Offsets are a prefix sum (one window), bin
+    // membership an explode over the doc's bin span; every bin except
+    // the last must hold exactly 512 tokens — the oracle checks the
+    // clipped per-bin token contributions exactly.
+    QueryDef(
+      "d9_sequence_packing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cap = 512L
+        val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        val toks = tokens(Tables.documents(s, d)).groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"))
+        toks
+          .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("bin", explode(sequence(
+            (col("start") / cap).cast("long"),
+            ((col("start") + col("n_tokens") - 1) / cap).cast("long"))))
+          .withColumn("contrib",
+            least(col("start") + col("n_tokens"), (col("bin") + 1) * cap) -
+              greatest(col("start"), col("bin") * cap))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("contrib").as("n_tokens"))
+          .orderBy("bin")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, count(*) AS n_tokens FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+             |  WHERE w <> '' GROUP BY doc_id),
+             |placed AS (
+             |  SELECT doc_id, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             |  FROM toks),
+             |spans AS (
+             |  SELECT doc_id, n_tokens, start,
+             |    unnest(range(CAST(start // 512 AS BIGINT), CAST((start + n_tokens - 1) // 512 + 1 AS BIGINT))) AS bin
+             |  FROM placed)
+             |SELECT bin, count(*) AS n_docs,
+             |  CAST(SUM(least(start + n_tokens, (bin + 1) * 512) - greatest(start, bin * 512)) AS BIGINT) AS n_tokens
+             |FROM spans GROUP BY bin ORDER BY bin""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // dd1 — exact dedup: hash-groupBy on the content hash, keep the
     // smallest doc_id per group. Map-side partial agg means only one
