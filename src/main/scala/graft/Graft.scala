@@ -55,4 +55,22 @@ object Graft {
   def queryErc20(entries: DataFrame, contract: Array[Byte], slot: Int, user: Array[Byte],
       rate: BigInteger, totalSupply: BigInteger, minBlock: Long, maxBlock: Long): DataFrame =
     ZkPipeline.queryErc20(entries, contract, slot, user, rate, totalSupply, minBlock, maxBlock)
+
+  // ------------------------------------------------------------ sources
+  /** EIP-1186 `eth_getProof` dump directory → verified proof rows
+    * (S1 live-shaped ingest; `proof_ok`/`key_ok` flags per row). */
+  def ingestRpcDump(spark: SparkSession, path: String): DataFrame =
+    ZkPipeline.verifyStorageProofs(graft.sources.Eip1186Source.toProofRows(
+      graft.sources.Eip1186Source.read(spark, path)))
+
+  /** transactional versioned table handle (atomic commits, snapshot
+    * isolation, time travel, vacuum). */
+  def versionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16): graft.sources.VersionedTable =
+    new graft.sources.VersionedTable(spark, baseDir, nBuckets)
+
+  // ------------------------------------------------------- multimodal
+  /** real container metadata (PNG/JPEG/GIF/WAV headers) over a binary
+    * payload Dataset; unknown formats flow through flagged. */
+  def mediaMeta(records: org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRecord]): DataFrame =
+    graft.multimodal.Multimodal.extractContainerMeta(records).toDF()
 }

@@ -73,6 +73,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("q8: snowflake dims broadcast; no sort-merge join on the fact spine") {
+    val p = plan("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // partial/final aggregation pair around the one shuffle
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q21: EXISTS/NOT EXISTS decorrelate to semi + anti joins, not subquery re-execution") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+  }
+
+  test("d8: the benchmark shingle set broadcasts (no shuffle of the corpus for the probe)") {
+    val p = plan("d8_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("ss1: query side broadcasts under the nest-loop-free MIPS plan") {
     val p = plan("ss1_topk_ip")
     assert(p.contains("Broadcast"), p.take(2000))
