@@ -236,6 +236,10 @@ object EcGFp5 {
 
     def unary_- : Point = if (isInf) this else Point(x, -y, isInf = false)
 
+    /** SW curve membership: Y² = X³ + aX + b */
+    def onCurve: Boolean =
+      isInf || y.square == (x * x.square + Asw * x + Bsw)
+
     /** Pornin's canonical w-encoding (curve.rs `encode`): w = y/x in
       * double-odd coordinates (x_do = X − 2/3); infinity → 0. 5
       * little-endian u64s = 40 bytes. */
@@ -336,6 +340,11 @@ object EcGFp5 {
       while (j >= 0) { v = (v << 8) | (b(off + i * 8 + j) & 0xffL); j -= 1 }
       v
     })
-    Point(getF5(0), getF5(40), b(80) == 1)
+    val pt = Point(getF5(0), getF5(40), b(80) == 1)
+    // fail loudly on corrupt bytes: an off-curve point would silently
+    // poison every digest it is combined into (the reference's decode
+    // rejects non-curve encodings the same way)
+    require(pt.isInf || pt.onCurve, "EcGFp5.deserialize: point not on curve (corrupt digest bytes)")
+    pt
   }
 }

@@ -92,4 +92,11 @@ class EcGFp5Spec extends AnyFunSuite {
     assert(EcGFp5.deserialize(EcGFp5.serialize(Point.Infinity)) == Point.Infinity)
     assert(EcGFp5.serialize(pt).length == EcGFp5.SerLen)
   }
+
+  test("deserialize rejects off-curve (corrupted) digest bytes loudly") {
+    val good = EcGFp5.serialize(EcGFp5.mapToCurvePoint(Array(7L)))
+    val bad = good.clone()
+    bad(3) = (bad(3) ^ 0x40).toByte // flip one bit of X
+    intercept[IllegalArgumentException] { EcGFp5.deserialize(bad) }
+  }
 }

@@ -63,6 +63,32 @@ class Eip1186SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.getLong(2) == agg.getLong(0), "all keys must cross-check")
   }
 
+  test("end-to-end ETL: dump → verified entries → storage DB roots equal the goldens") {
+    // the full switch path: RPC dump in, commitment-carrying DB out —
+    // roots must be bit-identical to driver-side pure-kernel goldens
+    val verified = ZkPipeline.verifyStorageProofs(
+      Eip1186Source.toProofRows(Eip1186Source.read(spark, dumpDir)))
+      .filter(col("proof_ok") && col("key_ok"))
+    // length_slot is per-contract deployment config, not part of the
+    // proof response — joined back in from the fixture's slot map
+    val entries = verified.select(
+        col("block_number"), col("contract"), col("mapping_slot"),
+        col("mapping_key"), col("value"))
+      .withColumn("length_slot",
+        when(col("mapping_slot") === cfg.nftSlot, cfg.nftLengthSlot)
+          .otherwise(cfg.erc20LengthSlot))
+    val sdb = ZkPipeline.storageDb(entries).collect()
+    val golden = Fixtures.goldenStorageDb(cfg)
+    assert(sdb.length == golden.size)
+    sdb.foreach { r =>
+      val key = (r.getAs[Long]("block_number"), Bytes.toHex(r.getAs[Array[Byte]]("contract")))
+      val (n, digest, root) = golden(key)
+      assert(r.getAs[Long]("n") == n, s"count at $key")
+      assert(Bytes.toHex(r.getAs[Array[Byte]]("storage_root")) == Bytes.toHex(root), s"root at $key")
+      assert(Bytes.toHex(r.getAs[Array[Byte]]("digest")) == Bytes.toHex(digest), s"digest at $key")
+    }
+  }
+
   test("negative: a tampered node hex fails verification, stream keeps flowing") {
     val dump = Eip1186Source.read(spark, dumpDir)
     // flip the stored value of every proof — extraction then
