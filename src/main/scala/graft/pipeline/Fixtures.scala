@@ -294,7 +294,10 @@ object Fixtures {
         lit(3).as("mapping_slot"),
         lit(4).as("length_slot"),
         longToBytes32((col("id") % keysPerBlock) + 1).as("mapping_key"),
-        longToBytes32(pmod(xxhash64(col("id")), lit(1000000L))).as("value"))
+        // owner is a function of the KEY (constant across blocks):
+        // ownership is consistent over the whole range, so the scaled
+        // table exercises Query2's all-blocks qualification for real
+        longToBytes32(pmod(xxhash64(col("id") % keysPerBlock), lit(20L)) + 1).as("value"))
   }
 
   def headers(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {

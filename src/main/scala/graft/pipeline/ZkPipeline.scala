@@ -144,6 +144,18 @@ object ZkPipeline {
           col("contract"),
           stateLeafHash(col("contract"), col("mapping_slot"), col("length_slot"), col("storage_root"))).as("state_root"))
 
+  /** Incremental state-DB maintenance, same dirty-group pattern as
+    * [[storageDbIncremental]]: blocks touched by the storage-DB delta
+    * are re-aggregated, untouched blocks carry over via anti-join. At
+    * rest both sides share the block_number partitioning, so the
+    * carry-over reads only metadata-pruned partitions. */
+  def stateDbIncremental(prevState: DataFrame, storageDbDirty: DataFrame): DataFrame = {
+    val rebuilt = stateDb(storageDbDirty)
+    val dirtyBlocks = storageDbDirty.select("block_number").distinct()
+    prevState.join(dirtyBlocks, Seq("block_number"), "left_anti")
+      .unionByName(rebuilt)
+  }
+
   // ------------------------------------------------------------ §3.1 stage 8
   /** block DB rows: state root bound to the header chain (J3) with the
     * append-only sequencing constraint (W3/St2). The window is a

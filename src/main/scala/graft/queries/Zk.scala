@@ -67,6 +67,25 @@ object Zk {
       headline = true,
     ),
 
+    // Query2 at scale: the NFT-enumeration plan over the same 1M-entry
+    // synthetic storage table — filter → distinct → sort → limit with
+    // the consistency checks; shows the fixed query shape survives a
+    // 1000× fixture scale-up (SURVEY §7 deferred item).
+    QueryDef(
+      "zk_query2_scale",
+      (s, _) => {
+        val entries = Fixtures.entriesScaled(s, nBlocks = 1000, keysPerBlock = 1000)
+        val contract = Fixtures.contractAddr(0)
+        // scaled fixture assigns owners 1..20 per key; query owner 8
+        val owner = graft.core.Bytes.beBytes(8L, 8)
+        val (ids, checks) = ZkPipeline.query2(
+          entries, contract, cfg.nftSlot, owner, minB = 100L, maxB = 1099L, limit = 5)
+        ids.agg(count(lit(1)).as("n_ids"), min("nft_id").as("min_id"), max("nft_id").as("max_id"))
+          .crossJoin(checks.select(col("n_qualified"), hex(col("range_digest")).as("range_digest")))
+      },
+      headline = true,
+    ),
+
     // state DB build (§3.1 stage 7).
     QueryDef(
       "zk_state_db",

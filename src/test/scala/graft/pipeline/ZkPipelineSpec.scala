@@ -121,6 +121,20 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("incremental state DB: dirty-block rebuild equals full rebuild") {
+    val sdbFull = ZkPipeline.storageDb(Fixtures.entries(spark, cfg))
+    val prevState = ZkPipeline.stateDb(sdbFull)
+    // pretend one block's storage DB changed: re-aggregate just it
+    val dirtyBlock = cfg.firstBlock + 3
+    val dirty = sdbFull.filter(org.apache.spark.sql.functions.col("block_number") === dirtyBlock)
+    val incr = ZkPipeline.stateDbIncremental(prevState, dirty)
+      .collect().map(r => r.getAs[Long]("block_number") -> Bytes.toHex(r.getAs[Array[Byte]]("state_root"))).toMap
+    val full = prevState
+      .collect().map(r => r.getAs[Long]("block_number") -> Bytes.toHex(r.getAs[Array[Byte]]("state_root"))).toMap
+    assert(incr == full, "no-op delta must reproduce the same state DB bit-for-bit")
+    assert(incr.contains(dirtyBlock))
+  }
+
   test("block DB: chain linkage, sequencing all hold; root matches golden") {
     val sdb = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(spark, cfg)))
     val bdb = ZkPipeline.blockDb(sdb, Fixtures.headers(spark, cfg))
