@@ -49,4 +49,26 @@ object U256 {
 
   def cmp(a: BigInteger, b: BigInteger): Int = a.compareTo(b)
   def isZero(a: BigInteger): Boolean = a.signum == 0
+
+  // ---------------------------------------- byte-level kernel forwarders
+  // (static entry points the codegen Expressions call directly on the
+  // unsafe row's byte arrays — no encoder round-trip)
+
+  /** a + b with overflow abort (overflow flag pinned false,
+    * u256.rs:43-110). */
+  def addBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (s, ovf) = add(fromBytes32(a), fromBytes32(b))
+    if (ovf) throw new ArithmeticException("u256 add overflow")
+    toBytes32(s)
+  }
+
+  /** fused (a*b)/c at full intermediate precision with div-zero and
+    * overflow abort (query_erc20/storage/leaf.rs:57-116). */
+  def mulDivBytes(a: Array[Byte], b: Array[Byte], c: Array[Byte]): Array[Byte] = {
+    val den = fromBytes32(c)
+    if (den.signum == 0) throw new ArithmeticException("u256 division by zero")
+    val q = fromBytes32(a).multiply(fromBytes32(b)).divide(den)
+    if (q.compareTo(Max) > 0) throw new ArithmeticException("u256 muldiv overflow")
+    toBytes32(q)
+  }
 }

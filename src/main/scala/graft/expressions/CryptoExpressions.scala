@@ -63,6 +63,41 @@ case class MappingLeafDigestExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** u256 addition with overflow abort, codegen (F7; the reference pins
+  * the overflow flag false — u256.rs:43-110). */
+case class U256AddExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary arguments")
+  override def prettyName: String = "u256_add"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.core.U256.addBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.U256.addBytes($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): U256AddExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** fused u256 (a*b)/c at full intermediate precision, codegen — the
+  * per-row kernel of the ERC20 plan (query_erc20/storage/leaf.rs:
+  * 57-116). */
+case class U256MulDivExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == BinaryType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary arguments")
+  override def prettyName: String = "u256_mul_div"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    graft.core.U256.mulDivBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.core.U256.mulDivBytes($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): U256MulDivExpr =
+    copy(first = f, second = s, third = t)
+}
+
 /** Session extension wiring (SparkSessionExtensions): registers the
   * native expressions as SQL functions, so
   * `spark.sql("SELECT keccak256(x) ...")` plans the codegen
@@ -82,5 +117,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("mapping_leaf_digest"),
       new ExpressionInfo(classOf[MappingLeafDigestExpr].getName, "mapping_leaf_digest"),
       (args: Seq[Expression]) => MappingLeafDigestExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("u256_add"),
+      new ExpressionInfo(classOf[U256AddExpr].getName, "u256_add"),
+      (args: Seq[Expression]) => U256AddExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("u256_mul_div"),
+      new ExpressionInfo(classOf[U256MulDivExpr].getName, "u256_mul_div"),
+      (args: Seq[Expression]) => U256MulDivExpr(args(0), args(1), args(2))))
   }
 }

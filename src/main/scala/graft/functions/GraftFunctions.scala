@@ -91,27 +91,17 @@ object GraftFunctions {
   import java.math.BigInteger
   private def bin(b: Array[Byte]): BigInteger = U256.fromBytes32(b)
 
-  private val u256AddUdf = udf((a: Array[Byte], b: Array[Byte]) => {
-    val (s, ovf) = U256.add(bin(a), bin(b))
-    if (ovf) throw new ArithmeticException("u256 add overflow") // overflow pinned false (u256.rs:43-110)
-    U256.toBytes32(s)
-  })
-  private val u256MulDivUdf = udf((a: Array[Byte], b: Array[Byte], c: Array[Byte]) => {
-    // fused rate*value/total_supply (query_erc20/storage/leaf.rs:57-116):
-    // the product is taken at full precision before the divide, like the
-    // circuit's widened intermediate.
-    val den = bin(c)
-    if (den.signum == 0) throw new ArithmeticException("u256 division by zero")
-    val q = bin(a).multiply(bin(b)).divide(den)
-    if (q.compareTo(U256.Max) > 0) throw new ArithmeticException("u256 muldiv overflow")
-    U256.toBytes32(q)
-  })
   private val u256CmpUdf = udf((a: Array[Byte], b: Array[Byte]) => U256.cmp(bin(a), bin(b)))
   private val u256ToDecimalUdf = udf((a: Array[Byte]) => new java.math.BigDecimal(bin(a)))
 
-  def u256Add(a: Column, b: Column): Column = u256AddUdf(a, b)
-  /** (a*b)/c in u256 with div-zero/overflow abort. */
-  def u256MulDiv(a: Column, b: Column, c: Column): Column = u256MulDivUdf(a, b, c)
+  /** u256 add with overflow abort — codegen Expression (no UDF serde;
+    * kernel = U256.addBytes, u256.rs:43-110). */
+  def u256Add(a: Column, b: Column): Column =
+    toCol(graft.expressions.U256AddExpr(toExpr(a), toExpr(b)))
+  /** (a*b)/c in u256 with div-zero/overflow abort, full-precision
+    * intermediate — codegen Expression (query_erc20/storage/leaf.rs:57-116). */
+  def u256MulDiv(a: Column, b: Column, c: Column): Column =
+    toCol(graft.expressions.U256MulDivExpr(toExpr(a), toExpr(b), toExpr(c)))
   def u256Cmp(a: Column, b: Column): Column = u256CmpUdf(a, b)
   /** lossy view for display/oracle when values < 10^38 */
   def u256ToDecimal(a: Column): Column = u256ToDecimalUdf(a).cast("decimal(38,0)")

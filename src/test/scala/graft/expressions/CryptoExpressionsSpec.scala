@@ -68,6 +68,30 @@ class CryptoExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(1).equalsIgnoreCase(Bytes.toHex(Commitments.mappingLeafDigest(k, v))))
   }
 
+  test("u256 add / mulDiv expressions match kernels and abort on violations") {
+    val s2 = spark
+    import s2.implicits._
+    val a = graft.core.U256.toBytes32(java.math.BigInteger.valueOf(1234567L))
+    val b = graft.core.U256.toBytes32(java.math.BigInteger.valueOf(89L))
+    val c = graft.core.U256.toBytes32(java.math.BigInteger.valueOf(17L))
+    val df = spark.createDataset(Seq((a, b, c))).toDF("a", "b", "c")
+    val row = df.select(
+      hex(GraftFunctions.u256Add(col("a"), col("b"))).as("s"),
+      hex(GraftFunctions.u256MulDiv(col("a"), col("b"), col("c"))).as("q")).collect()(0)
+    assert(row.getString(0).equalsIgnoreCase(Bytes.toHex(graft.core.U256.addBytes(a, b))))
+    assert(row.getString(1).equalsIgnoreCase(Bytes.toHex(graft.core.U256.mulDivBytes(a, b, c))))
+    // div-zero aborts through the codegen path too
+    val zero = graft.core.U256.toBytes32(java.math.BigInteger.ZERO)
+    val bad = spark.createDataset(Seq((a, b, zero))).toDF("a", "b", "c")
+    intercept[Exception] {
+      bad.select(GraftFunctions.u256MulDiv(col("a"), col("b"), col("c"))).collect()
+    }
+    // SQL surface plans the native expression
+    df.createOrReplaceTempView("u256t")
+    val viaSql = spark.sql("SELECT hex(u256_mul_div(a, b, c)) FROM u256t").collect()(0).getString(0)
+    assert(viaSql.equalsIgnoreCase(Bytes.toHex(graft.core.U256.mulDivBytes(a, b, c))))
+  }
+
   test("keccak256 of literals constant-folds in the optimizer (foldable expression)") {
     val df = spark.sql("SELECT keccak256(CAST('abc' AS BINARY)) AS h FROM range(3)")
     val optimized = df.queryExecution.optimizedPlan.toString
