@@ -98,6 +98,56 @@ case class U256MulDivExpr(first: Expression, second: Expression, third: Expressi
     copy(first = f, second = s, third = t)
 }
 
+/** Static forwarders bridging codegen'd ArrayData to the pure MPT
+  * kernel (graft.core stays Spark-free). */
+object MptCodegen {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  private def toSeq(nodes: ArrayData): Seq[Array[Byte]] = {
+    val n = nodes.numElements()
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { out(i) = nodes.getBinary(i); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+  def verify(nodes: ArrayData, key: Array[Byte], root: Array[Byte]): Array[Byte] =
+    graft.core.Mpt.verifyProof(toSeq(nodes), key, root).map(graft.core.Bytes.leftPad32).orNull
+  def verifyRaw(nodes: ArrayData, key: Array[Byte], root: Array[Byte]): Array[Byte] =
+    graft.core.Mpt.verifyProofRaw(toSeq(nodes), key, root).orNull
+}
+
+/** full MPT proof walk as a codegen expression (S2, eth.rs:310-333):
+  * returns the proven value (left-padded to 32B for `raw = false`) or
+  * NULL when the proof does not verify — the null IS the quarantine
+  * signal, so the expression is explicitly nullable. */
+case class MptVerifyExpr(first: Expression, second: Expression, third: Expression, raw: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == ArrayType(BinaryType, containsNull = false) ||
+      first.dataType == ArrayType(BinaryType, containsNull = true)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<binary> nodes")
+  override def prettyName: String = if (raw) "mpt_verify_raw" else "mpt_verify"
+  private def forwarder: String =
+    if (raw) "graft.expressions.MptCodegen.verifyRaw" else "graft.expressions.MptCodegen.verify"
+  override protected def nullSafeEval(n: Any, k: Any, r: Any): Any = {
+    val res =
+      if (raw) MptCodegen.verifyRaw(n.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        k.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+      else MptCodegen.verify(n.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        k.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+    res // may be null: failed proofs yield NULL
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (n, k, r) => s"""
+      ${ev.value} = $forwarder($n, $k, $r);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MptVerifyExpr =
+    copy(first = f, second = s, third = t)
+}
+
 /** Session extension wiring (SparkSessionExtensions): registers the
   * native expressions as SQL functions, so
   * `spark.sql("SELECT keccak256(x) ...")` plans the codegen

@@ -57,17 +57,16 @@ object GraftFunctions {
   def rlpExtractLeafValue(node: Column): Column = rlpLeafValueUdf(node)
 
   // ---------------------------------------------------------------- S2
-  private val mptVerifyUdf = udf((nodes: Seq[Array[Byte]], key: Array[Byte], root: Array[Byte]) =>
-    Mpt.verifyProof(nodes, key, root).map(Bytes.leftPad32).orNull)
   /** full MPT proof walk (S2, eth.rs:310-333 / mpt_sequential.rs:116-230):
     * keccak linkage + nibble-path check; returns the proven value
-    * left-padded to 32B, or null when the proof does not verify. */
-  def mptVerify(nodes: Column, mptKey: Column, root: Column): Column = mptVerifyUdf(nodes, mptKey, root)
+    * left-padded to 32B, or null when the proof does not verify.
+    * Codegen Expression — stays in whole-stage codegen, no UDF serde. */
+  def mptVerify(nodes: Column, mptKey: Column, root: Column): Column =
+    toCol(graft.expressions.MptVerifyExpr(toExpr(nodes), toExpr(mptKey), toExpr(root), raw = false))
 
-  private val mptVerifyRawUdf = udf((nodes: Seq[Array[Byte]], key: Array[Byte], root: Array[Byte]) =>
-    Mpt.verifyProofRaw(nodes, key, root).orNull)
   /** S3 variant: raw leaf payload (state trie: the RLP'd account). */
-  def mptVerifyRaw(nodes: Column, mptKey: Column, root: Column): Column = mptVerifyRawUdf(nodes, mptKey, root)
+  def mptVerifyRaw(nodes: Column, mptKey: Column, root: Column): Column =
+    toCol(graft.expressions.MptVerifyExpr(toExpr(nodes), toExpr(mptKey), toExpr(root), raw = true))
 
   private val accountStorageRootUdf = udf((acct: Array[Byte]) =>
     if (acct == null) null
