@@ -98,6 +98,27 @@ case class U256MulDivExpr(first: Expression, second: Expression, third: Expressi
     copy(first = f, second = s, third = t)
 }
 
+/** `state_leaf_hash` (state/lpn/mod.rs:25-45) as a codegen expression —
+  * the per-row kernel of the state-DB build (one hash per contract per
+  * block; at 100 TB this is the hot inner loop of stage 7). */
+case class StateLeafHashExpr(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+      third.dataType == IntegerType && fourth.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires (binary, int, int, binary)")
+  override def prettyName: String = "state_leaf_hash"
+  override protected def nullSafeEval(c: Any, ms: Any, ls: Any, r: Any): Any =
+    graft.core.Commitments.stateLeafHash(c.asInstanceOf[Array[Byte]],
+      ms.asInstanceOf[Int], ls.asInstanceOf[Int], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, ms, ls, r) => s"graft.core.Commitments.stateLeafHash($c, $ms, $ls, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): StateLeafHashExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** Static forwarders bridging codegen'd ArrayData to the pure MPT
   * kernel (graft.core stays Spark-free). */
 object MptCodegen {

@@ -20,7 +20,7 @@ import graft.core._
 object GraftFunctions {
 
   import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
-  import graft.expressions.{Keccak256Expr, MappingLeafDigestExpr, MappingLeafHashExpr}
+  import graft.expressions.{Keccak256Expr, MappingLeafDigestExpr, MappingLeafHashExpr, StateLeafHashExpr}
 
   // ---------------------------------------------------------------- F1
   /** keccak256 over a binary column (F1, keccak.rs:35-267) — native
@@ -120,7 +120,7 @@ object GraftFunctions {
     toCol(MappingLeafDigestExpr(toExpr(key), toExpr(value)))
   def keyOnlyDigest(key: Column): Column = keyOnlyDigestUdf(key)
   def stateLeafHash(contract: Column, mappingSlot: Column, lengthSlot: Column, storageRoot: Column): Column =
-    stateLeafHashUdf(contract, mappingSlot, lengthSlot, storageRoot)
+    toCol(StateLeafHashExpr(toExpr(contract), toExpr(mappingSlot), toExpr(lengthSlot), toExpr(storageRoot)))
   def blockLeafHash(blockNumber: Column, blockHash: Column, stateRoot: Column): Column =
     blockLeafHashUdf(blockNumber, blockHash, stateRoot)
 

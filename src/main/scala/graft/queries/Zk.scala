@@ -86,6 +86,25 @@ object Zk {
       headline = true,
     ),
 
+    // ERC20 at scale: the reward-share plan (per-row codegen'd U256
+    // rate*balance/total_supply, clamped gap-free range sum) over the
+    // 1M-entry table — the U256MulDivExpr hot path at volume.
+    QueryDef(
+      "zk_erc20_scale",
+      (s, _) => {
+        import graft.functions.GraftFunctions.u256ToDecimal
+        val entries = Fixtures.entriesScaled(s, nBlocks = 1000, keysPerBlock = 1000)
+        ZkPipeline.queryErc20(
+          entries, Fixtures.contractAddr(0), slot = 3,
+          user = graft.core.Bytes.beBytes(42L, 8),
+          rate = BigInteger.valueOf(7L), totalSupply = BigInteger.valueOf(1000L),
+          minB = 100L, maxB = 1099L)
+          .select(col("n_blocks"), col("range_min"), col("range_max"), col("gap_free"),
+            u256ToDecimal(col("result")).as("result"))
+      },
+      headline = true,
+    ),
+
     // state DB build (§3.1 stage 7).
     QueryDef(
       "zk_state_db",
