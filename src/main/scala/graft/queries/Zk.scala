@@ -248,8 +248,16 @@ object Zk {
       "zk_ingest_rpc",
       (s, _) => {
         import graft.sources.Eip1186Source
+        // cache key includes a content fingerprint of the fixture
+        // proofs, so a fixture change can never serve a stale dump
+        val tag = {
+          val h = graft.core.Keccak.keccak256(
+            Fixtures.storageProofsSeq(cfg).map(p => graft.core.Bytes.toHex(p.mpt_root))
+              .sorted.mkString("|").getBytes("UTF-8"))
+          graft.core.Bytes.toHex(h.take(8))
+        }
         val dir = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_rpc_dump_v1").getAbsolutePath
+          sys.props("java.io.tmpdir"), s"graft_rpc_dump_$tag").getAbsolutePath
         val marker = new java.io.File(dir, "_SUCCESS")
         if (!marker.exists()) Eip1186Source.writeFixtureDump(s, dir, cfg)
         val rows = ZkPipeline.verifyStorageProofs(
