@@ -284,20 +284,24 @@ object Fixtures {
     * ingest-throughput benchmarking): generated from `spark.range`, so
     * the data is born partitioned on the executors — no driver-side
     * materialization, the shape a real 100 TB backfill would have. */
-  def entriesScaled(spark: SparkSession, nBlocks: Int, keysPerBlock: Int): DataFrame = {
+  def entriesScaled(spark: SparkSession, nBlocks: Int, keysPerBlock: Int,
+      nContracts: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions.longToBytes32
-    spark.range(nBlocks.toLong * keysPerBlock)
+    // contract addresses as a tiny broadcast lookup (20-byte binaries
+    // can't be built with pure column ops)
+    val addrs = array((0 until nContracts).map(i => lit(contractAddr(i))): _*)
+    spark.range(nBlocks.toLong * keysPerBlock * nContracts)
       .select(
-        (lit(100L) + (col("id") / keysPerBlock).cast("long")).as("block_number"),
-        lit(contractAddr(0)).as("contract"),
+        (lit(100L) + (col("id") / (keysPerBlock.toLong * nContracts)).cast("long")).as("block_number"),
+        element_at(addrs, (pmod(col("id"), lit(nContracts.toLong)) + 1).cast("int")).as("contract"),
         lit(3).as("mapping_slot"),
         lit(4).as("length_slot"),
-        longToBytes32((col("id") % keysPerBlock) + 1).as("mapping_key"),
+        longToBytes32(pmod(col("id") / nContracts, lit(keysPerBlock.toLong)) + 1).as("mapping_key"),
         // owner is a function of the KEY (constant across blocks):
         // ownership is consistent over the whole range, so the scaled
         // table exercises Query2's all-blocks qualification for real
-        longToBytes32(pmod(xxhash64(col("id") % keysPerBlock), lit(20L)) + 1).as("value"))
+        longToBytes32(pmod(xxhash64(pmod(col("id") / nContracts, lit(keysPerBlock.toLong))), lit(20L)) + 1).as("value"))
   }
 
   def headers(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {

@@ -105,6 +105,19 @@ object Zk {
       headline = true,
     ),
 
+    // state DB at scale: 1000 blocks × 100 contracts × 10 keys = 1M
+    // entries → 100k storage-DB groups → 100k codegen'd state leaves
+    // folded into 1000 per-block roots — stage 7's shuffle + Merkle
+    // aggregation at volume.
+    QueryDef(
+      "zk_state_db_scale",
+      (s, _) => ZkPipeline.stateDb(ZkPipeline.storageDb(
+        Fixtures.entriesScaled(s, nBlocks = 1000, keysPerBlock = 10, nContracts = 100)))
+        .agg(count(lit(1)).as("n_blocks"), sum("n_contracts").as("n_leaves"),
+          countDistinct(hex(col("state_root"))).as("n_distinct_roots")),
+      headline = true,
+    ),
+
     // state DB build (§3.1 stage 7).
     QueryDef(
       "zk_state_db",
