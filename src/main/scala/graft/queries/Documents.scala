@@ -335,6 +335,57 @@ object Documents {
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin),
     ),
 
+    // dd7 — substring-level dedup (the Lee et al. "deduplicating
+    // training data" shape): 10-token grams exploded with positions,
+    // grams repeated ANYWHERE in the corpus found by one global
+    // groupBy (map-side combine), then each doc scored by its fraction
+    // of positions covered by a repeated gram. No pairwise work at
+    // all — cost is one shuffle of the gram table; at 100 TB the gram
+    // hash (not the text) crosses the wire.
+    QueryDef(
+      "dd7_substring_dedup",
+      (s, d) => {
+        val n = 10
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+          .select(col("doc_id"), col("arr"),
+            explode(when(size(col("arr")) >= n, sequence(lit(1), size(col("arr")) - (n - 1)))
+              .otherwise(array().cast("array<int>"))).as("i"))
+          .select(col("doc_id"), col("i"),
+            // hash the joined gram: only the 64-bit hash shuffles
+            xxhash64(concat_ws(" ", (0 until n).map(k => element_at(col("arr"), col("i") + k)): _*)).as("g"))
+        val repeated = grams.groupBy("g")
+          .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("ndocs"))
+          .filter(col("cnt") > 1)
+          .select(col("g"))
+        grams
+          .join(repeated, Seq("g"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_grams"))
+          .join(grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")), Seq("doc_id"), "right_outer")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+            (coalesce(col("n_dup_grams"), lit(0L)).cast("double") / col("n_grams").cast("double")).as("dup_fraction"))
+          .filter(col("dup_fraction") >= 0.05)
+          .orderBy("doc_id")
+      },
+      Some("""WITH arrs AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+             |pos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr)-9,0)+1)) AS i FROM arrs),
+             |grams AS (
+             |  SELECT doc_id, i,
+             |    hash(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] || ' ' ||
+             |         arr[i+5] || ' ' || arr[i+6] || ' ' || arr[i+7] || ' ' || arr[i+8] || ' ' || arr[i+9]) AS g
+             |  FROM pos),
+             |rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+             |dup AS (SELECT doc_id, count(*) AS n_dup_grams FROM grams SEMI JOIN rep USING (g) GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_grams, COALESCE(d.n_dup_grams, 0) AS n_dup_grams,
+             |  CAST(COALESCE(d.n_dup_grams, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS dup_fraction
+             |FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+             |WHERE CAST(COALESCE(d.n_dup_grams, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE) >= 0.05
+             |ORDER BY t.doc_id""".stripMargin),
+    ),
+
     // d7 — PII scrubbing: regex redaction of emails and phone-shaped
     // numbers with per-doc hit counts. The corpus is synthetic, so a
     // deterministic injector plants PII in a known subset on BOTH
