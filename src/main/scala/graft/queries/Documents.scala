@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.operators.ConnectedComponents
 
 /** Text-analysis + deduplication operators over the `documents` table —
   * the training-data-pipeline side of the engine (builder brief: exact
@@ -696,30 +698,7 @@ object Documents {
     // no per-bit join.
     QueryDef(
       "dd4_simhash_neardup",
-      (s, d) => {
-        // signatures are tiny (one row per doc) — persist so the
-        // 4-block candidate join reads them once, not once per branch
-        val sig = simhashDf(Tables.documents(s, d))
-          // integer form of the signature: hamming becomes one
-          // bit_count(xor) instead of 32 substring compares
-          .withColumn("sig_int", expr("CAST(conv(simhash, 2, 10) AS BIGINT)"))
-          // tiny (one row per doc) and feeds both join sides above the
-          // aggregation, which ReuseExchange alone would recompute
-          .persist()
-        val blk = sig
-          .select(col("doc_id"), col("simhash"), col("sig_int"), explode(sequence(lit(0), lit(3))).as("k"))
-          .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
-        val cand = blk.select(col("doc_id").as("doc_a"), col("sig_int").as("ia"), col("k"), col("blk"))
-          .join(blk.select(col("doc_id").as("doc_b"), col("sig_int").as("ib"), col("k"), col("blk")),
-            Seq("k", "blk"))
-          .filter(col("doc_a") < col("doc_b"))
-        // hamming filter runs BEFORE the dedup shuffle so only
-        // near-dup survivors get shuffled
-        cand.withColumn("hamming", expr("bit_count(ia ^ ib)"))
-          .filter(col("hamming") <= 3)
-          .select("doc_a", "doc_b", "hamming").distinct()
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => simhashPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $SimhashSql,
               |pairs AS (
               |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -734,5 +713,126 @@ object Documents {
               |WHERE $hamming32 <= 3
               |ORDER BY doc_a, doc_b""".stripMargin),
     ),
+
+    // dd8 — dedup CLUSTERS: the transitive closure of the dd4 near-dup
+    // pairs (a≈b, b≈c ⇒ one cluster), every doc labeled with its
+    // component (= min doc_id in the cluster), singletons included.
+    // Spark side: alternating large-star/small-star contraction
+    // (operators/ConnectedComponents) — two shuffles per round,
+    // O(log) rounds, no driver-side edge state. Oracle side: DuckDB
+    // recursive CTE computing min-label reachability.
+    QueryDef(
+      "dd8_dedup_clusters",
+      (s, d) => {
+        val pairs = simhashPairs(s, d).select("doc_a", "doc_b")
+        val docs  = Tables.documents(s, d).select("doc_id")
+        ConnectedComponents
+          .assign(s, pairs, docs)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $SimhashSql,
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.simhash AS sig_a, b.simhash AS sig_b
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+              |    substring(a.simhash,1,8)  = substring(b.simhash,1,8)  OR
+              |    substring(a.simhash,9,8)  = substring(b.simhash,9,8)  OR
+              |    substring(a.simhash,17,8) = substring(b.simhash,17,8) OR
+              |    substring(a.simhash,25,8) = substring(b.simhash,25,8))),
+              |npairs AS (SELECT doc_a, doc_b FROM pairs WHERE $hamming32 <= 3),
+              |edges AS (SELECT doc_a AS s, doc_b AS t FROM npairs
+              |          UNION SELECT doc_b, doc_a FROM npairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM sig
+              |  UNION
+              |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id)
+              |SELECT id AS doc_id, min(r) AS component
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // dd9 — cluster summary + canonical-doc selection: per cluster,
+    // keep the longest doc (tiebreak: lowest doc_id) — the "which copy
+    // survives dedup" decision a pretraining pipeline actually ships.
+    QueryDef(
+      "dd9_cluster_canon",
+      (s, d) => {
+        val pairs = simhashPairs(s, d).select("doc_a", "doc_b")
+        val docs  = Tables.documents(s, d)
+        val cc = ConnectedComponents
+          .assign(s, pairs, docs.select("doc_id"))
+          .withColumnRenamed("id", "doc_id")
+        val labeled = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+        val w = Window.partitionBy("component").orderBy(col("n_chars").desc, col("doc_id").asc)
+        val sel = labeled
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("doc_id").as("canon_doc"), col("n_chars").as("canon_chars"))
+        labeled
+          .groupBy("component").agg(count(lit(1)).as("n_docs"))
+          .join(sel, "component")
+          .select("component", "n_docs", "canon_doc", "canon_chars")
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE $SimhashSql,
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.simhash AS sig_a, b.simhash AS sig_b
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+              |    substring(a.simhash,1,8)  = substring(b.simhash,1,8)  OR
+              |    substring(a.simhash,9,8)  = substring(b.simhash,9,8)  OR
+              |    substring(a.simhash,17,8) = substring(b.simhash,17,8) OR
+              |    substring(a.simhash,25,8) = substring(b.simhash,25,8))),
+              |npairs AS (SELECT doc_a, doc_b FROM pairs WHERE $hamming32 <= 3),
+              |edges AS (SELECT doc_a AS s, doc_b AS t FROM npairs
+              |          UNION SELECT doc_b, doc_a FROM npairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM sig
+              |  UNION
+              |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id),
+              |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+              |labeled AS (
+              |  SELECT c.id AS doc_id, c.component, d.n_chars
+              |  FROM cc c JOIN documents d ON d.doc_id = c.id),
+              |sel AS (
+              |  SELECT component, doc_id AS canon_doc, n_chars AS canon_chars,
+              |    row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id ASC) AS rn
+              |  FROM labeled),
+              |agg AS (SELECT component, count(*) AS n_docs FROM labeled GROUP BY component)
+              |SELECT a.component, a.n_docs, s.canon_doc, s.canon_chars
+              |FROM agg a JOIN sel s ON s.component = a.component AND s.rn = 1
+              |ORDER BY a.component""".stripMargin),
+    ),
   )
+
+  /** SimHash hamming≤3 near-dup pairs (doc_a < doc_b) — the shared
+    * candidate-pair stage behind dd4 (pair listing) and dd8/dd9
+    * (transitive clustering). Blocking: the 4 8-bit signature blocks —
+    * by pigeonhole, any pair within hamming distance 3 agrees on at
+    * least one block, so the union of 4 equi-joins has perfect recall
+    * with no O(n²) scan.
+    */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    // signatures are tiny (one row per doc) — persist so the 4-block
+    // candidate join reads them once, not once per branch
+    val sig = simhashDf(Tables.documents(s, d))
+      // integer form of the signature: hamming becomes one
+      // bit_count(xor) instead of 32 substring compares
+      .withColumn("sig_int", expr("CAST(conv(simhash, 2, 10) AS BIGINT)"))
+      // tiny (one row per doc) and feeds both join sides above the
+      // aggregation, which ReuseExchange alone would recompute
+      .persist()
+    val blk = sig
+      .select(col("doc_id"), col("simhash"), col("sig_int"), explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
+    val cand = blk.select(col("doc_id").as("doc_a"), col("sig_int").as("ia"), col("k"), col("blk"))
+      .join(blk.select(col("doc_id").as("doc_b"), col("sig_int").as("ib"), col("k"), col("blk")),
+        Seq("k", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+    // hamming filter runs BEFORE the dedup shuffle so only near-dup
+    // survivors get shuffled
+    cand.withColumn("hamming", expr("bit_count(ia ^ ib)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming").distinct()
+  }
 }
