@@ -639,6 +639,44 @@ object Relational {
              |ORDER BY p.event_id""".stripMargin),
     ),
 
+    // Range (interval) join (graft.operators.RangeJoin): per order,
+    // how many lineitems (industry-wide) shipped inside its synthetic
+    // fulfillment window [o_orderdate, o_orderdate + (o_orderkey%30+1)
+    // days]. Spark has no native interval join — the naive BETWEEN
+    // predicate plans as BroadcastNestedLoopJoin — so the operator
+    // bin-explodes intervals to an equi-join on bin + residual filter.
+    // Points are pre-aggregated to day grain first, so the join scales
+    // with distinct days, not lineitem rows. Oracle: DuckDB's native
+    // inequality (IE) join.
+    QueryDef(
+      "rj1_range_join",
+      (s, d) => {
+        val pts = Tables.lineitem(s, d)
+          .select(unix_date(to_date(col("l_shipdate"))).as("dnum"))
+          .groupBy("dnum").agg(count(lit(1)).as("cnt"))
+        val iv = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          unix_date(to_date(col("o_orderdate"))).as("ws"),
+          unix_date(date_add(to_date(col("o_orderdate")), (col("o_orderkey") % 30 + 1).cast("int"))).as("we"))
+        val hits = graft.operators.RangeJoin
+          .pointInInterval(pts, "dnum", iv, "ws", "we", binWidth = 32)
+          .groupBy("o_orderkey").agg(sum("cnt").as("n_shipped"))
+        Tables.orders(s, d).select("o_orderkey")
+          .join(hits, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH pts AS (SELECT CAST(l_shipdate AS DATE) AS dd, count(*) AS cnt FROM lineitem GROUP BY 1),
+             |iv AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ws,
+             |       CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INTEGER) AS we FROM orders),
+             |hits AS (SELECT iv.o_orderkey, CAST(sum(p.cnt) AS BIGINT) AS n_shipped
+             |         FROM iv JOIN pts p ON p.dd >= iv.ws AND p.dd <= iv.we
+             |         GROUP BY iv.o_orderkey)
+             |SELECT o.o_orderkey, COALESCE(h.n_shipped, 0) AS n_shipped
+             |FROM orders o LEFT JOIN hits h ON h.o_orderkey = o.o_orderkey
+             |ORDER BY o.o_orderkey""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // §2.6 set operations (the reference only has digest-based set
     // *equality*; union/intersect/except come free with Spark and are

@@ -96,4 +96,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Broadcast"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("rj1: binned range join is an equi-join, never a nested loop") {
+    val p = plan("rj1_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
 }
