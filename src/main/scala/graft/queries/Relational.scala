@@ -677,6 +677,45 @@ object Relational {
              |ORDER BY o.o_orderkey""".stripMargin),
     ),
 
+    // MERGE (upsert) through the transactional versioned sink: base
+    // table → merge(updates with update/insert/delete) → snapshot
+    // read-back. Exercises the whole table-format path end-to-end
+    // (bucket copy-on-write, manifest commit, snapshot read); the
+    // oracle states MERGE semantics directly in SQL (replace matched
+    // keys, insert unmatched, drop delete-flagged).
+    QueryDef(
+      "vt_merge",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("vt_merge").toString
+        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
+        val base = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 7 =!= 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        vt.commit(base, Seq("o_orderkey"), None)
+        val updates = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            (col("o_orderkey") % 15 === 0).as("del"))
+        vt.merge(updates, Seq("o_orderkey"), Some(0), deleteCol = Some("del"))
+        vt.read().get.orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         (o_orderkey % 15 = 0) AS del
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |kept AS (
+             |  SELECT b.* FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
+             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del)
+             |SELECT * FROM kept UNION ALL SELECT * FROM ins
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // §2.6 set operations (the reference only has digest-based set
     // *equality*; union/intersect/except come free with Spark and are

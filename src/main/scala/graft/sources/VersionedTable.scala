@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Transactional versioned table — the reference's appendable
@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   *     version once and read only that manifest's immutable files;
   *     later commits never disturb them. [[read]] accepts an explicit
   *     version for time travel.
+  *   - **MERGE (upsert)**: [[merge]] rewrites only the buckets the
+  *     update keys hash into — matched keys are replaced, unmatched
+  *     inserted, rows flagged by the delete column removed. The
+  *     bucket layout is what makes row-level mutation affordable at
+  *     scale: cost is O(dirty buckets), not O(table).
+  *   - **Zone maps / data skipping**: a commit can record per-bucket
+  *     min/max for chosen numeric columns (`v%06d.stats` sidecar);
+  *     [[readPruned]] skips every bucket whose range cannot satisfy a
+  *     predicate — the manifest-level analog of parquet row-group
+  *     pruning, applied before any file is opened.
+  *   - **Compaction**: many small commits fragment a bucket across
+  *     version directories; [[compact]] rewrites every bucket into
+  *     one fresh version (readers on old versions are undisturbed).
   *   - **Retention**: [[vacuum]] deletes data files unreferenced by
   *     the kept manifests (age out old versions without breaking
   *     pinned readers inside the retention window).
@@ -39,18 +52,28 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
   private val latestFile = Paths.get(baseDir, "LATEST")
 
   private def manifestPath(v: Int): Path = manifestDir.resolve(f"v$v%06d.manifest")
+  private def statsPath(v: Int): Path = manifestDir.resolve(f"v$v%06d.stats")
 
   def currentVersion(): Option[Int] =
     if (Files.exists(latestFile)) Some(Files.readString(latestFile).trim.toInt) else None
 
   /** bucket assignment expression for the table key columns. */
-  def bucketCol(keys: Seq[String]): org.apache.spark.sql.Column =
+  def bucketCol(keys: Seq[String]): Column =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
   private def readManifest(v: Int): Map[Int, String] =
     Files.readAllLines(manifestPath(v)).asScala.filter(_.nonEmpty).map { line =>
       val Array(b, p) = line.split("\t", 2)
       b.toInt -> p
+    }.toMap
+
+  /** (bucket, column) → (min, max), compared as BigDecimal. Missing
+    * entries mean "unknown — never prune". */
+  private def readStats(v: Int): Map[(Int, String), (BigDecimal, BigDecimal)] =
+    if (!Files.exists(statsPath(v))) Map.empty
+    else Files.readAllLines(statsPath(v)).asScala.filter(_.nonEmpty).map { line =>
+      val Array(b, c, mn, mx) = line.split("\t", 4)
+      (b.toInt, c) -> (BigDecimal(mn), BigDecimal(mx))
     }.toMap
 
   /** snapshot read at `version` (default: latest); None if the table
@@ -65,12 +88,101 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
       dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
     }
 
+  /** buckets whose recorded [min,max] for `statCol` intersects
+    * [lo,hi] — plus every bucket with no recorded range (unknown is
+    * never prunable). Exposed for spec/introspection. */
+  def bucketsFor(statCol: String, lo: BigDecimal, hi: BigDecimal, version: Option[Int] = None): Seq[Int] =
+    version.orElse(currentVersion()).toSeq.flatMap { v =>
+      val stats = readStats(v)
+      readManifest(v).keys.filter { b =>
+        stats.get((b, statCol)) match {
+          case Some((mn, mx)) => hi >= mn && lo <= mx
+          case None => true
+        }
+      }.toSeq.sorted
+    }
+
+  /** snapshot read that SKIPS buckets whose zone map proves they hold
+    * no row with `statCol` in [lo,hi]. The caller still applies the
+    * exact predicate — pruning is a superset guarantee, same contract
+    * as parquet row-group skipping. */
+  def readPruned(statCol: String, lo: BigDecimal, hi: BigDecimal, version: Option[Int] = None): Option[DataFrame] =
+    version.orElse(currentVersion()).map { v =>
+      val man = readManifest(v)
+      val keep = bucketsFor(statCol, lo, hi, Some(v)).toSet
+      val dirs = man.filter { case (b, _) => keep.contains(b) }.values.toSeq.distinct
+      if (dirs.isEmpty) {
+        // every bucket pruned: preserve the schema, return no rows
+        val any = man.values.headOption.map(rel => spark.read.parquet(s"$baseDir/$rel"))
+        any.map(_.filter(lit(false))).getOrElse(spark.emptyDataFrame)
+      } else dirs.map(rel => spark.read.parquet(s"$baseDir/$rel")).reduce(_ unionByName _)
+    }
+
   /** Write `rows` (which must hold the COMPLETE contents of every
     * bucket they touch) as the dirty buckets of the next version;
-    * untouched buckets inherit the base manifest's files. Returns the
-    * committed version. Throws [[CommitConflict]] if another writer
-    * committed first (retry against the new base). */
-  def commit(rows: DataFrame, keys: Seq[String], expectedBase: Option[Int]): Int = {
+    * untouched buckets inherit the base manifest's files. `statsCols`
+    * (numeric) get per-bucket min/max zone maps recorded for
+    * [[readPruned]]. Returns the committed version. Throws
+    * [[CommitConflict]] if another writer committed first (retry
+    * against the new base). */
+  def commit(rows: DataFrame, keys: Seq[String], expectedBase: Option[Int],
+             statsCols: Seq[String] = Nil): Int =
+    commitInternal(rows, keys, expectedBase, forcedDirty = None, statsCols)
+
+  /** MERGE (upsert): for every key in `updates`, replace the current
+    * rows with that key; keys absent from the table are inserted; rows
+    * whose `deleteCol` is true are deleted instead. Only the buckets
+    * the update keys hash into are rewritten — every other bucket is
+    * inherited untouched. `updates` must carry the table schema (plus
+    * the optional delete flag) with one row per key. */
+  def merge(updates: DataFrame, keys: Seq[String], expectedBase: Option[Int],
+            deleteCol: Option[String] = None, statsCols: Seq[String] = Nil): Int = {
+    val base = currentVersion()
+    if (base != expectedBase)
+      throw new CommitConflict(s"base moved: expected $expectedBase, found $base")
+
+    val upd = updates.withColumn("__bucket", bucketCol(keys))
+    val dirty = upd.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
+
+    // survivors: current rows of the dirty buckets whose key is NOT
+    // being updated (bucket filter first — the anti-join only ever
+    // touches dirty-bucket rows)
+    val survivors = read(base) match {
+      case Some(cur) =>
+        cur.withColumn("__bucket", bucketCol(keys))
+          .filter(col("__bucket").isin(dirty.toSeq: _*))
+          .drop("__bucket")
+          .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      case None => null
+    }
+    val inserts = deleteCol match {
+      case Some(dc) => updates.filter(!col(dc)).drop(dc)
+      case None => updates
+    }
+    val newRows = if (survivors == null) inserts else survivors.unionByName(inserts)
+    commitInternal(newRows, keys, expectedBase, forcedDirty = Some(dirty), statsCols)
+  }
+
+  /** Rewrite EVERY bucket of the current version into fresh files —
+    * heals the fragmentation of many small copy-on-write commits
+    * (readers pinned to old versions are undisturbed; [[vacuum]]
+    * reclaims the old files once they age out). */
+  def compact(keys: Seq[String], expectedBase: Option[Int],
+              statsCols: Seq[String] = Nil): Int = {
+    val cur = read(expectedBase)
+      .getOrElse(throw new IllegalStateException("nothing to compact"))
+    commitInternal(cur, keys, expectedBase, forcedDirty = None, statsCols)
+  }
+
+  /** number of distinct data directories backing `version` — the
+    * fragmentation measure compaction collapses to 1 per bucket. */
+  def dataDirCount(version: Option[Int] = None): Int =
+    version.orElse(currentVersion()).map { v =>
+      readManifest(v).values.map(_.split("/__bucket=")(0)).toSet.size
+    }.getOrElse(0)
+
+  private def commitInternal(rows: DataFrame, keys: Seq[String], expectedBase: Option[Int],
+                             forcedDirty: Option[Set[Int]], statsCols: Seq[String]): Int = {
     val base = currentVersion()
     if (base != expectedBase)
       throw new CommitConflict(s"base moved: expected $expectedBase, found $base")
@@ -79,11 +191,36 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
 
     val bucketed = rows.withColumn("__bucket", bucketCol(keys))
     bucketed.write.partitionBy("__bucket").mode("overwrite").parquet(s"$baseDir/$dataRel")
-    val dirty = bucketed.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
+
+    // one pass over the freshly written files collects which buckets
+    // actually hold rows AND their zone-map ranges
+    val written = spark.read.parquet(s"$baseDir/$dataRel")
+    val aggs = statsCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val perBucket = written.groupBy("__bucket")
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+      .collect()
+    val populated = perBucket.map(_.getAs[Int]("__bucket")).toSet
+    // dirty = buckets this version logically rewrote (a merge that
+    // deletes a bucket empty still owns that bucket); dirty-but-empty
+    // buckets simply vanish from the manifest
+    val dirty = forcedDirty.getOrElse(populated)
 
     val inherited = base.map(readManifest).getOrElse(Map.empty)
     val mapping = inherited.filter { case (b, _) => !dirty.contains(b) } ++
-      dirty.map(b => b -> s"$dataRel/__bucket=$b")
+      (dirty & populated).map(b => b -> s"$dataRel/__bucket=$b")
+
+    val inheritedStats = base.map(readStats).getOrElse(Map.empty)
+      .filter { case ((b, _), _) => !dirty.contains(b) }
+    val freshStats = perBucket.flatMap { r =>
+      val b = r.getAs[Int]("__bucket")
+      statsCols.flatMap { c =>
+        (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) => Some((b, c) -> (BigDecimal(mn.toString), BigDecimal(mx.toString)))
+          case _ => None
+        }
+      }
+    }.toMap
+    val stats = inheritedStats ++ freshStats
 
     Files.createDirectories(manifestDir)
     val tmp = Files.createTempFile(manifestDir, "stage", ".tmp")
@@ -96,6 +233,14 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new CommitConflict(s"version $next already committed by another writer")
+    }
+    // stats sidecar lands after the manifest we won; readers that see
+    // the manifest before the stats just skip pruning (never wrong)
+    if (stats.nonEmpty) {
+      val stTmp = Files.createTempFile(manifestDir, "stats", ".tmp")
+      Files.writeString(stTmp, stats.toSeq.sortBy { case ((b, c), _) => (b, c) }
+        .map { case ((b, c), (mn, mx)) => s"$b\t$c\t$mn\t$mx" }.mkString("\n"))
+      Files.move(stTmp, statsPath(next), StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     }
     val ptrTmp = Files.createTempFile(Paths.get(baseDir), "latest", ".tmp")
     Files.writeString(ptrTmp, next.toString)
@@ -122,6 +267,6 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
         Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }
     }
-    drop.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    drop.foreach { v => Files.deleteIfExists(manifestPath(v)); Files.deleteIfExists(statsPath(v)) }
   }
 }

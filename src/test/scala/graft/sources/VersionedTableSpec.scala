@@ -100,4 +100,84 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.read(Some(2)).get.count() == 2, "retained version survives")
     intercept[Exception] { t.read(Some(0)).get.count() } // vacuumed away
   }
+
+  test("merge: update + insert + delete by key, untouched buckets inherited") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("vt5").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 8)
+    t.commit(df((0L until 64L).map(i => (i, s"n$i", i * 10))), Seq("k"), None)
+    val man0 = Files.readString(java.nio.file.Paths.get(dir, "_manifests", "v000000.manifest"))
+
+    // update k=3, insert k=100, delete k=5
+    val updates = Seq(
+      (3L, "UPDATED", 999L, false),
+      (100L, "NEW", 1L, false),
+      (5L, "x", 0L, true),
+    ).toDF("k", "name", "v", "del")
+    t.merge(updates, Seq("k"), Some(0), deleteCol = Some("del"))
+
+    val now = t.read().get
+    assert(now.count() == 64, "64 - 1 delete + 1 insert")
+    assert(now.filter(col("k") === 3L).head().getString(1) == "UPDATED")
+    assert(now.filter(col("k") === 100L).count() == 1)
+    assert(now.filter(col("k") === 5L).count() == 0)
+
+    // copy-on-write held: buckets untouched by {3,100,5} kept their v0 paths
+    val man1 = Files.readString(java.nio.file.Paths.get(dir, "_manifests", "v000001.manifest"))
+    val v0Lines = man0.split("\n").toSet
+    val inheritedCount = man1.split("\n").count(v0Lines.contains)
+    assert(inheritedCount >= 5, s"expected most of 8 buckets inherited, got $inheritedCount:\n$man1")
+
+    // time travel still sees the pre-merge row
+    assert(t.read(Some(0)).get.filter(col("k") === 5L).count() == 1)
+  }
+
+  test("compact collapses per-bucket fragmentation; data identical") {
+    val dir = Files.createTempDirectory("vt6").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 4)
+    // 6 single-key commits fragment buckets across version dirs
+    (0 until 6).foreach { i =>
+      t.commit(df(Seq((i.toLong, s"n$i", i.toLong))), Seq("k"),
+        if (i == 0) None else Some(i - 1))
+    }
+    assert(t.dataDirCount() > 1, "fragmented across version dirs")
+    val before = t.read().get.collect().map(_.toSeq).sortBy(_.toString)
+    val cv = t.compact(Seq("k"), Some(5))
+    assert(t.dataDirCount() == 1, "one data dir after compaction")
+    val after = t.read(Some(cv)).get.collect().map(_.toSeq).sortBy(_.toString)
+    assert(before.sameElements(after))
+  }
+
+  test("zone maps: readPruned skips buckets outside the predicate range") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("vt7").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 8)
+    // make v strongly bucket-correlated: v = k, keys spread over buckets
+    val rows = (0L until 400L).map(i => (i, s"n$i", i)).toDF("k", "name", "v")
+    t.commit(rows, Seq("k"), None, statsCols = Seq("v"))
+
+    val all = t.bucketsFor("v", BigDecimal(0), BigDecimal(400))
+    assert(all.size == 8, "every bucket overlaps the full range")
+    // v=k hashes across buckets, so a narrow range still hits several
+    // buckets — but a range NO row satisfies must prune everything
+    val none = t.bucketsFor("v", BigDecimal(1000), BigDecimal(2000))
+    assert(none.isEmpty, s"impossible range must prune all buckets, got $none")
+    assert(t.readPruned("v", BigDecimal(1000), BigDecimal(2000)).get.count() == 0)
+
+    // pruned read + exact predicate == full read + exact predicate
+    val lo = BigDecimal(10); val hi = BigDecimal(25)
+    val pruned = t.readPruned("v", lo, hi).get
+      .filter(col("v") >= 10 && col("v") <= 25).collect().map(_.toSeq).sortBy(_.toString)
+    val full = t.read().get
+      .filter(col("v") >= 10 && col("v") <= 25).collect().map(_.toSeq).sortBy(_.toString)
+    assert(pruned.sameElements(full))
+
+    // stats survive copy-on-write: touch one bucket, ranges persist
+    t.merge(Seq((1000L, "big", 5000L, false)).toDF("k", "name", "v", "del"),
+      Seq("k"), Some(0), deleteCol = Some("del"), statsCols = Seq("v"))
+    val hot = t.bucketsFor("v", BigDecimal(5000), BigDecimal(5000))
+    assert(hot.size == 1, s"only the merged bucket can hold v=5000, got $hot")
+  }
 }
