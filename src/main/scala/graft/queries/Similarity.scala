@@ -190,22 +190,56 @@ object Similarity {
       None,
     ),
 
-    // ss4 — float cosine top-k baseline (the conventional metric).
-    // Float summation order is engine-specific, so this is a rows-only
-    // check; the exact-ranking twin is ss1.
+    // ss4 — cosine top-k. Free-order float summation is not portable,
+    // but cosine OVER THE FIXED-POINT INTEGERS is: ip/na²/nq² are
+    // exact BIGINTs in both engines, and the final
+    // double(ip)/(sqrt(double(na²))·sqrt(double(nq²))) is a fixed
+    // 4-op IEEE-754 expression (correctly-rounded convert, sqrt,
+    // multiply, divide) — bit-identical in Spark and DuckDB. So the
+    // conventional metric gets a full hash-checked oracle after all.
     QueryDef(
       "ss4_cosine_topk",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        val dot = aggregate(zip_with(col("embedding"), col("qe"), (x, y) => x * y), lit(0.0d), (a, v) => a + v)
-        val na = sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), (a, v) => a + v))
-        val nb = sqrt(aggregate(transform(col("qe"), x => x * x), lit(0.0d), (a, v) => a + v))
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol)
+        val q = e.filter(col("vec_id") === 0).select(col("f").as("qf"))
+        val cosine = ip(col("f"), col("qf")).cast("double") /
+          (sqrt(ip(col("f"), col("f")).cast("double")) * sqrt(ip(col("qf"), col("qf")).cast("double")))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
-          .select(col("vec_id"), (dot / (na * nb)).as("cosine"))
+          .select(col("vec_id"), cosine.as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
+      },
+      Some(s"""WITH $FxSql,
+              |q AS (SELECT f AS qf FROM fx WHERE vec_id = 0),
+              |pos AS (SELECT e.vec_id, unnest(range(1, len(e.f)+1)) AS i, e.f AS f, q.qf AS qf
+              |        FROM fx e CROSS JOIN q WHERE e.vec_id <> 0),
+              |ips AS (SELECT vec_id,
+              |          sum(f[i] * qf[i]) AS ip,
+              |          sum(f[i] * f[i]) AS na2,
+              |          sum(qf[i] * qf[i]) AS nq2
+              |        FROM pos GROUP BY vec_id)
+              |SELECT vec_id,
+              |  CAST(ip AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nq2 AS DOUBLE))) AS cosine
+              |FROM ips ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+    ),
+
+    // ss6 — product-quantization ANN (operators.PqIndex): 32×-
+    // compressed codes, ADC lookup-table scan for the shortlist, exact
+    // fixed-point rerank on the shortlist only. Rows-only check
+    // (k-means codebooks are not SQL-expressible); recall and
+    // compression are asserted in PqIndexSpec.
+    QueryDef(
+      "ss6_ann_pq",
+      (s, d) => {
+        import graft.operators.PqIndex
+        val emb = Tables.embeddings(s, d)
+        val model = PqIndex.train(emb, m = 8, ksub = 16)
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        PqIndex.search(PqIndex.encode(emb.filter(col("vec_id") =!= 0), model), model, q,
+            shortlist = 50, k = 10)
+          .select("vec_id", "score")
       },
       None,
     ),
