@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge training — the actual
+  * tokenizer-training loop (Sennrich et al. 2016), not a regex
+  * approximation: start from characters, repeatedly count adjacent
+  * symbol pairs across the vocabulary (weighted by word frequency),
+  * merge the most frequent pair everywhere, emit the merge table.
+  *
+  * Scale shape: BPE training runs over the word-FREQUENCY table, not
+  * the corpus — the corpus reduce (tokenize + count) happens once and
+  * shrinks 100 TB of text to a vocabulary in the millions. Each merge
+  * round is then one explode + one partial/final count over the vocab
+  * plus a 1-row argmax to the driver; the per-round state (the re-
+  * segmented vocab) is persisted and the previous round unpersisted,
+  * so lineage stays O(1) deep. Ties break on (count desc, left,
+  * right) — a total order, so training is deterministic.
+  */
+object BpeTrainer {
+
+  final case class Rule(step: Int, left: String, right: String, count: Long)
+
+  /** `words`: (word: string, freq: long). Returns the merge table in
+    * application order. */
+  def train(words: DataFrame, merges: Int): Seq[Rule] = {
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var syms = words.select(
+      col("freq"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .persist()
+    syms.count() // materialize before the loop mutates the lineage
+
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val top = syms
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms)-1)," +
+            " i -> struct(element_at(syms, i) AS l, element_at(syms, CAST(i+1 AS INT)) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += Rule(step, l, r, cnt)
+        val mergeUdf = udf((s: Seq[String]) => mergeOnce(s, l, r))
+        val next = syms.select(col("freq"), mergeUdf(col("syms")).as("syms")).persist()
+        next.count()
+        syms.unpersist()
+        syms = next
+        step += 1
+      }
+    }
+    syms.unpersist()
+    rules.toSeq
+  }
+
+  /** left-to-right, non-overlapping single-pair merge — the exact
+    * greedy semantics the reference trainer and the spec's pure-Scala
+    * twin both use. */
+  def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+}

@@ -803,6 +803,91 @@ object Documents {
               |FROM agg a JOIN sel s ON s.component = a.component AND s.rn = 1
               |ORDER BY a.component""".stripMargin),
     ),
+    // dd10 — INCREMENTAL dedup: a delta batch (doc_id % 10 == 0)
+    // arrives against an existing corpus (the rest). Each delta doc is
+    // verdicted exact_dup (md5 content match in corpus), near_dup
+    // (simhash hamming ≤ 3 vs corpus), or keep — without re-clustering
+    // the corpus. The joins are delta-driven: content-hash equi-join
+    // plus the 4-block simhash equi-join, so ingest cost scales with
+    // the delta (corpus side is the probed build), the production
+    // shape for continuous corpus growth.
+    QueryDef(
+      "dd10_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isDelta = col("doc_id") % 10 === 0
+        val hx = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        val exact = hx.filter(isDelta).join(
+            hx.filter(!isDelta).select(col("doc_id").as("cid"), col("h")), Seq("h"))
+          .groupBy("doc_id").agg(min("cid").as("em"))
+
+        val sig = simhashDf(docs).persist()
+        val blk = sig.select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(3))).as("k"))
+          .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
+        val near = blk.filter(isDelta)
+          .select(col("doc_id"), col("simhash").as("sig_a"), col("k"), col("blk"))
+          .join(blk.filter(!isDelta)
+            .select(col("doc_id").as("cid"), col("simhash").as("sig_b"), col("k"), col("blk")),
+            Seq("k", "blk"))
+          .select("doc_id", "cid", "sig_a", "sig_b").distinct()
+          .filter(expr(hamming32) <= 3)
+          .groupBy("doc_id").agg(min("cid").as("nm"))
+
+        docs.filter(isDelta).select("doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            when(col("em").isNotNull, "exact_dup")
+              .when(col("nm").isNotNull, "near_dup")
+              .otherwise("keep").as("verdict"),
+            coalesce(col("em"), col("nm"), lit(-1L)).as("match_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $SimhashSql,
+              |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |ex AS (
+              |  SELECT dh.doc_id, min(ch.doc_id) AS em
+              |  FROM hx dh JOIN hx ch ON dh.h = ch.h AND ch.doc_id % 10 <> 0
+              |  WHERE dh.doc_id % 10 = 0 GROUP BY dh.doc_id),
+              |db AS (
+              |  SELECT doc_id, simhash, p, substring(simhash, p*8+1, 8) AS blk
+              |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS p) ps),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id, b.doc_id AS cid, a.simhash AS sig_a, b.simhash AS sig_b
+              |  FROM db a JOIN db b ON a.p = b.p AND a.blk = b.blk
+              |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+              |nr AS (SELECT doc_id, min(cid) AS nm FROM cand WHERE $hamming32 <= 3 GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  CASE WHEN e.em IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.nm IS NOT NULL THEN 'near_dup'
+              |       ELSE 'keep' END AS verdict,
+              |  COALESCE(e.em, n.nm, -1) AS match_id
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              |LEFT JOIN ex e ON e.doc_id = d.doc_id
+              |LEFT JOIN nr n ON n.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+    ),
+    // d10 — real BPE merge-table training (not the regex
+    // approximation d1b uses for counting): 8 merge rounds over the
+    // top-2000 word-frequency table. Rows-only registry check — the
+    // iterative argmax-and-merge loop is not SQL-expressible — with
+    // the pure-Scala golden twin asserted in BpeTrainerSpec.
+    QueryDef(
+      "d10_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        val words = tokens(Tables.documents(s, d))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("w")).limit(2000)
+          .withColumnRenamed("w", "word")
+        graft.operators.BpeTrainer.train(words, merges = 8)
+          .map(r => (r.step, r.left, r.right, r.left + r.right, r.count))
+          .toDF("step", "left", "right", "merged", "cnt")
+      },
+      None,
+    ),
   )
 
   /** SimHash hamming≤3 near-dup pairs (doc_a < doc_b) — the shared
