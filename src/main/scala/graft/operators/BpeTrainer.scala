@@ -22,9 +22,57 @@ object BpeTrainer {
 
   final case class Rule(step: Int, left: String, right: String, count: Long)
 
+  /** Below this many vocabulary entries the merge loop runs on the
+    * driver over the collected word-frequency table — which is how
+    * production tokenizer trainers work, because the vocab (not the
+    * corpus) is the loop's working set and it usually fits. The
+    * distributed loop below exists for the unbounded-vocab case.
+    * Both paths share [[mergeOnce]] and the tie-break, and the spec
+    * pins them equal. */
+  val DriverVocabCap = 200000L
+
   /** `words`: (word: string, freq: long). Returns the merge table in
     * application order. */
-  def train(words: DataFrame, merges: Int): Seq[Rule] = {
+  def train(words: DataFrame, merges: Int, driverCap: Long = DriverVocabCap): Seq[Rule] = {
+    if (words.count() <= driverCap) {
+      val freqs = words.select(col("word"), col("freq").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      return trainLocal(freqs, merges)
+    }
+    trainDistributed(words, merges)
+  }
+
+  /** sequential merge loop over a collected vocabulary. */
+  def trainLocal(freqs: Seq[(String, Long)], merges: Int): Seq[Rule] = {
+    var words: Map[Vector[String], Long] = freqs
+      .map { case (w, f) => w.map(_.toString).toVector -> f }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var step = 1
+    var done = false
+    while (step <= merges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += Rule(step, l, r, c)
+        words = words.map { case (syms, f) => mergeOnce(syms, l, r).toVector -> f }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def trainDistributed(words: DataFrame, merges: Int): Seq[Rule] = {
     val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
     var syms = words.select(
       col("freq"),

@@ -33,11 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Below this many (distinct) edges the graph is solved on the
+    * driver with union-find instead of shuffle rounds — each star
+    * contraction round costs 4 shuffles + a checkpoint, so a graph
+    * that fits driver memory is solved orders of magnitude faster
+    * sequentially (5M edges ≈ 80 MB collected, < 1 s of union-find).
+    * Near-dup graphs are tiny relative to their corpus (edges ≈ dup
+    * pairs), so in practice the distributed path is for the 100 TB
+    * runs it exists for. Both paths are spec'd identical.
+    */
+  val DriverGraphCap = 5000000L
+
   /** Core fixpoint: edges (two numeric columns, undirected) →
     * (id, component) for every node that appears in an edge, where
     * component = the minimum node id of the connected component.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+          driverCap: Long = DriverGraphCap): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.mkString(",")}")
 
@@ -46,6 +58,8 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+
+    if (e.count() <= driverCap) return runLocal(spark, e)
 
     var prevSig: (Long, Long) = (-1L, -1L)
     var converged = false
@@ -97,14 +111,38 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** driver-side union-find (path-halving, iterative — no recursion
+    * depth limit) for graphs under [[DriverGraphCap]]. */
+  private def runLocal(spark: SparkSession, e: DataFrame): DataFrame = {
+    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.toSeq
+    import spark.implicits._
+    ids.map(id => (id, find(id))).toDF("id", "component")
+  }
+
   /** `run` plus singleton completion: every id in `nodes` absent from
     * the edge set becomes its own component. This is the form a dedup
     * pipeline wants — every document gets a cluster id.
     */
-  def assign(spark: SparkSession, edges: DataFrame, nodes: DataFrame, maxIter: Int = 50): DataFrame = {
+  def assign(spark: SparkSession, edges: DataFrame, nodes: DataFrame, maxIter: Int = 50,
+             driverCap: Long = DriverGraphCap): DataFrame = {
     val idCol  = nodes.columns.head
     val allIds = nodes.select(col(idCol).cast("long").as("id")).distinct()
-    val linked = run(spark, edges, maxIter)
+    val linked = run(spark, edges, maxIter, driverCap)
     val singletons = allIds
       .join(linked.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))

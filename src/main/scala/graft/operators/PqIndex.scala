@@ -91,11 +91,19 @@ object PqIndex {
     val slices = sampled.select(
       (0 until m).map(j => slice(col("embedding"), j * subDim + 1, subDim).as(s"s$j")): _*)
       .persist()
-    val books = (0 until m).map { j =>
-      val withVec = slices.select(array_to_vector(col(s"s$j")).as("features"))
-      val km = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).setFeaturesCol("features")
-      km.fit(withVec).clusterCenters.map(_.toArray.map(_.toFloat))
-    }.toArray
+    slices.count() // materialize once, before the concurrent fits race to do it
+    // the m sub-quantizer fits are independent — run them as
+    // concurrent Spark jobs (fair-scheduled within the session)
+    // instead of serially paying m× the fit latency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val books = Await.result(
+      Future.sequence((0 until m).map { j => Future {
+        val withVec = slices.select(array_to_vector(col(s"s$j")).as("features"))
+        val km = new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10).setFeaturesCol("features")
+        km.fit(withVec).clusterCenters.map(_.toArray.map(_.toFloat))
+      }}), Duration.Inf).toArray
     slices.unpersist()
     Model(m, ksub, subDim, books)
   }

@@ -915,9 +915,13 @@ object Documents {
         Seq("k", "blk"))
       .filter(col("doc_a") < col("doc_b"))
     // hamming filter runs BEFORE the dedup shuffle so only near-dup
-    // survivors get shuffled
+    // survivors get shuffled. The surviving pair set is tiny relative
+    // to the candidate join that produces it — persist it so dd4/dd8/
+    // dd9 (which all start from these pairs) compute the join once per
+    // session (CacheManager matches the canonicalized plan).
     cand.withColumn("hamming", expr("bit_count(ia ^ ib)"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming").distinct()
+      .persist()
   }
 }

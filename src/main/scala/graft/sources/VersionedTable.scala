@@ -189,16 +189,21 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     val next = base.getOrElse(-1) + 1
     val dataRel = f"data/v$next%06d"
 
+    // shuffle rows to their bucket before the partitioned write — one
+    // file per bucket instead of (tasks × buckets) small files; persist
+    // so the write and the bucket-stats pass share one computation
     val bucketed = rows.withColumn("__bucket", bucketCol(keys))
+      .repartition(nBuckets, col("__bucket"))
+      .persist()
     bucketed.write.partitionBy("__bucket").mode("overwrite").parquet(s"$baseDir/$dataRel")
 
-    // one pass over the freshly written files collects which buckets
-    // actually hold rows AND their zone-map ranges
-    val written = spark.read.parquet(s"$baseDir/$dataRel")
+    // which buckets actually hold rows, and their zone-map ranges —
+    // answered from the persisted shuffle output, no file read-back
     val aggs = statsCols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
-    val perBucket = written.groupBy("__bucket")
+    val perBucket = bucketed.groupBy("__bucket")
       .agg(count(lit(1)).as("__n"), aggs: _*)
       .collect()
+    bucketed.unpersist()
     val populated = perBucket.map(_.getAs[Int]("__bucket")).toSet
     // dirty = buckets this version logically rewrote (a merge that
     // deletes a bucket empty still owns that bucket); dirty-but-empty

@@ -58,11 +58,15 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val freqs = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
     val df = freqs.toSeq.toDF("word", "freq")
-    val got = BpeTrainer.train(df, merges = 6).map(r => (r.left, r.right, r.count))
     val want = refTrain(freqs, merges = 6)
-    assert(got == want, s"\ngot:  $got\nwant: $want")
-    // the canonical first merges for this corpus: ('e','s') then ('es','t')
-    assert(got.take(2).map(t => (t._1, t._2)) == Seq(("e", "s"), ("es", "t")))
+    // driverCap=0 forces the distributed loop; the default takes the
+    // collected-vocab fast path — both must equal the reference
+    for (cap <- Seq(0L, BpeTrainer.DriverVocabCap)) {
+      val got = BpeTrainer.train(df, merges = 6, driverCap = cap).map(r => (r.left, r.right, r.count))
+      assert(got == want, s"cap=$cap:\ngot:  $got\nwant: $want")
+      // the canonical first merges for this corpus: ('e','s') then ('es','t')
+      assert(got.take(2).map(t => (t._1, t._2)) == Seq(("e", "s"), ("es", "t")))
+    }
   }
 
   test("merge loop stops when no pairs remain (single-char vocab)") {

@@ -48,11 +48,16 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val nodes = s.range(n).toDF("id")
     val e     = edges.toDF("u", "v")
-    val got = ConnectedComponents.assign(spark, e, nodes)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(n, edges)
-    assert(got.size == n, s"expected $n labeled nodes, got ${got.size}")
-    assert(got == want)
+    // both paths must agree with the reference: driverCap=0 forces the
+    // distributed star-contraction rounds, the default takes the
+    // driver union-find fast path
+    for (cap <- Seq(0L, ConnectedComponents.DriverGraphCap)) {
+      val got = ConnectedComponents.assign(spark, e, nodes, driverCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == n, s"cap=$cap: expected $n labeled nodes, got ${got.size}")
+      assert(got == want, s"cap=$cap mismatch")
+    }
   }
 
   test("deep chain collapses to one component rooted at the minimum") {
