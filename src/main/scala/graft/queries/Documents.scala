@@ -869,6 +869,69 @@ object Documents {
               |LEFT JOIN nr n ON n.doc_id = d.doc_id
               |ORDER BY d.doc_id""".stripMargin),
     ),
+    // dd_scale — the dedup family at 1M documents, executor-born (no
+    // driver-side data), one summary row out. This is the 100 TB dress
+    // rehearsal for the whole family: exact dedup (hash groupBy),
+    // near-dup detection, and transitive clustering — with the LSH
+    // knob turned for corpus size: a 64-bit SimHash with 4×16-bit
+    // pigeonhole blocks (≈15 docs per bucket at 1M, where the 8-bit
+    // blocks dd4 uses at 5k docs would put ~3900 docs in each bucket
+    // and quadratically explode the candidate join). Planted
+    // structure: every 97th doc is an exact copy, every 101st/next a
+    // one-word-changed near copy — so all counts are deterministic.
+    QueryDef(
+      "dd_scale_1m",
+      (s, _) => {
+        val n = 1000000L
+        val docs = s.range(n).select(
+          col("id").as("doc_id"),
+          expr("CASE WHEN id % 97 = 96 THEN id - 1 ELSE id END").as("uid"))
+          .select(col("doc_id"),
+            expr("CASE WHEN uid % 101 <= 1 THEN uid - (uid % 101) ELSE uid END").as("seed"),
+            col("uid"))
+        val text = concat_ws(" ",
+          (1 to 19).map(j => concat(lit("w"), pmod(xxhash64(col("seed"), lit(j)), lit(50000L)))) :+
+            concat(lit("u"), col("uid")): _*)
+        val corpus = docs.select(col("doc_id"), text.as("text"))
+
+        val nExact = corpus.select(md5(col("text").cast("binary")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(sum(col("c") - 1)).head().getLong(0)
+
+        val sums = (0 until 64).map { p =>
+          sum(expr(s"CASE WHEN (h >> $p) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$p")
+        }
+        val sigExpr = (0 until 64).map(p =>
+          when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+        val sig = corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w")).distinct()
+          .withColumn("h", xxhash64(col("w")))
+          .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+          .select(col("doc_id"), sigExpr.as("sig"))
+          .persist()
+        val blk = sig.select(col("doc_id"), col("sig"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+          .withColumn("blk", expr("(sig >> (k * 16)) & 65535"))
+        val pairs = blk.select(col("doc_id").as("a"), col("sig").as("sa"), col("k"), col("blk"))
+          .join(blk.select(col("doc_id").as("b"), col("sig").as("sb"), col("k"), col("blk")),
+            Seq("k", "blk"))
+          .filter(col("a") < col("b"))
+          .withColumn("hm", expr("bit_count(sa ^ sb)"))
+          .filter(col("hm") <= 3)
+          .select("a", "b").distinct()
+          .persist()
+        val nPairs = pairs.count()
+        val nClusters = graft.operators.ConnectedComponents.run(s, pairs)
+          .select("component").distinct().count()
+        sig.unpersist(); pairs.unpersist()
+
+        import s.implicits._
+        Seq((n, nExact, nPairs, nClusters))
+          .toDF("n_docs", "n_exact_dup_docs", "n_near_pairs", "n_clusters")
+      },
+      None,
+    ),
+
     // d10 — real BPE merge-table training (not the regex
     // approximation d1b uses for counting): 8 merge rounds over the
     // top-2000 word-frequency table. Rows-only registry check — the

@@ -716,6 +716,52 @@ object Relational {
              |ORDER BY o_orderkey""".stripMargin),
     ),
 
+    // CDC read on the versioned sink: the classified row-level delta
+    // between two committed versions, computed from ONLY the buckets
+    // whose manifest entries changed. Same base/updates derivation as
+    // vt_merge; the oracle restates insert/delete/update semantics
+    // directly over the source table.
+    QueryDef(
+      "vt_diff",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("vt_diff").toString
+        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
+        val base = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 7 =!= 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        vt.commit(base, Seq("o_orderkey"), None)
+        val updates = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(
+            col("o_orderkey"),
+            col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            (col("o_orderkey") % 15 === 0).as("del"))
+        vt.merge(updates, Seq("o_orderkey"), Some(0), deleteCol = Some("del"))
+        vt.diff(Seq("o_orderkey"), 0, 1).orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         (o_orderkey % 15 = 0) AS del
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |ins AS (
+             |  SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, 'insert' AS change_type
+             |  FROM upd u WHERE NOT u.del
+             |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = u.o_orderkey)),
+             |dels AS (
+             |  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, 'delete' AS change_type
+             |  FROM base b JOIN upd u ON u.o_orderkey = b.o_orderkey WHERE u.del),
+             |upds AS (
+             |  SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, 'update' AS change_type
+             |  FROM base b JOIN upd u ON u.o_orderkey = b.o_orderkey
+             |  WHERE NOT u.del
+             |    AND (b.o_custkey <> u.o_custkey OR b.o_totalprice <> u.o_totalprice))
+             |SELECT * FROM ins UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM upds
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // §2.6 set operations (the reference only has digest-based set
     // *equality*; union/intersect/except come free with Spark and are

@@ -144,6 +144,46 @@ object Similarity {
               |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
+    // ss7 — BATCHED ANN: a whole workload of query vectors answered in
+    // ONE pass — queries join candidates on the shared LSH bucket (one
+    // equi-join, not one probe per query), then a per-query top-5 via
+    // rank window. This is the serving shape for bulk retrieval
+    // (dataset curation, hard-negative mining): throughput scales with
+    // the join, not the query count. Exact fixed-point scoring → fully
+    // oracle-checked.
+    QueryDef(
+      "ss7_batch_ann_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol).withColumn("bucket", sigCol)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("f").as("qf"), col("bucket"))
+        val cand = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("f"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)
+        cand.join(q, Seq("bucket"))
+          .select(col("qid"), col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("qid", "vec_id", "ip", "rk")
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH $FxSql,
+              |sig AS (SELECT vec_id, f, $sigSql AS bucket FROM fx),
+              |q AS (SELECT vec_id AS qid, f AS qf, bucket FROM sig WHERE vec_id < 5),
+              |cand AS (SELECT vec_id, f, bucket FROM sig WHERE vec_id >= 5),
+              |pairs AS (
+              |  SELECT q.qid, c.vec_id, c.f, q.qf
+              |  FROM cand c JOIN q ON c.bucket = q.bucket),
+              |pos AS (SELECT qid, vec_id, unnest(range(1, len(f)+1)) AS i, f, qf FROM pairs),
+              |ips AS (SELECT qid, vec_id, CAST(sum(f[i] * qf[i]) AS BIGINT) AS ip
+              |        FROM pos GROUP BY qid, vec_id),
+              |ranked AS (SELECT qid, vec_id, ip,
+              |    row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id ASC) AS rk
+              |  FROM ips)
+              |SELECT qid, vec_id, ip, rk FROM ranked WHERE rk <= 5
+              |ORDER BY qid, rk""".stripMargin),
+    ),
+
     // dd5 — embedding near-dup pairs (the embedding-cosine dedup from
     // the brief, in exact fixed-point IP form): candidate pairs share
     // a sign-projection bucket (blocked equi-join, never O(n²)), then

@@ -149,6 +149,30 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before.sameElements(after))
   }
 
+  test("diff classifies insert/delete/update and skips unchanged buckets") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("vt8").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 8)
+    t.commit(df((0L until 64L).map(i => (i, s"n$i", i * 10))), Seq("k"), None)
+    val updates = Seq(
+      (3L, "UPDATED", 999L, false), // update
+      (100L, "NEW", 1L, false),     // insert
+      (5L, "x", 0L, true),          // delete
+      (7L, "n7", 70L, false),       // no-op rewrite: same values
+    ).toDF("k", "name", "v", "del")
+    t.merge(updates, Seq("k"), Some(0), deleteCol = Some("del"))
+
+    val d = t.diff(Seq("k"), 0, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(d.toSeq == Seq(
+      (3L, "UPDATED", 999L, "update"),
+      (5L, "n5", 50L, "delete"),
+      (100L, "NEW", 1L, "insert"),
+    ), d.mkString(", "))
+  }
+
   test("zone maps: readPruned skips buckets outside the predicate range") {
     val s2 = spark
     import s2.implicits._
