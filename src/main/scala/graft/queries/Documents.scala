@@ -136,6 +136,15 @@ object Documents {
   private def mhSlot(j: Int, base: String): String =
     s"(${MhA(j)} * (($base) % $MhM) + ${MhB(j)}) % $MhM"
 
+  /** DuckDB positional parse of the first 15 hex digits of an
+    * arbitrary md5-hex SQL expression → BIGINT (the generic form of
+    * [[mhBaseDuck]]). */
+  private def MhDuckParse(md5Expr: String): String =
+    (0 until 15).map { k =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(14 - k)
+      s"(instr('0123456789abcdef', substring($md5Expr, ${k + 1}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -930,6 +939,38 @@ object Documents {
           .toDF("n_docs", "n_exact_dup_docs", "n_near_pairs", "n_clusters")
       },
       None,
+    ),
+
+    // d11 — WEIGHTED sampling without replacement (Efraimidis-
+    // Spirakis A-Res): key = ln(u)/w with u a deterministic md5-
+    // derived uniform, take the top-100 keys — longer (higher-weight)
+    // docs are proportionally likelier, yet the draw is reproducible
+    // and engine-portable (u is exact integer arithmetic; the ln/÷
+    // ranking evaluates identically on both engines' IEEE doubles).
+    // One TakeOrderedAndProject, no shuffle of the corpus — the
+    // quality-weighted subset selection step of a curation pipeline.
+    QueryDef(
+      "d11_weighted_sample",
+      (s, d) => {
+        // u in (0,1]: (H+1)/2^60 with H the first 15 md5 hex digits
+        val u = (expr("CAST(conv(substring(md5(concat('samp|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") + 1
+          ).cast("double") / lit(math.pow(2, 60))
+        // the es_key ranking stays internal: ln() differs by 1 ulp
+        // between engines, which is invisible to the ORDER (keys are
+        // far apart) but not to a rendered double column
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), (log(u) / col("n_chars")).as("es_key"))
+          .orderBy(col("es_key").desc, col("doc_id"))
+          .limit(100)
+          .select("doc_id", "n_chars")
+      },
+      Some(s"""WITH keyed AS (
+              |  SELECT doc_id, n_chars,
+              |    ln((${MhDuckParse("md5('samp|' || CAST(doc_id AS VARCHAR))")} + 1) / 1152921504606846976.0)
+              |      / n_chars AS es_key
+              |  FROM documents)
+              |SELECT doc_id, n_chars FROM keyed
+              |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin),
     ),
 
     // d10 — real BPE merge-table training (not the regex

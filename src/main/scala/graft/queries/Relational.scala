@@ -892,6 +892,38 @@ object Relational {
       None,
     ),
 
+    // Data profiling: per-column summary statistics (nulls, distinct
+    // cardinality, min/max, exact-decimal mean) in one pass per
+    // column — the "what is in this table" report a pipeline runs
+    // before trusting a new source. Mean goes through an exact
+    // DECIMAL sum then one double division, so it is bit-stable
+    // across engines and partitionings.
+    QueryDef(
+      "dq2_profile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          li.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("min_v"),
+            max(col(c)).cast("double").as("max_v"),
+            (sum(col(c).cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("mean_v"))
+            .select(lit(c).as("col_name"), col("*"))
+        }.reduce(_ unionByName _).orderBy("col_name")
+      },
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    ),
+
     // Data-quality constraint report (operators.Constraints — the
     // reference's integrity checks generalized): null checks, key
     // uniqueness, value ranges, referential integrity, dense

@@ -184,6 +184,50 @@ object Similarity {
               |ORDER BY qid, rk""".stripMargin),
     ),
 
+    // ss8 — MULTI-PROBE LSH ANN: probe the query's bucket AND the 8
+    // buckets at hamming distance 1 from its signature (flip each
+    // plane bit once) — the standard recall knob that avoids building
+    // more tables: candidates grow from n/256 to 9n/256 while recall
+    // jumps, and the probe set is computed from the signature alone.
+    // Exact fixed-point rerank → fully oracle-checked.
+    QueryDef(
+      "ss8_multiprobe_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol).withColumn("bucket", sigCol)
+        val q = e.filter(col("vec_id") === 0).select(col("f").as("qf"), col("bucket").as("qb"))
+        // qb plus its 8 one-bit flips
+        val flips = (1 to Planes).map { i =>
+          concat(
+            substring(col("qb"), 1, i - 1),
+            when(substring(col("qb"), i, 1) === "1", "0").otherwise("1"),
+            substring(col("qb"), i + 1, Planes - i))
+        }
+        val probes = q.select(col("qf"), explode(array(col("qb") +: flips: _*)).as("bucket"))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(probes), Seq("bucket"))
+          .select(col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .orderBy(col("ip").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $FxSql,
+              |sig AS (SELECT vec_id, f, $sigSql AS bucket FROM fx),
+              |q AS (SELECT f AS qf, bucket AS qb FROM sig WHERE vec_id = 0),
+              |probes AS (
+              |  SELECT qf, qb AS bucket FROM q
+              |  UNION ALL
+              |  SELECT qf,
+              |    substring(qb, 1, i-1) ||
+              |    (CASE WHEN substring(qb, i, 1) = '1' THEN '0' ELSE '1' END) ||
+              |    substring(qb, i+1, 8-i) AS bucket
+              |  FROM q CROSS JOIN (SELECT unnest(range(1, 9)) AS i) idx),
+              |cand AS (
+              |  SELECT s.vec_id, s.f, p.qf FROM sig s JOIN probes p ON s.bucket = p.bucket
+              |  WHERE s.vec_id <> 0),
+              |pos AS (SELECT vec_id, unnest(range(1, len(f)+1)) AS i, f, qf FROM cand),
+              |ips AS (SELECT vec_id, CAST(sum(f[i] * qf[i]) AS BIGINT) AS ip FROM pos GROUP BY vec_id)
+              |SELECT vec_id, ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
+    ),
+
     // dd5 — embedding near-dup pairs (the embedding-cosine dedup from
     // the brief, in exact fixed-point IP form): candidate pairs share
     // a sign-projection bucket (blocked equi-join, never O(n²)), then
