@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composed index (IVF coarse quantizer + PQ over the
+  * RESIDUALS, the FAISS `IVFx,PQy` shape): vectors are routed to a
+  * posting list by the coarse quantizer, and what gets PQ-coded is the
+  * residual `v − centroid(list)`, which has far less variance than `v`
+  * itself, so the same code budget quantizes much finer.
+  *
+  * Search: for each probed list, the query's IP against a member
+  * decomposes as `⟨q,v⟩ = ⟨q,c_l⟩ + ⟨q, r_v⟩` — a per-list scalar bias
+  * (driver-computed) plus an ADC lookup-sum over the residual code
+  * against the per-list table of `⟨q_j, codebook_{j,i}⟩`. The scan
+  * per probed list is a filter on the partition-prunable `list_id`
+  * plus m table lookups per row; raw vectors are touched only for the
+  * exact rerank of the shortlist.
+  */
+object IvfPq {
+
+  final case class Model(ivf: IvfIndex.Model, pq: PqIndex.Model) {
+    def centroid(l: Int): Array[Float] = ivf.centroids.find(_._1 == l).get._2
+  }
+
+  /** residual column: embedding − centroid(list_id), via an inlined
+    * centroid literal table (nlist × dims literals — tiny). */
+  private def residualCol(model: IvfIndex.Model): Column = {
+    val cents = array(model.centroids.sortBy(_._1).map { case (_, c) =>
+      array(c.map(x => lit(x.toDouble)): _*)
+    }: _*)
+    zip_with(col("embedding"), element_at(cents, col("list_id") + 1),
+      (x, c) => x.cast("double") - c)
+  }
+
+  def train(embeddings: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+            seed: Long = 42L): Model = {
+    val ivf = IvfIndex.train(embeddings, nlist, seed)
+    val assigned = IvfIndex.assign(embeddings, ivf)
+    // PQ codebooks fit on the residual distribution (cast back to
+    // float — the PQ trainer's input column type)
+    val residuals = assigned
+      .withColumn("embedding", transform(residualCol(ivf), x => x.cast("float")))
+      .select("embedding")
+    Model(ivf, PqIndex.train(residuals, m, ksub, seed))
+  }
+
+  /** attach `list_id` and the residual `code` column. */
+  def encode(embeddings: DataFrame, model: Model): DataFrame = {
+    val assigned = IvfIndex.assign(embeddings, model.ivf)
+    val bc = embeddings.sparkSession.sparkContext.broadcast(model.pq)
+    val enc = udf((res: Seq[Double]) => bc.value.encodeOne(res.map(_.toFloat).toArray))
+    assigned.withColumn("code", enc(residualCol(model.ivf)))
+  }
+
+  /** probe `nprobe` lists, ADC-shortlist, exact fixed-point rerank. */
+  def search(encoded: DataFrame, model: Model, query: Array[Float],
+             nprobe: Int, shortlist: Int, k: Int): DataFrame = {
+    val lists = model.ivf.nearest(query, nprobe)
+    val perList = lists.map { l =>
+      val c = model.centroid(l)
+      val bias = IvfIndex.ip(query, c)
+      val qres = query.indices.map(i => query(i) - c(i)).toArray
+      val tableLit = array(model.pq.adcIpTable(qres).map(lit): _*)
+      val lookup = aggregate(
+        transform(col("code"),
+          (cd, j) => element_at(tableLit, (j * model.pq.ksub + cd + 1).cast("int"))),
+        lit(0.0d), (acc, v) => acc + v)
+      encoded.filter(col("list_id") === l)
+        .withColumn("adc", lit(bias) + lookup)
+    }
+    val qFx = array(query.map(x => lit(math.round(x * 1e7))): _*)
+    val fx = transform(col("embedding"), x => round(x * lit(1e7)).cast("long"))
+    perList.reduce(_ unionByName _)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(shortlist)
+      .withColumn("score", aggregate(zip_with(fx, qFx, (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -892,6 +892,32 @@ object Relational {
       None,
     ),
 
+    // Z-order (Morton) layout key (operators.ZOrder): the interleaved-
+    // bit sort key that gives parquet row-group pruning locality on
+    // EVERY interleaved column. Here computed (not just sorted by) so
+    // the DuckDB oracle hash-checks the bit interleave itself.
+    QueryDef(
+      "f_zorder",
+      (s, d) => {
+        import graft.operators.ZOrder
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            ZOrder.zorderCol(
+              Seq(pmod(col("l_partkey"), lit(1024L)), pmod(col("l_suppkey"), lit(1024L))),
+              bits = 10).as("z"))
+          .orderBy("z", "l_orderkey", "l_linenumber")
+          .limit(1000)
+      },
+      Some {
+        val terms = for (b <- 0 until 10; (c, i) <- Seq("l_partkey", "l_suppkey").zipWithIndex)
+          yield s"((($c % 1024) >> $b) & 1) * ${1L << (b * 2 + i)}"
+        s"""SELECT l_orderkey, l_linenumber, CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+           |FROM lineitem
+           |ORDER BY z, l_orderkey, l_linenumber LIMIT 1000""".stripMargin
+      },
+    ),
+
     // Data profiling: per-column summary statistics (nulls, distinct
     // cardinality, min/max, exact-decimal mean) in one pass per
     // column — the "what is in this table" report a pipeline runs

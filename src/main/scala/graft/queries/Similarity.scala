@@ -228,6 +228,43 @@ object Similarity {
               |SELECT vec_id, ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
+    // ss9 — k-NN GRAPH construction: for EVERY vector, its top-3
+    // in-bucket neighbors by exact inner product — the all-vectors
+    // batched analog of ss7 (one bucket self-join + one rank window,
+    // no per-vector probes). The k-NN graph is the input to embedding
+    // clustering / diversity pruning in a curation pipeline; at scale
+    // the bucket is the shuffle key and candidate work is Σ bucket².
+    QueryDef(
+      "ss9_knn_graph",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol).withColumn("bucket", sigCol)
+        val a = e.select(col("vec_id").as("src"), col("f").as("fa"), col("bucket"))
+        val b = e.select(col("vec_id").as("dst"), col("f").as("fb"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(col("ip").desc, col("dst").asc)
+        a.join(b, Seq("bucket"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"), ip(col("fa"), col("fb")).as("ip"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("src", "dst", "ip", "rk")
+          .orderBy("src", "rk")
+      },
+      Some(s"""WITH $FxSql,
+              |sig AS (SELECT vec_id, f, $sigSql AS bucket FROM fx),
+              |cand AS (
+              |  SELECT a.vec_id AS src, b.vec_id AS dst, a.f AS fa, b.f AS fb
+              |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              |pos AS (SELECT src, dst, unnest(range(1, len(fa)+1)) AS i, fa, fb FROM cand),
+              |ips AS (SELECT src, dst, CAST(sum(fa[i] * fb[i]) AS BIGINT) AS ip
+              |        FROM pos GROUP BY src, dst),
+              |ranked AS (SELECT src, dst, ip,
+              |    row_number() OVER (PARTITION BY src ORDER BY ip DESC, dst ASC) AS rk
+              |  FROM ips)
+              |SELECT src, dst, ip, rk FROM ranked WHERE rk <= 3
+              |ORDER BY src, rk""".stripMargin),
+    ),
+
     // dd5 — embedding near-dup pairs (the embedding-cosine dedup from
     // the brief, in exact fixed-point IP form): candidate pairs share
     // a sign-projection bucket (blocked equi-join, never O(n²)), then
@@ -323,6 +360,25 @@ object Similarity {
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         PqIndex.search(PqIndex.encode(emb.filter(col("vec_id") =!= 0), model), model, q,
             shortlist = 50, k = 10)
+          .select("vec_id", "score")
+      },
+      None,
+    ),
+
+    // ss10 — IVF-PQ composed ANN (operators.IvfPq): coarse routing +
+    // PQ over residuals, per-list ⟨q,c⟩ bias + residual ADC lookups,
+    // exact rerank of the shortlist only. Rows-only check; recall vs
+    // brute force asserted in IvfPqSpec.
+    QueryDef(
+      "ss10_ann_ivfpq",
+      (s, d) => {
+        import graft.operators.IvfPq
+        val emb = Tables.embeddings(s, d)
+        val model = IvfPq.train(emb, nlist = 16, m = 8, ksub = 16)
+        val q = emb.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        IvfPq.search(IvfPq.encode(emb.filter(col("vec_id") =!= 0), model), model, q,
+            nprobe = 8, shortlist = 50, k = 10)
           .select("vec_id", "score")
       },
       None,
