@@ -907,15 +907,23 @@ object Documents {
           .groupBy("h").agg(count(lit(1)).as("c"))
           .filter(col("c") > 1).agg(sum(col("c") - 1)).head().getLong(0)
 
-        val sums = (0 until 64).map { p =>
-          sum(expr(s"CASE WHEN (h >> $p) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$p")
+        // SIMD-in-a-long bit counting: lane k packs the counts of bit
+        // positions {k, k+8, …, k+56} as 8 byte-wide counters in one
+        // long (per-doc word count ≤ 20 < 256 ⇒ no lane carry), so the
+        // 64 per-bit sums collapse to 8 aggregate columns; the 64-way
+        // unpack afterwards is a pure projection. Bit p of the
+        // signature = majority vote: 2·count_p ≥ n_words.
+        val lanes = (0 until 8).map { k =>
+          sum(expr(s"(h >> $k) & ${java.lang.Long.parseLong("0101010101010101", 16)}")).as(s"lane$k")
         }
-        val sigExpr = (0 until 64).map(p =>
-          when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+        val sigExpr = (0 until 64).map { p =>
+          when(expr(s"((lane${p % 8} >> ${8 * (p / 8)}) & 255) * 2") >= col("nw"), lit(1L << p))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
         val sig = corpus
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w")).distinct()
           .withColumn("h", xxhash64(col("w")))
-          .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+          .groupBy("doc_id").agg(count(lit(1)).as("nw"), lanes: _*)
           .select(col("doc_id"), sigExpr.as("sig"))
           .persist()
         val blk = sig.select(col("doc_id"), col("sig"),
