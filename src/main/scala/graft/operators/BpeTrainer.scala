@@ -109,6 +109,14 @@ object BpeTrainer {
     rules.toSeq
   }
 
+  /** tokenize a word with a learned merge table: start from chars,
+    * apply each merge rule in training order (the standard BPE encode
+    * semantics — rule order, not greedy-by-frequency-at-encode-time). */
+  def applyMerges(word: String, rules: Seq[Rule]): Seq[String] =
+    rules.foldLeft(word.map(_.toString): Seq[String]) { (syms, r) =>
+      mergeOnce(syms, r.left, r.right)
+    }
+
   /** left-to-right, non-overlapping single-pair merge — the exact
     * greedy semantics the reference trainer and the spec's pure-Scala
     * twin both use. */

@@ -949,6 +949,85 @@ object Documents {
       None,
     ),
 
+    // d12 — BPE ENCODE with the learned merge table: the apply side of
+    // d10 — every doc tokenized by the trained merges, per-doc BPE
+    // token count out. The merge table is trained once (driver) and
+    // broadcast into a per-word kernel; encode cost is a map over the
+    // corpus. Rows-only (iterative merge application is not SQL-
+    // expressible); the apply kernel is spec-pinned in BpeTrainerSpec.
+    QueryDef(
+      "d12_bpe_encode",
+      (s, d) => {
+        import graft.operators.BpeTrainer
+        val words = tokens(Tables.documents(s, d))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("w")).limit(2000)
+          .withColumnRenamed("w", "word")
+        val rules = BpeTrainer.train(words, merges = 8)
+        val bc = s.sparkContext.broadcast(rules)
+        val nTok = udf((w: String) => BpeTrainer.applyMerges(w, bc.value).length)
+        tokens(Tables.documents(s, d))
+          .select(col("doc_id"), nTok(col("w")).as("n"))
+          .groupBy("doc_id").agg(sum("n").as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      None,
+    ),
+
+    // d13 — quality-percentile gate: keep docs above the exact corpus
+    // median length (interpolated percentile — both engines compute
+    // the same (a+b)/2 on the same middle values). The "top half by
+    // quality" curation cut, as a one-scalar broadcast filter.
+    QueryDef(
+      "d13_quality_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val thr = docs.agg(expr("percentile(n_chars, 0.5)")).head().getDouble(0)
+        docs.filter(col("n_chars") > thr)
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE n_chars > (SELECT quantile_cont(n_chars, 0.5) FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // d14 — inverted-index AND query: posting-list intersection for
+    // "docs containing ALL of k terms" — the search-shaped access
+    // path. Terms are picked deterministically (frequency ranks
+    // 10/20/30); the intersection is a groupBy-count over only the
+    // probed terms' postings, never a corpus scan per term.
+    QueryDef(
+      "d14_inverted_index",
+      (s, d) => {
+        val tok = tokens(Tables.documents(s, d))
+        val w = Window.orderBy(col("freq").desc, col("w"))
+        val terms = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk").isin(10, 20, 30))
+          .select("w")
+        tok.select("doc_id", "w").distinct()
+          .join(broadcast(terms), Seq("w"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_terms"))
+          .filter(col("n_terms") === 3)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+             |  WHERE w <> ''),
+             |freqs AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+             |terms AS (
+             |  SELECT w FROM (
+             |    SELECT w, row_number() OVER (ORDER BY freq DESC, w) AS rk FROM freqs) r
+             |  WHERE rk IN (10, 20, 30)),
+             |hits AS (
+             |  SELECT DISTINCT t.doc_id, t.w FROM tok t JOIN terms x ON x.w = t.w)
+             |SELECT doc_id FROM hits GROUP BY doc_id HAVING count(*) = 3
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
     // d11 — WEIGHTED sampling without replacement (Efraimidis-
     // Spirakis A-Res): key = ln(u)/w with u a deterministic md5-
     // derived uniform, take the top-100 keys — longer (higher-weight)

@@ -76,6 +76,15 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BpeTrainer.train(df, merges = 4).isEmpty)
   }
 
+  test("applyMerges tokenizes with the learned table in rule order") {
+    val rules = Seq(
+      BpeTrainer.Rule(1, "e", "s", 0L),
+      BpeTrainer.Rule(2, "es", "t", 0L))
+    assert(BpeTrainer.applyMerges("newest", rules) == Seq("n", "e", "w", "est"))
+    assert(BpeTrainer.applyMerges("es", rules) == Seq("es"))
+    assert(BpeTrainer.applyMerges("abc", rules) == Seq("a", "b", "c"))
+  }
+
   test("overlapping runs merge left-to-right non-overlapping") {
     assert(BpeTrainer.mergeOnce(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
     assert(BpeTrainer.mergeOnce(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
