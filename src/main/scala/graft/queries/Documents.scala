@@ -1028,6 +1028,27 @@ object Documents {
              |ORDER BY doc_id""".stripMargin),
     ),
 
+    // d15 — heavy hitters via count-min sketch (operators.CountMin):
+    // exact top-10 words side by side with their CMS estimates. The
+    // sketch buffer is depth×width longs REGARDLESS of vocabulary
+    // size — the fixed-memory path when the exact groupBy's shuffle
+    // (O(distinct)) is the bottleneck. Rows-only; the error bound and
+    // merge-commutativity are asserted in CountMinSpec.
+    QueryDef(
+      "d15_cms_heavy_hitters",
+      (s, d) => {
+        import graft.operators.CountMin
+        val w = tokens(Tables.documents(s, d)).select(col("w"))
+        val counters = w.agg(CountMin.cmsAgg(col("w"))).head().getSeq[Long](0)
+        val bc = s.sparkContext.broadcast(CountMin.fromArray(counters))
+        val est = udf((word: String) => bc.value.estimate(word))
+        w.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("w")).limit(10)
+          .withColumn("cms_estimate", est(col("w")))
+      },
+      None,
+    ),
+
     // d11 — WEIGHTED sampling without replacement (Efraimidis-
     // Spirakis A-Res): key = ln(u)/w with u a deterministic md5-
     // derived uniform, take the top-100 keys — longer (higher-weight)

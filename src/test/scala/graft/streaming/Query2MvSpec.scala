@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Fixtures, ZkPipeline}
+
+/** Streaming Query2 materialized view: coverage counts maintained
+  * per-id across micro-batches must reproduce the batch query2 answer
+  * at end of stream — and must NOT qualify any id before the full
+  * range has been witnessed.
+  */
+class Query2MvSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("query2-mv-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("incremental coverage equals the batch Query2 at end of stream") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val cfg = Fixtures.Cfg()
+    val (minB, maxB) = (cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+    val nBlocks = maxB - minB + 1
+
+    val stream = MemoryStream[Fixtures.Entry]
+    val keyed = Query2Mv.keyed(stream.toDS().toDF(),
+      Fixtures.contractAddr(0), cfg.nftSlot, Fixtures.userAddr(0), minB, maxB)
+    val q = Query2Mv.updates(keyed, minB, maxB)
+      .writeStream.format("memory").queryName("q2mv")
+      .outputMode("update").start()
+
+    def qualified(): Seq[Long] = {
+      // latest coverage per id (coverage is monotone, so max = latest)
+      val latest = spark.table("q2mv").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).max }
+      latest.filter(_._2 == nBlocks).keys.toSeq.sorted
+    }
+
+    val all = Fixtures.entriesSeq(cfg)
+    val (firstHalf, secondHalf) = all.partition(_.block_number <= minB + nBlocks / 2 - 1)
+
+    stream.addData(firstHalf)
+    q.processAllAvailable()
+    assert(qualified().isEmpty, "no id can qualify before the full range is witnessed")
+
+    stream.addData(secondHalf)
+    q.processAllAvailable()
+    val got = qualified()
+    q.stop()
+
+    val (batchIds, _) = ZkPipeline.query2(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
+      Fixtures.userAddr(0), minB, maxB)
+    val want = batchIds.collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"streaming MV $got vs batch $want")
+  }
+}
