@@ -56,3 +56,66 @@ object Query2Mv {
       }
   }
 }
+
+/** Incremental maintenance of the ERC20 reward query — the streaming
+  * MV form of `ZkPipeline.queryErc20` (Σ_b rate·balance/total_supply,
+  * absent-user blocks contribute 0 but still count): per-query state
+  * is (blocks-seen mask, user-blocks-seen mask, running U256 sum).
+  * The per-entry reward is computed BEFORE the stateful fold by the
+  * same codegen `u256MulDiv` kernel the batch plan uses, so the MV
+  * adds exactly the batch plan's per-block contributions — a block's
+  * non-user entries can arrive before the user's (the block counts
+  * immediately, its reward lands when the user entry does), and the
+  * result matches the batch answer once the range is fully witnessed.
+  */
+object Erc20Mv {
+
+  final case class RewardEntry(block_number: Long, is_user: Boolean, reward: Array[Byte])
+  final case class State(seen: Long, userSeen: Long, sum: Array[Byte])
+  final case class Result(n_blocks: Long, gap_free: Boolean, result_hex: String)
+
+  /** pre-filter + per-entry reward, mirroring the batch predicate. */
+  def keyed(entries: DataFrame, contract: Array[Byte], slot: Int, user: Array[Byte],
+            rate: java.math.BigInteger, totalSupply: java.math.BigInteger,
+            minB: Long, maxB: Long): Dataset[RewardEntry] = {
+    import entries.sparkSession.implicits._
+    import graft.functions.GraftFunctions.u256MulDiv
+    import graft.core.{Bytes, U256}
+    entries
+      .filter(col("contract") === lit(contract) && col("mapping_slot") === slot &&
+        col("block_number").between(minB, maxB))
+      .select(
+        col("block_number"),
+        (col("mapping_key") === lit(Bytes.leftPad32(user))).as("is_user"),
+        u256MulDiv(lit(U256.toBytes32(rate)), col("value"),
+          lit(U256.toBytes32(totalSupply))).as("reward"))
+      .as[RewardEntry]
+  }
+
+  def updates(entries: Dataset[RewardEntry], minB: Long, maxB: Long): Dataset[Result] = {
+    require(maxB - minB + 1 <= 64, "single-Long bitmask covers ranges up to 64 blocks")
+    import entries.sparkSession.implicits._
+    val zero = graft.core.U256.toBytes32(java.math.BigInteger.ZERO)
+    entries
+      .groupByKey(_ => 0)
+      .mapGroupsWithState[State, Result](GroupStateTimeout.NoTimeout) {
+        (_, it, state) =>
+          var s = state.getOption.getOrElse(State(0L, 0L, zero))
+          it.foreach { e =>
+            val bit = 1L << (e.block_number - minB)
+            val seen = s.seen | bit
+            if (e.is_user && (s.userSeen & bit) == 0L) {
+              val next = new java.math.BigInteger(1, s.sum)
+                .add(new java.math.BigInteger(1, e.reward))
+              require(next.bitLength() <= 256, "U256 overflow in streaming reward sum")
+              s = State(seen, s.userSeen | bit, graft.core.U256.toBytes32(next))
+            } else s = State(seen, s.userSeen, s.sum)
+          }
+          state.update(s)
+          val n = java.lang.Long.bitCount(s.seen).toLong
+          val lo = java.lang.Long.numberOfTrailingZeros(if (s.seen == 0) 1L else s.seen)
+          val hi = 63 - java.lang.Long.numberOfLeadingZeros(if (s.seen == 0) 1L else s.seen)
+          Result(n, s.seen != 0 && n == hi - lo + 1, graft.core.Bytes.toHex(s.sum))
+      }
+  }
+}

@@ -101,4 +101,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("rj1_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("ss7/ss9: batched ANN and knn graph are bucket equi-joins, never nested loops") {
+    for (name <- Seq("ss7_batch_ann_topk", "ss9_knn_graph")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name:\n${p.take(3000)}")
+    }
+  }
 }

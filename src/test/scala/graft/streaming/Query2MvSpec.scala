@@ -69,4 +69,42 @@ class Query2MvSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = batchIds.collect().map(_.getLong(0)).toSeq
     assert(got == want, s"streaming MV $got vs batch $want")
   }
+
+  test("streaming ERC20 reward sum equals the batch query at end of stream") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val cfg = Fixtures.Cfg()
+    val (minB, maxB) = (cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+    val rate = java.math.BigInteger.valueOf(7L)
+    val supply = java.math.BigInteger.valueOf(1000L)
+
+    val stream = MemoryStream[Fixtures.Entry]
+    val keyed = Erc20Mv.keyed(stream.toDS().toDF(),
+      Fixtures.contractAddr(1), cfg.erc20Slot, Fixtures.userAddr(2), rate, supply, minB, maxB)
+    val q = Erc20Mv.updates(keyed, minB, maxB)
+      .writeStream.format("memory").queryName("erc20mv")
+      .outputMode("update").start()
+
+    val all = Fixtures.entriesSeq(cfg)
+    // adversarial split: user entries arrive AFTER the rest of their block
+    val (userRows, otherRows) = all.partition { e =>
+      e.mapping_key.sameElements(graft.core.Bytes.leftPad32(Fixtures.userAddr(2)))
+    }
+    stream.addData(otherRows)
+    q.processAllAvailable()
+    stream.addData(userRows)
+    q.processAllAvailable()
+    val last = spark.table("erc20mv").collect().last
+    q.stop()
+
+    val batch = ZkPipeline.queryErc20(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(1), cfg.erc20Slot,
+      Fixtures.userAddr(2), rate, supply, minB, maxB).collect()(0)
+    assert(last.getLong(0) == batch.getAs[Long]("n_blocks"))
+    assert(last.getBoolean(1) == batch.getAs[Boolean]("gap_free"))
+    assert(last.getString(2) ==
+      graft.core.Bytes.toHex(batch.getAs[Array[Byte]]("result")),
+      "streaming U256 sum must equal the batch result")
+  }
 }
