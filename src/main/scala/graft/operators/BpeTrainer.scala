@@ -42,10 +42,24 @@ object BpeTrainer {
     trainDistributed(words, merges)
   }
 
+  /** code-point split (NOT UTF-16 units — the distributed path's SQL
+    * `substring` is code-point based, and a lone surrogate is not a
+    * token). */
+  private[operators] def charSyms(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** sequential merge loop over a collected vocabulary. */
   def trainLocal(freqs: Seq[(String, Long)], merges: Int): Seq[Rule] = {
     var words: Map[Vector[String], Long] = freqs
-      .map { case (w, f) => w.map(_.toString).toVector -> f }
+      .map { case (w, f) => charSyms(w) -> f }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     val out = scala.collection.mutable.ArrayBuffer.empty[Rule]
     var step = 1
@@ -113,7 +127,7 @@ object BpeTrainer {
     * apply each merge rule in training order (the standard BPE encode
     * semantics — rule order, not greedy-by-frequency-at-encode-time). */
   def applyMerges(word: String, rules: Seq[Rule]): Seq[String] =
-    rules.foldLeft(word.map(_.toString): Seq[String]) { (syms, r) =>
+    rules.foldLeft(charSyms(word): Seq[String]) { (syms, r) =>
       mergeOnce(syms, r.left, r.right)
     }
 

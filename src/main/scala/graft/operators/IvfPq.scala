@@ -53,29 +53,23 @@ object IvfPq {
     assigned.withColumn("code", enc(residualCol(model.ivf)))
   }
 
-  /** probe `nprobe` lists, ADC-shortlist, exact fixed-point rerank. */
+  /** probe `nprobe` lists, ADC-shortlist, exact fixed-point rerank.
+    * Per the decomposition ⟨q,v⟩ = ⟨q,c_l⟩ + ⟨q,r_v⟩, the residual
+    * lookup table is built from the FULL query against the residual
+    * codebooks (one table, shared by all probed lists); only the
+    * scalar bias ⟨q,c_l⟩ varies per list. */
   def search(encoded: DataFrame, model: Model, query: Array[Float],
              nprobe: Int, shortlist: Int, k: Int): DataFrame = {
     val lists = model.ivf.nearest(query, nprobe)
+    val lookup = PqIndex.lookupCol(model.pq.adcIpTable(query), model.pq.ksub)
     val perList = lists.map { l =>
-      val c = model.centroid(l)
-      val bias = IvfIndex.ip(query, c)
-      val qres = query.indices.map(i => query(i) - c(i)).toArray
-      val tableLit = array(model.pq.adcIpTable(qres).map(lit): _*)
-      val lookup = aggregate(
-        transform(col("code"),
-          (cd, j) => element_at(tableLit, (j * model.pq.ksub + cd + 1).cast("int"))),
-        lit(0.0d), (acc, v) => acc + v)
       encoded.filter(col("list_id") === l)
-        .withColumn("adc", lit(bias) + lookup)
+        .withColumn("adc", lit(IvfIndex.ip(query, model.centroid(l))) + lookup)
     }
-    val qFx = array(query.map(x => lit(math.round(x * 1e7))): _*)
-    val fx = transform(col("embedding"), x => round(x * lit(1e7)).cast("long"))
-    perList.reduce(_ unionByName _)
-      .orderBy(col("adc").desc, col("vec_id"))
-      .limit(shortlist)
-      .withColumn("score", aggregate(zip_with(fx, qFx, (x, y) => x * y), lit(0L), (acc, v) => acc + v))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    PqIndex.exactRerank(
+      perList.reduce(_ unionByName _)
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(shortlist),
+      query, k)
   }
 }

@@ -117,7 +117,7 @@ object PqIndex {
 
   /** lookup-sum of an encoded row against a precomputed flat m×ksub
     * table — pure codegen, the raw embedding column is never touched. */
-  private def lookupCol(table: Array[Double], ksub: Int): Column = {
+  private[operators] def lookupCol(table: Array[Double], ksub: Int): Column = {
     val tableLit = array(table.map(lit): _*)
     aggregate(
       transform(col("code"), (c, j) => element_at(tableLit, (j * ksub + c + 1).cast("int"))),
@@ -132,20 +132,28 @@ object PqIndex {
   def adcIpCol(model: Model, query: Array[Float]): Column =
     lookupCol(model.adcIpTable(query), model.ksub)
 
+  /** exact fixed-point-IP rerank of an ADC shortlist: top-k of the
+    * `adc`-ranked prefix, scored against the raw vectors. Shared by
+    * [[search]] and [[IvfPq.search]]. */
+  private[operators] def exactRerank(shortlisted: DataFrame, query: Array[Float], k: Int): DataFrame = {
+    val qFx = array(query.map(x => lit(math.round(x * 1e7))): _*)
+    val fx = transform(col("embedding"), x => round(x * lit(1e7)).cast("long"))
+    shortlisted
+      .withColumn("score", aggregate(zip_with(fx, qFx, (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** shortlist-by-ADC then exact fixed-point-IP rerank — the standard
     * PQ serving shape. Only `shortlist` rows' raw vectors are scored
     * exactly; the shortlist metric (approximate IP) matches the rerank
     * metric. */
   def search(encoded: DataFrame, model: Model, query: Array[Float],
-             shortlist: Int, k: Int): DataFrame = {
-    val qFx = array(query.map(x => lit(math.round(x * 1e7))): _*)
-    val fx = transform(col("embedding"), x => round(x * lit(1e7)).cast("long"))
-    encoded
-      .withColumn("adc", adcIpCol(model, query))
-      .orderBy(col("adc").desc, col("vec_id"))
-      .limit(shortlist)
-      .withColumn("score", aggregate(zip_with(fx, qFx, (x, y) => x * y), lit(0L), (acc, v) => acc + v))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
-  }
+             shortlist: Int, k: Int): DataFrame =
+    exactRerank(
+      encoded
+        .withColumn("adc", adcIpCol(model, query))
+        .orderBy(col("adc").desc, col("vec_id"))
+        .limit(shortlist),
+      query, k)
 }

@@ -43,6 +43,11 @@ object RangeJoin {
       binWidth: Long,
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points and intervals must have disjoint column names (shared: ${overlap.mkString(",")}) — rename before joining")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "__bin is reserved by RangeJoin")
     val iv = intervals.withColumn(
       "__bin",
       explode(sequence(

@@ -127,11 +127,7 @@ object Documents {
   private val mhBaseSpark = "CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)"
 
   /** same base digest in DuckDB (positional hex parse). */
-  private val mhBaseDuck =
-    (0 until 15).map { k =>
-      val pow = java.math.BigInteger.valueOf(16L).pow(14 - k)
-      s"(instr('0123456789abcdef', substring(md5(sh), ${k + 1}, 1)) - 1) * $pow"
-    }.mkString("(", " + ", ")")
+  private lazy val mhBaseDuck = MhDuckParse("md5(sh)")
 
   private def mhSlot(j: Int, base: String): String =
     s"(${MhA(j)} * (($base) % $MhM) + ${MhB(j)}) % $MhM"
@@ -966,8 +962,12 @@ object Documents {
         val rules = BpeTrainer.train(words, merges = 8)
         val bc = s.sparkContext.broadcast(rules)
         val nTok = udf((w: String) => BpeTrainer.applyMerges(w, bc.value).length)
+        // run the iterative merge kernel once per distinct (doc, word),
+        // then weight by occurrence count — near-vocabulary-scale work
+        // instead of corpus-scale
         tokens(Tables.documents(s, d))
-          .select(col("doc_id"), nTok(col("w")).as("n"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+          .select(col("doc_id"), (nTok(col("w")) * col("cnt")).as("n"))
           .groupBy("doc_id").agg(sum("n").as("n_bpe_tokens"))
           .orderBy("doc_id")
       },

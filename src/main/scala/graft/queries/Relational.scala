@@ -897,16 +897,23 @@ object Relational {
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        // ONE scan computes all 24 measures; the per-column unpivot is
+        // a driver-side reshape of a single collected row
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"),
+          sum(col(c).cast(DecimalType(18, 2))).cast("double").as(s"sm_$c")))
+        val r = li.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
+        val nRows = r.getAs[Long]("n_rows")
+        import s.implicits._
         cols.map { c =>
-          li.agg(
-            count(lit(1)).as("n_rows"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-            countDistinct(col(c)).as("n_distinct"),
-            min(col(c)).cast("double").as("min_v"),
-            max(col(c)).cast("double").as("max_v"),
-            (sum(col(c).cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("mean_v"))
-            .select(lit(c).as("col_name"), col("*"))
-        }.reduce(_ unionByName _).orderBy("col_name")
+          (c, nRows, r.getAs[Long](s"nn_$c"), r.getAs[Long](s"nd_$c"),
+            r.getAs[Double](s"mn_$c"), r.getAs[Double](s"mx_$c"),
+            r.getAs[Double](s"sm_$c") / nRows)
+        }.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v")
+          .orderBy("col_name")
       },
       Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
@@ -1268,12 +1275,23 @@ object Relational {
     * (v0) + one MERGE (v1), built once per (session, sfDir) — both
     * queries read the same deterministic two-version table, so the
     * transactional build cost is paid once per session, not per query.
-    * Keyed by session identity so a fresh session rebuilds. */
-  private val vtCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.VersionedTable]()
+    * One slot, compared by session reference and rebuilt when the
+    * session or sfDir changes (or the session was stopped) — no
+    * unbounded growth, no hash-collision aliasing. */
+  private var vtCached: Option[(SparkSession, String, graft.sources.VersionedTable)] = None
 
-  private def vtFixture(s: SparkSession, d: String): graft.sources.VersionedTable =
-    vtCache.computeIfAbsent(System.identityHashCode(s) + "|" + d, _ => {
+  private def vtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = synchronized {
+    vtCached match {
+      case Some((sess, dir, vt)) if (sess eq s) && dir == d && !sess.sparkContext.isStopped => vt
+      case _ =>
+        val vt = buildVtFixture(s, d)
+        vtCached = Some((s, d, vt))
+        vt
+    }
+  }
+
+  private def buildVtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = {
+    {
       val dir = java.nio.file.Files.createTempDirectory("vt_fixture").toString
       val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
       val base = Tables.orders(s, d)
@@ -1289,5 +1307,6 @@ object Relational {
           (col("o_orderkey") % 15 === 0).as("del"))
       vt.merge(updates, Seq("o_orderkey"), Some(0), deleteCol = Some("del"))
       vt
-    })
+    }
+  }
 }

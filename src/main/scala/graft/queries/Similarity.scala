@@ -384,6 +384,39 @@ object Similarity {
       None,
     ),
 
+    // ss_scale — similarity search at 200k vectors, executor-born: the
+    // LSH bucket layout + probe path under real volume. Synthetic
+    // 64-dim fixed-point vectors derive from xxhash64 (deterministic,
+    // no driver data); the probe answers 8 query vectors in one pass
+    // (batched shape) against sign-projection buckets — candidates per
+    // query ≈ n/256, never the table. Output pins the result count +
+    // a checksum of ids, so the run is a correctness-carrying
+    // benchmark, not just a timer.
+    QueryDef(
+      "ss_scale_200k",
+      (s, _) => {
+        val n = 200000L
+        // 64 coords in [-500, 500], fixed-point integers (f directly)
+        val coords = (1 to Dims).map(j =>
+          (pmod(xxhash64(col("id"), lit(j)), lit(1001L)) - 500L).as(s"c$j"))
+        val vecs = s.range(n).select(col("id").as("vec_id"), array(coords.map(c => c * 10000L): _*).as("f"))
+        val sig = vecs.withColumn("bucket", sigCol).persist()
+        val q = sig.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("f").as("qf"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)
+        val top = sig.filter(col("vec_id") >= 8)
+          .join(q, Seq("bucket"))
+          .select(col("qid"), col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+        top.agg(
+          count(lit(1)).as("n_results"),
+          coalesce(expr("bit_xor(xxhash64(qid, vec_id, ip))"), lit(0L)).as("checksum"))
+      },
+      None,
+    ),
+
     // mm2 — the typed-Dataset twin of mm1: binary payloads through a
     // mapPartitions stub decoder (the production shape for a JNI/FFI
     // media decoder). Rows-only check (keccak-derived metadata is not

@@ -219,8 +219,12 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     val freshStats = perBucket.flatMap { r =>
       val b = r.getAs[Int]("__bucket")
       statsCols.flatMap { c =>
+        // NaN/Infinity (or any non-decimal rendering) ⇒ no recorded
+        // range for this bucket — unknown never prunes, so the commit
+        // stays safe instead of aborting after the data write
         (Option(r.getAs[Any](s"__mn_$c")), Option(r.getAs[Any](s"__mx_$c"))) match {
-          case (Some(mn), Some(mx)) => Some((b, c) -> (BigDecimal(mn.toString), BigDecimal(mx.toString)))
+          case (Some(mn), Some(mx)) =>
+            scala.util.Try((b, c) -> (BigDecimal(mn.toString), BigDecimal(mx.toString))).toOption
           case _ => None
         }
       }
