@@ -532,64 +532,7 @@ object Documents {
     // shuffle and Jaccard runs per candidate pair.
     QueryDef(
       "dd2_minhash_lsh",
-      (s, d) => {
-        // the shingle set feeds three plan branches (minhash and both
-        // sides of the candidate-pair intersection) — persist it once
-        // so the document scan + shingle explode run once, not 5×
-        val sh = shingles(Tables.documents(s, d)).persist()
-        // one-pass MinHash + set size: all 8 signature slots AND the
-        // distinct-shingle count as aggregate columns of a single
-        // groupBy over the (already-distinct) shingle set — 60-bit
-        // LONG slots keep the whole thing in HashAggregate with
-        // map-side partial min/count: one row per doc crosses the
-        // shuffle, no sort anywhere
-        val mhAggs = (0 until 8).map(j => min(expr(mhSlot(j, "hb"))).as(s"mh$j")) :+ count(lit(1)).as("n")
-        val mh = sh
-          .withColumn("hb", expr(mhBaseSpark)) // md5 once per shingle
-          .groupBy("doc_id")
-          .agg(mhAggs.head, mhAggs.tail: _*)
-          // one tiny row per doc, read by the band explode and both
-          // count sides of the Jaccard — keep the aggregate hot too
-          .persist()
-        val bands = mh.select(
-          col("doc_id"),
-          explode(array((0 until 4).map { k =>
-            struct(lit(k).as("band"),
-              concat_ws("#", least(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}")),
-                greatest(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))).as("sig"))
-          }: _*)).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-        // Skew guard (100 TB hazard: boilerplate-heavy docs share a
-        // band signature → one bucket key dominates the self-join).
-        // Probe the max bucket once (cheap agg over the tiny band
-        // frame); past the threshold, salt the left side so the hot
-        // bucket spreads over BandSalts tasks — row-identical output
-        // (SkewToolsSpec), AQE can't split a self-join bucket itself.
-        val bandsA = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-        val bandsB = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-        val joined =
-          if (graft.operators.SkewTools.maxKeyCardinality(bands, Seq("band", "sig")) > BandSkewThreshold)
-            graft.operators.SkewTools.saltedJoin(bandsA, bandsB, Seq("band", "sig"), BandSalts, col("doc_a"))
-          else bandsA.join(bandsB, Seq("band", "sig"))
-        val cand = joined
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val counts = mh.select(col("doc_id"), col("n"))
-        val inter = cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .filter(col("sh") === col("sh_b"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
-          .select(
-            col("doc_a"), col("doc_b"),
-            (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $ShinglesSql,
               |shb AS (SELECT doc_id, $mhBaseDuck AS hb FROM sh),
               |mh AS (
@@ -1028,6 +971,89 @@ object Documents {
              |ORDER BY doc_id""".stripMargin),
     ),
 
+    // dd11 — MULTI-SIGNAL dedup clusters: one cluster assignment over
+    // the UNION of all near-dup evidence — exact content hash, MinHash
+    // Jaccard ≥ 0.5 (dd2's pairs), and SimHash hamming ≤ 3 (dd4's
+    // pairs). Production dedup merges signals exactly like this:
+    // each signal catches duplicates the others miss, and connected
+    // components stitches them into one keep/drop decision per doc.
+    // Oracle: all three pair derivations + recursive min-label
+    // reachability in one DuckDB query.
+    QueryDef(
+      "dd11_multisignal_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val hx = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        val exact = hx.select(col("doc_id").as("doc_a"), col("h"))
+          .join(hx.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+        val edges = minhashPairs(s, d).select("doc_a", "doc_b")
+          .union(simhashPairs(s, d).select("doc_a", "doc_b"))
+          .union(exact)
+        ConnectedComponents
+          .assign(s, edges, docs.select("doc_id"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $ShinglesSql,
+              |shb AS (SELECT doc_id, $mhBaseDuck AS hb FROM sh),
+              |mh AS (
+              |  SELECT doc_id,
+              |    ${(0 until 8).map(j => s"min(${mhSlot(j, "hb")}) AS mh$j").mkString(", ")},
+              |    count(*) AS n
+              |  FROM shb GROUP BY doc_id),
+              |bands AS (
+              |  SELECT doc_id, b.band,
+              |    CAST(CASE b.band WHEN 0 THEN least(mh0,mh1) WHEN 1 THEN least(mh2,mh3)
+              |         WHEN 2 THEN least(mh4,mh5) ELSE least(mh6,mh7) END AS VARCHAR)
+              |    || '#' ||
+              |    CAST(CASE b.band WHEN 0 THEN greatest(mh0,mh1) WHEN 1 THEN greatest(mh2,mh3)
+              |         WHEN 2 THEN greatest(mh4,mh5) ELSE greatest(mh6,mh7) END AS VARCHAR) AS sig
+              |  FROM mh CROSS JOIN (SELECT unnest(range(0,4)) AS band) b),
+              |mcand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+              |minter AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+              |  FROM mcand c
+              |  JOIN sh sa ON sa.doc_id = c.doc_a
+              |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+              |  GROUP BY c.doc_a, c.doc_b),
+              |mpairs AS (
+              |  SELECT i.doc_a, i.doc_b
+              |  FROM minter i
+              |  JOIN mh ca ON ca.doc_id = i.doc_a
+              |  JOIN mh cb ON cb.doc_id = i.doc_b
+              |  WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) >= 0.5),
+              |$SimhashSql,
+              |scand AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.simhash AS sig_a, b.simhash AS sig_b
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+              |    substring(a.simhash,1,8)  = substring(b.simhash,1,8)  OR
+              |    substring(a.simhash,9,8)  = substring(b.simhash,9,8)  OR
+              |    substring(a.simhash,17,8) = substring(b.simhash,17,8) OR
+              |    substring(a.simhash,25,8) = substring(b.simhash,25,8))),
+              |spairs AS (SELECT doc_a, doc_b FROM scand WHERE $hamming32 <= 3),
+              |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |epairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id),
+              |alledges AS (
+              |  SELECT doc_a, doc_b FROM mpairs
+              |  UNION SELECT doc_a, doc_b FROM spairs
+              |  UNION SELECT doc_a, doc_b FROM epairs),
+              |edges AS (SELECT doc_a AS s, doc_b AS t FROM alledges
+              |          UNION SELECT doc_b, doc_a FROM alledges),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM sig
+              |  UNION
+              |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id)
+              |SELECT id AS doc_id, min(r) AS component
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    ),
+
     // d15 — heavy hitters via count-min sketch (operators.CountMin):
     // exact top-10 words side by side with their CMS estimates. The
     // sketch buffer is depth×width longs REGARDLESS of vocabulary
@@ -1101,6 +1127,70 @@ object Documents {
       None,
     ),
   )
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard ≥ 0.5 verification
+    * (doc_a < doc_b) — the shared stage behind dd2 (pair listing) and
+    * dd11 (multi-signal clustering). Candidates only from band-bucket
+    * equi-joins (skew-salted past a cardinality threshold), Jaccard
+    * only on candidates.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // the shingle set feeds three plan branches (minhash and both
+    // sides of the candidate-pair intersection) — persist it once
+    // so the document scan + shingle explode run once, not 5×
+    val sh = shingles(Tables.documents(s, d)).persist()
+    // one-pass MinHash + set size: all 8 signature slots AND the
+    // distinct-shingle count as aggregate columns of a single
+    // groupBy over the (already-distinct) shingle set — 60-bit
+    // LONG slots keep the whole thing in HashAggregate with
+    // map-side partial min/count: one row per doc crosses the
+    // shuffle, no sort anywhere
+    val mhAggs = (0 until 8).map(j => min(expr(mhSlot(j, "hb"))).as(s"mh$j")) :+ count(lit(1)).as("n")
+    val mh = sh
+      .withColumn("hb", expr(mhBaseSpark)) // md5 once per shingle
+      .groupBy("doc_id")
+      .agg(mhAggs.head, mhAggs.tail: _*)
+      // one tiny row per doc, read by the band explode and both
+      // count sides of the Jaccard — keep the aggregate hot too
+      .persist()
+    val bands = mh.select(
+      col("doc_id"),
+      explode(array((0 until 4).map { k =>
+        struct(lit(k).as("band"),
+          concat_ws("#", least(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}")),
+            greatest(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))).as("sig"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    // Skew guard (100 TB hazard: boilerplate-heavy docs share a
+    // band signature → one bucket key dominates the self-join).
+    // Probe the max bucket once (cheap agg over the tiny band
+    // frame); past the threshold, salt the left side so the hot
+    // bucket spreads over BandSalts tasks — row-identical output
+    // (SkewToolsSpec), AQE can't split a self-join bucket itself.
+    val bandsA = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val bandsB = bands.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    val joined =
+      if (graft.operators.SkewTools.maxKeyCardinality(bands, Seq("band", "sig")) > BandSkewThreshold)
+        graft.operators.SkewTools.saltedJoin(bandsA, bandsB, Seq("band", "sig"), BandSalts, col("doc_a"))
+      else bandsA.join(bandsB, Seq("band", "sig"))
+    val cand = joined
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val counts = mh.select(col("doc_id"), col("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(col("sh") === col("sh_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
 
   /** SimHash hamming≤3 near-dup pairs (doc_a < doc_b) — the shared
     * candidate-pair stage behind dd4 (pair listing) and dd8/dd9

@@ -54,6 +54,8 @@ class IvfPqSpec extends AnyFunSuite with BeforeAndAfterAll {
         nprobe = 8, shortlist = 50, k = 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = (exact & got).size / 10.0
-    assert(recall >= 0.5, s"recall@10 = $recall (nprobe=8/16, shortlist=50)")
+    // residual coding quantizes finer than plain PQ — with the full-q
+    // ADC table this measures 1.0 on the fixture; 0.8 leaves margin
+    assert(recall >= 0.8, s"recall@10 = $recall (nprobe=8/16, shortlist=50)")
   }
 }
