@@ -166,12 +166,16 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
   /** Rewrite EVERY bucket of the current version into fresh files —
     * heals the fragmentation of many small copy-on-write commits
     * (readers pinned to old versions are undisturbed; [[vacuum]]
-    * reclaims the old files once they age out). */
+    * reclaims the old files once they age out). `layoutSort` orders
+    * rows within each rewritten bucket file — pass a
+    * [[graft.operators.ZOrder.zorderCol]] key to give parquet
+    * row-group min/max pruning locality on several columns at once
+    * (compaction is exactly when a table format applies clustering). */
   def compact(keys: Seq[String], expectedBase: Option[Int],
-              statsCols: Seq[String] = Nil): Int = {
+              statsCols: Seq[String] = Nil, layoutSort: Seq[Column] = Nil): Int = {
     val cur = read(expectedBase)
       .getOrElse(throw new IllegalStateException("nothing to compact"))
-    commitInternal(cur, keys, expectedBase, forcedDirty = None, statsCols)
+    commitInternal(cur, keys, expectedBase, forcedDirty = None, statsCols, layoutSort)
   }
 
   /** number of distinct data directories backing `version` — the
@@ -182,7 +186,8 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     }.getOrElse(0)
 
   private def commitInternal(rows: DataFrame, keys: Seq[String], expectedBase: Option[Int],
-                             forcedDirty: Option[Set[Int]], statsCols: Seq[String]): Int = {
+                             forcedDirty: Option[Set[Int]], statsCols: Seq[String],
+                             layoutSort: Seq[Column] = Nil): Int = {
     val base = currentVersion()
     if (base != expectedBase)
       throw new CommitConflict(s"base moved: expected $expectedBase, found $base")
@@ -192,9 +197,11 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     // shuffle rows to their bucket before the partitioned write — one
     // file per bucket instead of (tasks × buckets) small files; persist
     // so the write and the bucket-stats pass share one computation
-    val bucketed = rows.withColumn("__bucket", bucketCol(keys))
+    val shuffled = rows.withColumn("__bucket", bucketCol(keys))
       .repartition(nBuckets, col("__bucket"))
-      .persist()
+    val bucketed = (if (layoutSort.nonEmpty)
+      shuffled.sortWithinPartitions(col("__bucket") +: layoutSort: _*)
+    else shuffled).persist()
     bucketed.write.partitionBy("__bucket").mode("overwrite").parquet(s"$baseDir/$dataRel")
 
     // which buckets actually hold rows, and their zone-map ranges —

@@ -173,6 +173,33 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     ), d.mkString(", "))
   }
 
+  test("compact with a Z-order layout key: data identical, rows clustered in-file") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.operators.ZOrder
+    val dir = Files.createTempDirectory("vt9").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 2)
+    // (k, x, y): x/y are the clustering dimensions
+    val rows = (0L until 512L).map(i => (i, i % 16, (i / 16) % 16)).toDF("k", "x", "y")
+    t.commit(rows, Seq("k"), None)
+    val before = t.read().get.collect().map(_.toSeq).sortBy(_.toString)
+    val cv = t.compact(Seq("k"), Some(0),
+      layoutSort = Seq(ZOrder.zorderCol(Seq(col("x"), col("y")), bits = 4)))
+    val after = t.read(Some(cv)).get.collect().map(_.toSeq).sortBy(_.toString)
+    assert(before.sameElements(after), "layout sort must not change the data")
+
+    // within each rewritten file, rows are in z-order
+    import scala.jdk.CollectionConverters._
+    val dataDir = java.nio.file.Paths.get(dir, f"data/v$cv%06d")
+    java.nio.file.Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__bucket=")).foreach { bdir =>
+        val zs = spark.read.parquet(bdir.toString)
+          .select(ZOrder.zorderCol(Seq(col("x"), col("y")), bits = 4).as("z"))
+          .collect().map(_.getLong(0))
+        assert(zs.sameElements(zs.sorted), s"rows in $bdir are not z-ordered")
+      }
+  }
+
   test("zone maps: readPruned skips buckets outside the predicate range") {
     val s2 = spark
     import s2.implicits._
