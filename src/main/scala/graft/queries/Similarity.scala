@@ -417,6 +417,34 @@ object Similarity {
       None,
     ),
 
+    // ss11 — DIVERSITY sampling: k-means-cluster the embedding space
+    // (bounded-sample fit, same cap discipline as ss5) and take the
+    // top-3 vectors per cluster by norm — cluster-stratified selection,
+    // the third member of the sampling family (d6 balanced-by-class,
+    // d11 weighted-by-quality, ss11 diverse-by-embedding): guarantees
+    // every region of the space is represented instead of letting a
+    // dense mode dominate. Rows-only (k-means is not SQL-expressible);
+    // deterministic under the fixed seed.
+    QueryDef(
+      "ss11_diverse_sample",
+      (s, d) => {
+        import graft.operators.IvfIndex
+        val emb = Tables.embeddings(s, d)
+        val model = IvfIndex.train(emb, nlist = 16)
+        val assigned = IvfIndex.assign(emb, model).withColumn("f", fxCol)
+        val norm2 = ip(col("f"), col("f"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("list_id").orderBy(col("norm2").desc, col("vec_id").asc)
+        assigned
+          .withColumn("norm2", norm2)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("list_id", "rk", "vec_id", "norm2")
+          .orderBy("list_id", "rk")
+      },
+      None,
+    ),
+
     // mm2 — the typed-Dataset twin of mm1: binary payloads through a
     // mapPartitions stub decoder (the production shape for a JNI/FFI
     // media decoder). Rows-only check (keccak-derived metadata is not
