@@ -692,7 +692,7 @@ object Documents {
               |edges AS (SELECT doc_a AS s, doc_b AS t FROM npairs
               |          UNION SELECT doc_b, doc_a FROM npairs),
               |reach(id, r) AS (
-              |  SELECT doc_id, doc_id FROM sig
+              |  SELECT doc_id, doc_id FROM documents
               |  UNION
               |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id)
               |SELECT id AS doc_id, min(r) AS component
@@ -735,7 +735,7 @@ object Documents {
               |edges AS (SELECT doc_a AS s, doc_b AS t FROM npairs
               |          UNION SELECT doc_b, doc_a FROM npairs),
               |reach(id, r) AS (
-              |  SELECT doc_id, doc_id FROM sig
+              |  SELECT doc_id, doc_id FROM documents
               |  UNION
               |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id),
               |cc AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
@@ -764,7 +764,7 @@ object Documents {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val isDelta = col("doc_id") % 10 === 0
-        val hx = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        val hx = contentHashes(docs)
         val exact = hx.filter(isDelta).join(
             hx.filter(!isDelta).select(col("doc_id").as("cid"), col("h")), Seq("h"))
           .groupBy("doc_id").agg(min("cid").as("em"))
@@ -983,14 +983,9 @@ object Documents {
       "dd11_multisignal_clusters",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val hx = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-        val exact = hx.select(col("doc_id").as("doc_a"), col("h"))
-          .join(hx.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
         val edges = minhashPairs(s, d).select("doc_a", "doc_b")
           .union(simhashPairs(s, d).select("doc_a", "doc_b"))
-          .union(exact)
+          .union(exactPairs(docs))
         ConnectedComponents
           .assign(s, edges, docs.select("doc_id"))
           .withColumnRenamed("id", "doc_id")
@@ -1047,7 +1042,7 @@ object Documents {
               |edges AS (SELECT doc_a AS s, doc_b AS t FROM alledges
               |          UNION SELECT doc_b, doc_a FROM alledges),
               |reach(id, r) AS (
-              |  SELECT doc_id, doc_id FROM sig
+              |  SELECT doc_id, doc_id FROM documents
               |  UNION
               |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id)
               |SELECT id AS doc_id, min(r) AS component
@@ -1127,6 +1122,20 @@ object Documents {
       None,
     ),
   )
+
+  /** per-doc content hash — the shared derivation behind exact-dup
+    * detection in dd10 (delta vs corpus) and dd11 (cluster edges). */
+  private def contentHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+
+  /** exact-duplicate pairs (doc_a < doc_b) by content hash. */
+  private def exactPairs(docs: DataFrame): DataFrame = {
+    val hx = contentHashes(docs)
+    hx.select(col("doc_id").as("doc_a"), col("h"))
+      .join(hx.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+  }
 
   /** MinHash-LSH near-dup pairs with exact Jaccard ≥ 0.5 verification
     * (doc_a < doc_b) — the shared stage behind dd2 (pair listing) and

@@ -192,7 +192,14 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     if (base != expectedBase)
       throw new CommitConflict(s"base moved: expected $expectedBase, found $base")
     val next = base.getOrElse(-1) + 1
-    val dataRel = f"data/v$next%06d"
+    // writer-UNIQUE data directory: two writers racing for the same
+    // next version must never share a data path — the loser of the
+    // manifest rename would otherwise have already clobbered the
+    // winner's files (overwrite-mode write happens before the atomic
+    // rename decides the race). The manifest records the actual dir,
+    // so losers only ever leave an orphan directory behind (reclaimed
+    // by vacuum), never corruption.
+    val dataRel = f"data/v$next%06d-" + java.util.UUID.randomUUID().toString.take(8)
 
     // shuffle rows to their bucket before the partitioned write — one
     // file per bucket instead of (tasks × buckets) small files; persist
@@ -309,24 +316,39 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
   }
 
   /** drop manifests older than the newest `keepVersions` and delete
-    * data directories no surviving manifest references. */
-  def vacuum(keepVersions: Int): Unit = {
+    * data directories no surviving manifest references. With
+    * `removeOrphans` (only safe when no writer is in flight — an
+    * in-progress commit's directory is not referenced yet), also
+    * reclaims directories left by writers that lost a commit race. */
+  def vacuum(keepVersions: Int, removeOrphans: Boolean = false): Unit = {
     require(keepVersions >= 1)
     if (!Files.exists(manifestDir)) return
     val versions = Files.list(manifestDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".manifest"))
       .map(n => n.stripPrefix("v").stripSuffix(".manifest").toInt).toSeq.sorted
     val (drop, keep) = versions.splitAt(math.max(0, versions.size - keepVersions))
-    if (drop.isEmpty) return
     val live = keep.flatMap(v => readManifest(v).values).toSet
-    val dead = drop.flatMap(v => readManifest(v).values).toSet -- live
-    // data paths are per-version bucket dirs; delete dead ones
-    dead.foreach { rel =>
+    def deleteDir(rel: String): Unit = {
       val dir = Paths.get(baseDir, rel)
       if (Files.exists(dir)) {
         Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }
     }
+    // data paths are per-version bucket dirs; delete dead ones
+    val dead = drop.flatMap(v => readManifest(v).values).toSet -- live
+    dead.foreach(deleteDir)
     drop.foreach { v => Files.deleteIfExists(manifestPath(v)); Files.deleteIfExists(statsPath(v)) }
+    if (removeOrphans) {
+      val dataRoot = Paths.get(baseDir, "data")
+      if (Files.exists(dataRoot)) {
+        val referenced = (keep ++ drop).flatMap(v =>
+          scala.util.Try(readManifest(v).values.toSeq).getOrElse(Nil)).toSet ++ live
+        val referencedDirs = referenced.map(_.split("/__bucket=")(0))
+        Files.list(dataRoot).iterator().asScala.toSeq
+          .map(p => "data/" + p.getFileName.toString)
+          .filterNot(referencedDirs.contains)
+          .foreach(deleteDir)
+      }
+    }
   }
 }

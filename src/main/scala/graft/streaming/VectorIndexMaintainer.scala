@@ -48,11 +48,15 @@ class VectorIndexMaintainer(spark: SparkSession, baseDir: String,
     }
   }
 
-  def start(embeddings: DataFrame, checkpointDir: String): StreamingQuery =
+  /** `trigger` defaults to draining the available backlog and
+    * stopping (spec/bench shape); pass a processing-time trigger for
+    * continuous ingestion against a live source. */
+  def start(embeddings: DataFrame, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     embeddings.writeStream
       .foreachBatch(processBatch _)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** top-k probe against the CURRENT snapshot (same plan as the batch

@@ -188,9 +188,11 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = t.read(Some(cv)).get.collect().map(_.toSeq).sortBy(_.toString)
     assert(before.sameElements(after), "layout sort must not change the data")
 
-    // within each rewritten file, rows are in z-order
+    // within each rewritten file, rows are in z-order (data dirs are
+    // writer-unique: v%06d-<token>)
     import scala.jdk.CollectionConverters._
-    val dataDir = java.nio.file.Paths.get(dir, f"data/v$cv%06d")
+    val dataDir = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "data"))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith(f"v$cv%06d")).toSeq.head
     java.nio.file.Files.list(dataDir).iterator().asScala
       .filter(_.getFileName.toString.startsWith("__bucket=")).foreach { bdir =>
         val zs = spark.read.parquet(bdir.toString)

@@ -49,11 +49,15 @@ class VectorIndexMaintainerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (first, second) = rows.partition(_._1 < 250)
 
     val stream = MemoryStream[(Long, Seq[Float], Int)]
+    // ONE checkpoint reused across drains: the second run must resume
+    // from recorded offsets and process only the new batch (replay
+    // safety is separately guaranteed by the id-keyed upsert)
+    val ckpt = Files.createTempDirectory("vec-ckpt").toString
     def drain(): Unit = {
       val query = maintainer.start(
         stream.toDS().toDF("vec_id", "embedding", "label")
           .withColumn("embedding", col("embedding").cast("array<float>")),
-        Files.createTempDirectory("vec-ckpt").toString)
+        ckpt)
       query.awaitTermination()
     }
 
