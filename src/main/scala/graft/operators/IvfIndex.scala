@@ -69,6 +69,16 @@ object IvfIndex {
     embeddings.withColumn("list_id", listUdf(col("embedding")))
   }
 
+  /** mean L2² of assigned vectors to their posting-list centroid —
+    * the residual-distortion measure quantizer drift is judged by
+    * (rises as ingested data walks away from the trained centroids). */
+  def distortion(assigned: DataFrame, model: Model): Double = {
+    val bc = assigned.sparkSession.sparkContext.broadcast(model)
+    val dUdf = udf((emb: Seq[Float], l: Int) =>
+      l2(emb.toArray, bc.value.centroids.find(_._1 == l).get._2))
+    assigned.select(avg(dUdf(col("embedding"), col("list_id")))).head().getDouble(0)
+  }
+
   /** top-k by inner product probing the query's nprobe nearest lists.
     * Scoring is the same codegen'd fixed-point `aggregate(zip_with)`
     * form as the exact-MIPS path (`queries/Similarity.scala`) — the

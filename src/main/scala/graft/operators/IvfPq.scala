@@ -34,8 +34,14 @@ object IvfPq {
   }
 
   def train(embeddings: DataFrame, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
-            seed: Long = 42L): Model = {
-    val ivf = IvfIndex.train(embeddings, nlist, seed)
+            seed: Long = 42L): Model =
+    train(embeddings, IvfIndex.train(embeddings, nlist, seed), m, ksub, seed)
+
+  /** compose a PRE-TRAINED coarse quantizer with a PQ fit over its
+    * residuals — the serving path shares one IVF fit across the whole
+    * index family instead of re-running k-means per composition. */
+  def train(embeddings: DataFrame, ivf: IvfIndex.Model, m: Int, ksub: Int,
+            seed: Long): Model = {
     val assigned = IvfIndex.assign(embeddings, ivf)
     // PQ codebooks fit on the residual distribution (cast back to
     // float — the PQ trainer's input column type)
@@ -57,17 +63,19 @@ object IvfPq {
     * Per the decomposition ⟨q,v⟩ = ⟨q,c_l⟩ + ⟨q,r_v⟩, the residual
     * lookup table is built from the FULL query against the residual
     * codebooks (one table, shared by all probed lists); only the
-    * scalar bias ⟨q,c_l⟩ varies per list. */
+    * scalar bias ⟨q,c_l⟩ varies per list — looked up from a tiny
+    * map literal keyed by `list_id`. ONE scan of the encoded table
+    * (a partition-prunable `isin` filter, like [[IvfIndex.probe]]),
+    * not one scan per probed list. */
   def search(encoded: DataFrame, model: Model, query: Array[Float],
              nprobe: Int, shortlist: Int, k: Int): DataFrame = {
     val lists = model.ivf.nearest(query, nprobe)
     val lookup = PqIndex.lookupCol(model.pq.adcIpTable(query), model.pq.ksub)
-    val perList = lists.map { l =>
-      encoded.filter(col("list_id") === l)
-        .withColumn("adc", lit(IvfIndex.ip(query, model.centroid(l))) + lookup)
-    }
+    val bias = map(lists.flatMap(l =>
+      Seq(lit(l), lit(IvfIndex.ip(query, model.centroid(l))))): _*)
     PqIndex.exactRerank(
-      perList.reduce(_ unionByName _)
+      encoded.filter(col("list_id").isin(lists: _*))
+        .withColumn("adc", element_at(bias, col("list_id")) + lookup)
         .orderBy(col("adc").desc, col("vec_id"))
         .limit(shortlist),
       query, k)

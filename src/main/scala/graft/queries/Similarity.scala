@@ -300,9 +300,9 @@ object Similarity {
     QueryDef(
       "ss5_ann_ivf",
       (s, d) => {
-        import graft.operators.IvfIndex
+        import graft.operators.{IvfIndex, QuantizerCache}
         val emb = Tables.embeddings(s, d)
-        val model = IvfIndex.train(emb, nlist = 16)
+        val model = QuantizerCache.ivf(s, d, emb, nlist = 16)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         IvfIndex.probe(IvfIndex.assign(emb, model).filter(col("vec_id") =!= 0), model, q, nprobe = 8, k = 10)
@@ -353,9 +353,9 @@ object Similarity {
     QueryDef(
       "ss6_ann_pq",
       (s, d) => {
-        import graft.operators.PqIndex
+        import graft.operators.{PqIndex, QuantizerCache}
         val emb = Tables.embeddings(s, d)
-        val model = PqIndex.train(emb, m = 8, ksub = 16)
+        val model = QuantizerCache.pq(s, d, emb, m = 8, ksub = 16)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         PqIndex.search(PqIndex.encode(emb.filter(col("vec_id") =!= 0), model), model, q,
@@ -372,9 +372,9 @@ object Similarity {
     QueryDef(
       "ss10_ann_ivfpq",
       (s, d) => {
-        import graft.operators.IvfPq
+        import graft.operators.{IvfPq, QuantizerCache}
         val emb = Tables.embeddings(s, d)
-        val model = IvfPq.train(emb, nlist = 16, m = 8, ksub = 16)
+        val model = QuantizerCache.ivfPq(s, d, emb, nlist = 16, m = 8, ksub = 16)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         IvfPq.search(IvfPq.encode(emb.filter(col("vec_id") =!= 0), model), model, q,
@@ -428,9 +428,9 @@ object Similarity {
     QueryDef(
       "ss11_diverse_sample",
       (s, d) => {
-        import graft.operators.IvfIndex
+        import graft.operators.{IvfIndex, QuantizerCache}
         val emb = Tables.embeddings(s, d)
-        val model = IvfIndex.train(emb, nlist = 16)
+        val model = QuantizerCache.ivf(s, d, emb, nlist = 16)
         val assigned = IvfIndex.assign(emb, model).withColumn("f", fxCol)
         val norm2 = ip(col("f"), col("f"))
         val w = org.apache.spark.sql.expressions.Window

@@ -129,6 +129,17 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
              statsCols: Seq[String] = Nil): Int =
     commitInternal(rows, keys, expectedBase, forcedDirty = None, statsCols)
 
+  /** Full-snapshot commit: `rows` REPLACE the whole table. Every
+    * bucket is owned by this version — a bucket absent from `rows`
+    * becomes empty instead of inheriting the base's files (plain
+    * [[commit]] would silently resurrect old rows whose bucket the
+    * new snapshot doesn't touch). The overwrite a quantizer refresh /
+    * index rebuild needs. */
+  def overwrite(rows: DataFrame, keys: Seq[String], expectedBase: Option[Int],
+                statsCols: Seq[String] = Nil): Int =
+    commitInternal(rows, keys, expectedBase,
+      forcedDirty = Some((0 until nBuckets).toSet), statsCols)
+
   /** MERGE (upsert): for every key in `updates`, replace the current
     * rows with that key; keys absent from the table are inserted; rows
     * whose `deleteCol` is true are deleted instead. Only the buckets

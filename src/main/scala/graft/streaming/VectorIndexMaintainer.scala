@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.IvfIndex
+import graft.operators.{IvfIndex, QuantizerStore}
 import graft.sources.VersionedTable
 
 /** Streaming ANN index maintenance: embeddings arrive as a stream and
@@ -20,13 +20,31 @@ import graft.sources.VersionedTable
   *     sees the vectors ingested so far — the index is always
   *     consistent, just possibly behind the stream head;
   *   - re-training (quantizer drift after heavy ingest) is a separate
-  *     offline `compact`-style rebuild, exactly like a table-format
-  *     re-clustering — the serving path never blocks on it.
+  *     offline `compact`-style rebuild ([[refreshQuantizer]]), exactly
+  *     like a table-format re-clustering — the serving path never
+  *     blocks on it: the rebuild is one full-rewrite commit, readers
+  *     pinned to older versions keep the old posting lists (and, via
+  *     the versioned [[QuantizerStore]], the old codebooks), and the
+  *     serving pointer swaps only after the commit lands.
   */
 class VectorIndexMaintainer(spark: SparkSession, baseDir: String,
-                            val model: IvfIndex.Model, nBuckets: Int = 16) {
+                            initialModel: IvfIndex.Model, nBuckets: Int = 16) {
 
   private val table = new VersionedTable(spark, baseDir, nBuckets)
+  private val quantizerDir = s"$baseDir/_quantizer"
+  private val baselineFile = java.nio.file.Paths.get(quantizerDir, "BASELINE")
+
+  /** current serving quantizer — restored from the committed store on
+    * construction, so a restarted maintainer serves the refreshed
+    * quantizer, not the bootstrap one. */
+  @volatile private var _model: IvfIndex.Model =
+    QuantizerStore.loadIvf(spark, quantizerDir).getOrElse {
+      try QuantizerStore.save(spark, quantizerDir, Some(initialModel), None)
+      catch { case _: RuntimeException => () } // lost save race: identical content
+      initialModel
+    }
+
+  def model: IvfIndex.Model = _model
 
   def currentVersion(): Option[Int] = table.currentVersion()
 
@@ -46,7 +64,60 @@ class VectorIndexMaintainer(spark: SparkSession, baseDir: String,
         case _: table.CommitConflict if attempts < 5 => // retry on new base
       }
     }
+    // first ingest records the drift baseline the refresh decision
+    // compares against
+    if (!java.nio.file.Files.exists(baselineFile)) recordBaseline()
   }
+
+  /** mean L2² of the indexed vectors to their stored posting-list
+    * centroid (the layout's residual distortion — rises as ingested
+    * data walks away from the trained centroids). */
+  def distortion(): Double =
+    table.read().map(snap => IvfIndex.distortion(snap, _model)).getOrElse(0.0)
+
+  private def recordBaseline(): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(quantizerDir))
+    java.nio.file.Files.writeString(baselineFile, distortion().toString)
+  }
+
+  private def baseline(): Option[Double] =
+    if (java.nio.file.Files.exists(baselineFile))
+      Some(java.nio.file.Files.readString(baselineFile).trim.toDouble)
+    else None
+
+  /** Retrain the coarse quantizer on the CURRENT snapshot and rebuild
+    * every posting list under it — the offline compact-style rebuild.
+    * One full-rewrite commit; on a base conflict (a stream batch
+    * landed mid-rebuild) the snapshot is re-read and the rebuild
+    * retried, so no ingested vector is ever lost. Returns the
+    * committed version. */
+  def refreshQuantizer(nlist: Int = _model.centroids.length, seed: Long = 42L): Int = {
+    var attempts = 0
+    var committed = -1
+    var fresh: IvfIndex.Model = null
+    while (committed < 0) {
+      attempts += 1
+      val base = table.currentVersion()
+      val snap = table.read(base).getOrElse(
+        throw new IllegalStateException("index is empty — nothing to rebuild")).drop("list_id")
+      fresh = IvfIndex.train(snap, nlist, seed)
+      try committed = table.overwrite(IvfIndex.assign(snap, fresh), Seq("vec_id"), base)
+      catch { case _: table.CommitConflict if attempts < 5 => }
+    }
+    try QuantizerStore.save(spark, quantizerDir, Some(fresh), None)
+    catch { case _: RuntimeException => () } // lost save race; serving model still swaps
+    _model = fresh
+    recordBaseline()
+    committed
+  }
+
+  /** rebuild only when the layout's distortion drifted past `factor`
+    * × the recorded baseline. Returns true if a rebuild happened. */
+  def refreshIfDrifted(factor: Double = 1.5): Boolean =
+    baseline() match {
+      case Some(b) if b > 0 && distortion() > factor * b => refreshQuantizer(); true
+      case _ => false
+    }
 
   /** `trigger` defaults to draining the available backlog and
     * stopping (spec/bench shape); pass a processing-time trigger for

@@ -81,4 +81,45 @@ class VectorIndexMaintainerSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == want, s"streamed index probe $got vs batch $want")
   }
+
+  test("quantizer refresh: probe-stable rebuild, restart restores it, drift triggers it") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+    // deliberately poor bootstrap fit (first 100 rows only)
+    val boot = IvfIndex.train(emb.limit(100), nlist = 8)
+    val dir = Files.createTempDirectory("vec-idx-refresh").toString
+    val m = new VectorIndexMaintainer(spark, dir, boot, nBuckets = 8)
+    m.processBatch(emb.filter(col("vec_id") =!= 0), 0L)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+
+    // nprobe = nlist probes every list → exact, model-independent
+    def fullProbe(mm: VectorIndexMaintainer): Seq[Long] =
+      mm.probe(q, nprobe = 8, k = 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+
+    val before = fullProbe(m)
+    val d0 = m.distortion()
+    m.refreshQuantizer()
+    assert(fullProbe(m) == before,
+      "rebuilding posting lists under a refreshed quantizer must not change exact probe results")
+    assert(m.distortion() <= d0 * 1.01 + 1e-9,
+      "refitting on the full index cannot be worse than the 100-row bootstrap fit")
+
+    // restart with the ORIGINAL bootstrap model: the committed store
+    // must win, so serving continues on the refreshed quantizer
+    val m2 = new VectorIndexMaintainer(spark, dir, boot, nBuckets = 8)
+    assert(m2.model.centroids.map(_._2.toSeq).toSeq == m.model.centroids.map(_._2.toSeq).toSeq)
+    assert(fullProbe(m2) == before)
+
+    // stable data: no drift, no rebuild
+    assert(!m.refreshIfDrifted(factor = 1.5))
+
+    // heavy ingest far from the trained centroids drifts the layout
+    // past the baseline and triggers the rebuild
+    val shifted = emb.filter(col("vec_id") =!= 0)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding", transform(col("embedding"), x => (x * lit(10.0f)).cast("float")))
+    m.processBatch(shifted, 1L)
+    assert(m.refreshIfDrifted(factor = 2.0), "10x-scaled ingest must trip the drift threshold")
+    assert(!m.refreshIfDrifted(factor = 2.0), "baseline re-records after a rebuild")
+  }
 }
