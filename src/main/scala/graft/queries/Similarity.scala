@@ -28,18 +28,43 @@ import graft.{QueryDef, Tables}
 object Similarity {
 
   private val Dims = 64
+
+  /** signature width of the ORACLED fixed-SF queries: 8 planes = 256
+    * buckets, right-sized for the test corpora (the planes are inlined
+    * into static DuckDB oracle SQL, so these queries fix the width).
+    * At real scale the width must GROW with the corpus — candidate
+    * work in the self-join family (ss9/dd5) is Σ bucket², which at a
+    * fixed bucket count grows quadratically with n. [[planesFor]] is
+    * the sizing rule and `ss_scale_1m` proves occupancy stays bounded
+    * at 1M vectors by widening the signature, exactly like
+    * `dd_scale_1m`'s 16-bit LSH blocks on the documents side. */
   private val Planes = 8
 
-  /** ±1 hyperplane matrix, deterministic (md5 of "plane:j:i"). */
-  private val planes: IndexedSeq[IndexedSeq[Int]] = {
+  /** signature width for a corpus of `n` vectors targeting ≤ `cap`
+    * expected vectors per bucket: ceil(log2(n / cap)), clamped to
+    * [8, 30]. Under the random-hyperplane model E[bucket] = n / 2^p,
+    * so per-bucket candidate work (bucket²) stays ≤ cap² no matter
+    * how large n grows — the corpus-size knob the fixed width lacks. */
+  def planesFor(n: Long, cap: Long = 1024L): Int = {
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / cap)) / math.log(2.0)).toInt
+    math.min(30, math.max(8, needed))
+  }
+
+  /** ±1 hyperplane matrix, deterministic (md5 of "plane:j:i") — any
+    * prefix of a wider matrix equals the narrower matrix, so widening
+    * the signature only SPLITS buckets (never re-shuffles them): a
+    * width bump at scale is an incremental refinement of the layout. */
+  private def planeMatrix(nPlanes: Int): IndexedSeq[IndexedSeq[Int]] = {
     val md = MessageDigest.getInstance("MD5")
-    (0 until Planes).map { j =>
+    (0 until nPlanes).map { j =>
       (0 until Dims).map { i =>
         val h = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1 else -1
       }
     }
   }
+
+  private val planes: IndexedSeq[IndexedSeq[Int]] = planeMatrix(Planes)
 
   /** embedding → fixed-point array<long> (exact, portable). */
   private def fxCol: Column =
@@ -52,12 +77,17 @@ object Similarity {
   private def ip(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** 8-bit sign-projection bucket signature (Spark side). */
-  private def sigCol: Column =
-    concat((0 until Planes).map { j =>
-      val planeLit = array(planes(j).map(v => lit(v.toLong)): _*)
+  /** sign-projection bucket signature at any width (Spark side). */
+  private def sigColN(nPlanes: Int): Column = {
+    val m = planeMatrix(nPlanes)
+    concat((0 until nPlanes).map { j =>
+      val planeLit = array(m(j).map(v => lit(v.toLong)): _*)
       when(ip(col("f"), planeLit) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
+  }
+
+  /** the fixed 8-bit signature the oracled queries use. */
+  private def sigCol: Column = sigColN(Planes)
 
   /** same signature as DuckDB SQL over the fx CTE's `f` column:
     * Σ(+dims) − Σ(−dims) via list_select with inlined index lists. */
@@ -233,7 +263,10 @@ object Similarity {
     // batched analog of ss7 (one bucket self-join + one rank window,
     // no per-vector probes). The k-NN graph is the input to embedding
     // clustering / diversity pruning in a curation pipeline; at scale
-    // the bucket is the shuffle key and candidate work is Σ bucket².
+    // the bucket is the shuffle key and candidate work is Σ bucket² —
+    // bounded by widening the signature with the corpus (planesFor;
+    // proven at 1M vectors by ss_scale_1m). Width is fixed at 8 HERE
+    // only because the DuckDB oracle inlines the plane matrix.
     QueryDef(
       "ss9_knn_graph",
       (s, d) => {
@@ -269,6 +302,8 @@ object Similarity {
     // the brief, in exact fixed-point IP form): candidate pairs share
     // a sign-projection bucket (blocked equi-join, never O(n²)), then
     // exact integer inner product ≥ τ. Fully deterministic → oracled.
+    // Per-bucket candidate work at corpus scale is bounded by the
+    // planesFor width rule (see ss_scale_1m), not this fixed 8.
     QueryDef(
       "dd5_embedding_neardup",
       (s, d) => {
@@ -396,23 +431,69 @@ object Similarity {
       "ss_scale_200k",
       (s, _) => {
         val n = 200000L
+        val nPlanes = planesFor(n) // = 8 at 200k: n/2^8 ≈ 780 per bucket
         // 64 coords in [-500, 500], fixed-point integers (f directly)
         val coords = (1 to Dims).map(j =>
           (pmod(xxhash64(col("id"), lit(j)), lit(1001L)) - 500L).as(s"c$j"))
         val vecs = s.range(n).select(col("id").as("vec_id"), array(coords.map(c => c * 10000L): _*).as("f"))
-        val sig = vecs.withColumn("bucket", sigCol).persist()
+        // no persist: sig is pure codegen over executor-born rows — the
+        // tiny query side recomputes it for 8 rows instead of pinning
+        // the whole signed corpus in the long-lived bench JVM's cache
+        val sig = vecs.withColumn("bucket", sigColN(nPlanes))
         val q = sig.filter(col("vec_id") < 8)
           .select(col("vec_id").as("qid"), col("f").as("qf"), col("bucket"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)
         val top = sig.filter(col("vec_id") >= 8)
-          .join(q, Seq("bucket"))
+          .join(broadcast(q), Seq("bucket"))
           .select(col("qid"), col("vec_id"), ip(col("f"), col("qf")).as("ip"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 10)
         top.agg(
           count(lit(1)).as("n_results"),
           coalesce(expr("bit_xor(xxhash64(qid, vec_id, ip))"), lit(0L)).as("checksum"))
+      },
+      None,
+    ),
+
+    // ss_scale_1m — the signature-width knob proven at 1M vectors:
+    // planesFor(1M) widens the signature to 10 bits (1024 buckets), so
+    // expected occupancy stays ≈ n/2^p ≤ 1024 instead of growing
+    // linearly (and Σ bucket² candidate work quadratically) at a fixed
+    // width. The output is correctness-carrying: result count + id
+    // checksum PLUS the occupancy bound itself — `occupancy_ok` pins
+    // max bucket ≤ 4× the target cap, so a regression to fixed-width
+    // behavior (977k-row buckets) fails the row hash, not just a
+    // timer. Widening is refinement: the plane matrix of width p is a
+    // prefix of width p' > p, so buckets only ever split.
+    QueryDef(
+      "ss_scale_1m",
+      (s, _) => {
+        val n = 1000000L
+        val cap = 1024L
+        val nPlanes = planesFor(n, cap) // = 10 at 1M
+        val coords = (1 to Dims).map(j =>
+          (pmod(xxhash64(col("id"), lit(j)), lit(1001L)) - 500L).as(s"c$j"))
+        val vecs = s.range(n).select(col("id").as("vec_id"), array(coords.map(c => c * 10000L): _*).as("f"))
+        val sig = vecs.withColumn("bucket", sigColN(nPlanes))
+        val occupancy = sig.groupBy("bucket").agg(count(lit(1)).as("bn"))
+          .agg(max("bn").as("max_bucket"), count(lit(1)).as("n_buckets"))
+        val q = sig.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("f").as("qf"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)
+        val top = sig.filter(col("vec_id") >= 8)
+          .join(broadcast(q), Seq("bucket"))
+          .select(col("qid"), col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+        top.agg(
+          count(lit(1)).as("n_results"),
+          coalesce(expr("bit_xor(xxhash64(qid, vec_id, ip))"), lit(0L)).as("checksum"))
+          .crossJoin(occupancy)
+          .select(col("n_results"), col("checksum"), lit(nPlanes).as("planes"),
+            col("n_buckets"), col("max_bucket"),
+            (col("max_bucket") <= cap * 4).as("occupancy_ok"))
       },
       None,
     ),

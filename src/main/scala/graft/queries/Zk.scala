@@ -429,5 +429,38 @@ object Zk {
               |  count(DISTINCT block_number) AS n_blocks
               |FROM $E""".stripMargin),
     ),
+
+    // S1 LIVE ingest (eth.rs:242-333 `query_mpt_proof`): proofs pulled
+    // over real HTTP JSON-RPC from a loopback fixture provider —
+    // socket → retry → from_json parse → normalize → per-row MPT
+    // re-verify, end-to-end. Same oracle as the dump path: one valid
+    // proof per ground-truth entry.
+    QueryDef(
+      "zk_ingest_rpc_live",
+      (s, _) => {
+        import graft.sources.{FixtureRpcServer, RpcProofSource}
+        FixtureStore.ensure(s)
+        val srv = new FixtureRpcServer(cfg)
+        val endpoint = srv.start()
+        try {
+          val requests = Fixtures.entries(s, cfg)
+            .select("block_number", "contract", "mapping_slot", "mapping_key")
+          // materialize the fetch while the loopback provider is up;
+          // the rest of the plan continues from the checkpoint
+          val fetched = RpcProofSource.fetch(requests, endpoint)
+            .localCheckpoint(true)
+          ZkPipeline.verifyStorageProofs(RpcProofSource.proofRows(fetched)).agg(
+            count(lit(1)).as("n_proofs"),
+            sum(when(col("proof_ok"), 1L).otherwise(0L)).as("n_verified"),
+            sum(when(col("key_ok"), 1L).otherwise(0L)).as("n_key_ok"),
+            countDistinct(col("block_number")).as("n_blocks"))
+        } finally srv.stop()
+      },
+      Some(s"""SELECT count(*) AS n_proofs,
+              |  CAST(count(*) AS BIGINT) AS n_verified,
+              |  CAST(count(*) AS BIGINT) AS n_key_ok,
+              |  count(DISTINCT block_number) AS n_blocks
+              |FROM $E""".stripMargin),
+    ),
   )
 }
