@@ -36,6 +36,19 @@ object Constraints {
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(s"ref_integrity($fk->$pk)").as("check_name"), col("n_violations"))
 
+  /** groups holding more than `maxN` rows — the reference's
+    * fixed-depth circuit bound generalized: a depth-d Merkle tree
+    * holds at most 2^d leaves, and the reference pins the state DB to
+    * depth 5 (`query2/state/mod.rs:278`), i.e. ≤ 32 contracts per
+    * block. Run over `state_db` as
+    * `maxGroupSize(storageDb, Seq("block_number"), 32)` before the
+    * stage-7 aggregation. */
+  def maxGroupSize(df: DataFrame, groupCols: Seq[String], maxN: Long): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") > maxN, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
+      .select(lit(s"max_group_size(${groupCols.mkString(",")},$maxN)").as("check_name"),
+        col("n_violations"))
+
   /** per-group dense sequencing 1..n (the J1/W3 shape): groups where
     * max(seq) != count(seq) or min(seq) != 1. */
   def denseSequence(df: DataFrame, groupCol: String, seqCol: String): DataFrame =

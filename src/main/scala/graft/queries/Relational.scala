@@ -940,6 +940,9 @@ object Relational {
           .unionByName(inRange(li, "l_discount", 0.0, 0.5))
           .unionByName(refIntegrity(li, "l_orderkey", o, "o_orderkey"))
           .unionByName(denseSequence(li, "l_orderkey", "l_linenumber"))
+          // the reference's fixed-depth circuit bound (state DB depth
+          // ≤ 5 ⇒ ≤ 2^5 leaves per group) as a generic constraint
+          .unionByName(maxGroupSize(li, Seq("l_orderkey"), 32))
           .orderBy("check_name")
       },
       Some("""SELECT 'not_null(l_orderkey,l_quantity)' AS check_name,
@@ -961,6 +964,10 @@ object Relational {
              |  CAST(sum(CASE WHEN lo <> 1 OR hi <> n THEN 1 ELSE 0 END) AS BIGINT)
              |FROM (SELECT count(*) AS n, min(l_linenumber) AS lo, max(l_linenumber) AS hi
              |      FROM lineitem GROUP BY l_orderkey) t
+             |UNION ALL
+             |SELECT 'max_group_size(l_orderkey,32)',
+             |  CAST(coalesce(sum(CASE WHEN n > 32 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey) t
              |ORDER BY check_name""".stripMargin),
     ),
 

@@ -54,8 +54,26 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
   private def manifestPath(v: Int): Path = manifestDir.resolve(f"v$v%06d.manifest")
   private def statsPath(v: Int): Path = manifestDir.resolve(f"v$v%06d.stats")
 
-  def currentVersion(): Option[Int] =
-    if (Files.exists(latestFile)) Some(Files.readString(latestFile).trim.toInt) else None
+  /** The manifest ATOMIC_MOVE is the commit point; LATEST is a cheap
+    * pointer cache. A writer crashing between the two leaves an
+    * orphaned manifest that LATEST never reaches — naively trusting
+    * LATEST would then make every later commit compute the same next
+    * version and conflict forever. Reconcile: the current version is
+    * max(pointer, newest on-disk manifest) — the orphan is ADOPTED
+    * (its manifest is complete and atomic; a missing stats sidecar
+    * only disables pruning, which is always safe). */
+  def currentVersion(): Option[Int] = {
+    val fromPtr =
+      if (Files.exists(latestFile)) Some(Files.readString(latestFile).trim.toInt) else None
+    val fromManifests =
+      if (!Files.exists(manifestDir)) None
+      else Files.list(manifestDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest").toInt)
+        .maxOption
+    (fromPtr.toSeq ++ fromManifests.toSeq).maxOption
+  }
 
   /** bucket assignment expression for the table key columns. */
   def bucketCol(keys: Seq[String]): Column =
@@ -156,16 +174,18 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     val dirty = upd.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
 
     // survivors: current rows of the dirty buckets whose key is NOT
-    // being updated (bucket filter first — the anti-join only ever
-    // touches dirty-bucket rows)
-    val survivors = read(base) match {
-      case Some(cur) =>
-        cur.withColumn("__bucket", bucketCol(keys))
-          .filter(col("__bucket").isin(dirty.toSeq: _*))
-          .drop("__bucket")
-          .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      case None => null
-    }
+    // being updated. Read ONLY the dirty buckets' directories from the
+    // base manifest — file-level pruning, so a merge scans O(dirty
+    // buckets) as documented, never O(table) (a read(base) + filter
+    // would union every bucket's files before filtering).
+    val survivors = base.map { bv =>
+      val dirtyDirs = readManifest(bv)
+        .filter { case (b, _) => dirty.contains(b) }
+        .values.toSeq.distinct
+      if (dirtyDirs.isEmpty) null
+      else dirtyDirs.map(rel => spark.read.parquet(s"$baseDir/$rel")).reduce(_ unionByName _)
+        .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    }.orNull
     val inserts = deleteCol match {
       case Some(dc) => updates.filter(!col(dc)).drop(dc)
       case None => updates

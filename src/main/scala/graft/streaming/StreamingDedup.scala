@@ -26,6 +26,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * final merge is a keyed agg over 4 rows per doc. Within a batch,
   * arrival order is normalized to doc_id order so replays are
   * deterministic.
+  *
+  * Retention: unbounded history is right for the bounded spec/bench
+  * corpora, but a continuous-ingest deployment must cap state —
+  * `maxPerBucket` keeps only the newest N signatures per bucket
+  * (dedup semantics become "against the last N filed here", the
+  * sliding-window contract every production dedup stream settles on;
+  * probes stay O(N) instead of O(history)).
   */
 object StreamingDedup {
 
@@ -67,8 +74,9 @@ object StreamingDedup {
   }
 
   /** streaming verdicts: one row per doc (Update output mode),
-    * columns (doc_id, verdict, match_id). */
-  def verdicts(docs: Dataset[Doc]): DataFrame = {
+    * columns (doc_id, verdict, match_id). `maxPerBucket` bounds
+    * per-bucket state (newest-first) for continuous ingest. */
+  def verdicts(docs: Dataset[Doc], maxPerBucket: Int = Int.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
     val cands = docs
       .flatMap(probes _)
@@ -88,7 +96,7 @@ object StreamingDedup {
               if (exactM.nonEmpty) Candidate(p.doc_id, 0, exactM.min)
               else if (nearM.nonEmpty) Candidate(p.doc_id, 1, nearM.min)
               else Candidate(p.doc_id, 2, -1L))
-            stored = (p.doc_id, p.sig, p.exact) :: stored
+            stored = ((p.doc_id, p.sig, p.exact) :: stored).take(maxPerBucket)
           }
           state.update(BucketState(stored))
           out.iterator

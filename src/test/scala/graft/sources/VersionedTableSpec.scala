@@ -233,4 +233,33 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hot = t.bucketsFor("v", BigDecimal(5000), BigDecimal(5000))
     assert(hot.size == 1, s"only the merged bucket can hold v=5000, got $hot")
   }
+
+  test("orphaned manifest (crash before the LATEST update) is adopted, not deadlocked") {
+    val dir = Files.createTempDirectory("vt-orphan").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 2)
+    t.commit(df(Seq((1L, "a", 1L))), Seq("k"), None) // v0
+    t.commit(df(Seq((1L, "a", 2L))), Seq("k"), Some(0)) // v1
+    // simulate the crash window: manifest v1 landed, pointer did not
+    Files.writeString(java.nio.file.Paths.get(dir, "LATEST"), "0")
+    assert(t.currentVersion().contains(1),
+      "the newest on-disk manifest must win over a stale pointer")
+    assert(t.read().get.head().getLong(2) == 2L, "the orphaned commit's data is served")
+    // and the next commit advances past the orphan instead of
+    // conflicting on the same version number forever
+    assert(t.commit(df(Seq((1L, "a", 3L))), Seq("k"), Some(1)) == 2)
+    assert(t.read().get.head().getLong(2) == 3L)
+  }
+
+  test("overwrite owns every bucket: rows absent from the snapshot disappear") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("vt-ovr").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 4)
+    t.commit(df((0L until 32L).map(i => (i, s"n$i", i))), Seq("k"), None)
+    // the 3-row snapshot cannot possibly populate all 4 buckets — a
+    // plain commit would resurrect the other buckets' 29 rows
+    t.overwrite(df(Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L))), Seq("k"), Some(0))
+    assert(t.read().get.count() == 3, "overwrite must not inherit stale buckets")
+    assert(t.read(Some(0)).get.count() == 32, "pinned readers keep the old snapshot")
+  }
 }

@@ -81,4 +81,30 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(10L) == ("keep", -1L), rows)
     assert(rows(11L) == ("exact_dup", 10L), rows)
   }
+
+  test("maxPerBucket caps per-bucket state: evicted history no longer matches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    def run(cap: Int, name: String): Map[Long, (String, Long)] = {
+      val stream = MemoryStream[StreamingDedup.Doc]
+      val q = StreamingDedup.verdicts(stream.toDS(), maxPerBucket = cap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      stream.addData(StreamingDedup.Doc(1, base), StreamingDedup.Doc(2, base),
+        StreamingDedup.Doc(3, base))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      q.stop()
+      rows
+    }
+    // unbounded: doc 3 matches the OLDEST copy (min id 1)
+    assert(run(Int.MaxValue, "dedup_uncapped")(3L) == ("exact_dup", 1L))
+    // cap 1: filing doc 2 evicted doc 1, so doc 3 can only match doc 2
+    val capped = run(1, "dedup_capped")
+    assert(capped(2L) == ("exact_dup", 1L), capped)
+    assert(capped(3L) == ("exact_dup", 2L),
+      s"evicted doc 1 must no longer be matchable: $capped")
+  }
 }
