@@ -419,6 +419,35 @@ object Similarity {
       None,
     ),
 
+    // ss12 — GRAPH ANN (operators.GraphAnn): greedy beam search over
+    // a symmetrized kNN graph (the HNSW/NSG family, single layer) —
+    // the quantizer-free high-recall serving path on top of the ss9
+    // construction. Rows-only; recall vs brute force and vs multi-
+    // probe LSH at comparable candidate budget asserted in
+    // GraphAnnSpec.
+    QueryDef(
+      "ss12_graph_ann",
+      (s, d) => {
+        import graft.operators.GraphAnn
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol).select("vec_id", "f")
+        val qf = e.filter(col("vec_id") === 0).select("f").head().getSeq[Long](0).toArray
+        // search expands the graph iteratively (eager driver loop), so
+        // pin the vector side for its lifetime and release it after —
+        // the returned frame is the collected top-k, no live lineage.
+        val base = e.filter(col("vec_id") =!= 0).persist()
+        // The BUILT graph is the index: like the trained quantizers it
+        // is committed once per corpus and the serving path loads it
+        // (write-once, content keyed by the sf dir; deterministic).
+        val gdir = new java.io.File(
+          s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/knn").getAbsolutePath
+        if (!new java.io.File(gdir, "_SUCCESS").exists())
+          GraphAnn.buildGraph(base).write.mode("overwrite").parquet(gdir)
+        try GraphAnn.search(s.read.parquet(gdir), base, qf)
+        finally base.unpersist()
+      },
+      None,
+    ),
+
     // ss_scale — similarity search at 200k vectors, executor-born: the
     // LSH bucket layout + probe path under real volume. Synthetic
     // 64-dim fixed-point vectors derive from xxhash64 (deterministic,
