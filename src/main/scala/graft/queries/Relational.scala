@@ -224,6 +224,36 @@ object Relational {
              |ORDER BY c_custkey""".stripMargin),
     ),
 
+    // Bloom-prefiltered semi join (operators.BloomFilter): the
+    // runtime-filter pattern for 100-TB fact/dim joins — a mergeable
+    // bloom_agg builds a 128 KiB filter over the selective dim keys,
+    // the codegen bloom_might_contain drops non-matching fact rows AT
+    // THE SCAN (before the shuffle), and the residual exact semi join
+    // removes the ~1e-4 false positives, so results are exact. The
+    // oracle is the plain semi-join semantics — bloom changes cost,
+    // never the answer.
+    QueryDef(
+      "bloom_semi_join",
+      (s, d) => {
+        val fact = Tables.lineitem(s, d)
+        val dim = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000)
+          .select("o_orderkey")
+        graft.operators.BloomFilter
+          .semiJoin(fact, col("l_orderkey"), dim, col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_orderkey = l_orderkey
+             |                AND o_orderpriority = '1-URGENT' AND o_totalprice > 250000)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // W1 + W2 — sort + fixed LIMIT (Query2 revelation: sorted distinct ids,
     // ≤ L). orderBy.limit compiles to TakeOrderedAndProject: each partition
