@@ -760,6 +760,55 @@ object Relational {
              |ORDER BY o_orderkey""".stripMargin),
     ),
 
+    // Incremental materialized-view maintenance over CDC: the per-
+    // customer order aggregate is computed ONCE on v0, then advanced
+    // to v1 by applying ONLY the cdc() delta (insert/update_postimage
+    // add, delete/update_preimage retract) — never recomputing from
+    // the v1 table. Cost per version step is O(changed buckets) +
+    // O(touched groups), not O(table) — the only maintenance shape
+    // that survives a 100-TB base table with small daily deltas. The
+    // oracle recomputes the aggregate from the v1 state directly, so
+    // a hash match proves delta application ≡ full recompute.
+    // Exact DECIMAL sums make the incremental adds order-insensitive.
+    QueryDef(
+      "vt_incr_mv",
+      (s, d) => {
+        val vt = vtFixture(s, d)
+        val dec = DecimalType(18, 2)
+        val mv0 = vt.read(Some(0)).get
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(dec)).as("total"))
+        val delta = vt.cdc(Seq("o_orderkey"), 0, 1)
+          .withColumn("sgn",
+            when(col("change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L))
+          .groupBy("o_custkey")
+          .agg(sum(col("sgn")).as("dn"),
+            sum(col("sgn").cast(dec) * col("o_totalprice").cast(dec)).as("dt"))
+        mv0.join(delta, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+            (coalesce(col("total"), lit(0).cast(dec)) + coalesce(col("dt"), lit(0).cast(dec))).as("total"))
+          .filter(col("n_orders") > 0)
+          .select(col("o_custkey"), col("n_orders"),
+            col("total").cast("double").as("total"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         (o_orderkey % 15 = 0) AS del
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |kept AS (
+             |  SELECT b.* FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
+             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del),
+             |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+             |SELECT o_custkey, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // §2.6 set operations (the reference only has digest-based set
     // *equality*; union/intersect/except come free with Spark and are

@@ -316,6 +316,43 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     * job reads O(changed buckets), not O(table), per version step.
     */
   def diff(keys: Seq[String], fromVersion: Int, toVersion: Int): DataFrame = {
+    val (j, dataCols) = changedImages(keys, fromVersion, toVersion)
+    val changeType = when(col("__pre").isNull, "insert")
+      .when(col("__post").isNull, "delete")
+      // null-safe struct compare: a changed-to/from-NULL field is a
+      // change, not a no-op
+      .when(!(col("__pre") <=> col("__post")), "update")
+    val img = when(col("__post").isNull, col("__pre")).otherwise(col("__post"))
+    j.withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ dataCols.map(c => img.getField(c).as(c)) :+ col("change_type"): _*)
+  }
+
+  /** CDC read with BOTH images: like [[diff]], but an update emits two
+    * rows — `update_preimage` (old values) and `update_postimage` (new
+    * values) — alongside `insert` (post) and `delete` (pre). This is
+    * the contract incremental consumers need to RETRACT old
+    * contributions and ADD new ones (e.g. maintaining an aggregate
+    * materialized view by delta application instead of recompute):
+    * every change row carries a well-defined sign. Reads the same
+    * changed-buckets-only set as [[diff]].
+    */
+  def cdc(keys: Seq[String], fromVersion: Int, toVersion: Int): DataFrame = {
+    val (j, dataCols) = changedImages(keys, fromVersion, toVersion)
+    def event(img: Column, tpe: String): Column =
+      struct((dataCols.map(c => img.getField(c).as(c)) :+ lit(tpe).as("change_type")): _*)
+    val events = when(col("__pre").isNull, array(event(col("__post"), "insert")))
+      .when(col("__post").isNull, array(event(col("__pre"), "delete")))
+      .when(!(col("__pre") <=> col("__post")),
+        array(event(col("__pre"), "update_preimage"), event(col("__post"), "update_postimage")))
+    j.withColumn("__ev", explode(events))
+      .select(keys.map(col) ++ dataCols.map(c => col("__ev").getField(c).as(c))
+        :+ col("__ev").getField("change_type").as("change_type"): _*)
+  }
+
+  /** shared by [[diff]]/[[cdc]]: full-outer key join of the pre/post
+    * images of ONLY the buckets whose manifest entry changed. */
+  private def changedImages(keys: Seq[String], fromVersion: Int, toVersion: Int): (DataFrame, Seq[String]) = {
     val mF = readManifest(fromVersion)
     val mT = readManifest(toVersion)
     val changed = (mF.keySet ++ mT.keySet).filter(b => mF.get(b) != mT.get(b))
@@ -334,16 +371,7 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
       val df = dfO.getOrElse(schema.filter(lit(false)))
       df.select((keys.map(col) :+ struct(dataCols.map(col): _*).as(as)): _*)
     }
-    val j = packed(pre, "__pre").join(packed(post, "__post"), keys, "full_outer")
-    val changeType = when(col("__pre").isNull, "insert")
-      .when(col("__post").isNull, "delete")
-      // null-safe struct compare: a changed-to/from-NULL field is a
-      // change, not a no-op
-      .when(!(col("__pre") <=> col("__post")), "update")
-    val img = when(col("__post").isNull, col("__pre")).otherwise(col("__post"))
-    j.withColumn("change_type", changeType)
-      .filter(col("change_type").isNotNull)
-      .select(keys.map(col) ++ dataCols.map(c => img.getField(c).as(c)) :+ col("change_type"): _*)
+    (packed(pre, "__pre").join(packed(post, "__post"), keys, "full_outer"), dataCols)
   }
 
   /** drop manifests older than the newest `keepVersions` and delete

@@ -173,6 +173,40 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     ), d.mkString(", "))
   }
 
+  test("cdc emits both update images; delta application reproduces the new aggregate") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("vt_cdc").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 8)
+    t.commit(df((0L until 64L).map(i => (i, s"n$i", i * 10))), Seq("k"), None)
+    val updates = Seq(
+      (3L, "UPDATED", 999L, false),
+      (100L, "NEW", 1L, false),
+      (5L, "x", 0L, true),
+      (7L, "n7", 70L, false), // no-op rewrite must emit NOTHING
+    ).toDF("k", "name", "v", "del")
+    t.merge(updates, Seq("k"), Some(0), deleteCol = Some("del"))
+
+    val c = t.cdc(Seq("k"), 0, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._4))
+    assert(c.toSeq == Seq(
+      (3L, "UPDATED", 999L, "update_postimage"),
+      (3L, "n3", 30L, "update_preimage"),
+      (5L, "n5", 50L, "delete"),
+      (100L, "NEW", 1L, "insert"),
+    ), c.mkString(", "))
+
+    // sum(v) maintained by signed delta application == recompute on v1
+    val mv0 = t.read(Some(0)).get.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    val delta = t.cdc(Seq("k"), 0, 1)
+      .select(when(col("change_type").isin("insert", "update_postimage"), col("v"))
+        .otherwise(-col("v")).as("dv"))
+      .agg(org.apache.spark.sql.functions.sum("dv")).head().getLong(0)
+    val full = t.read(Some(1)).get.agg(org.apache.spark.sql.functions.sum("v")).head().getLong(0)
+    assert(mv0 + delta == full)
+  }
+
   test("compact with a Z-order layout key: data identical, rows clustered in-file") {
     val s2 = spark
     import s2.implicits._
