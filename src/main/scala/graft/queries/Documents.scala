@@ -840,6 +840,9 @@ object Documents {
         val text = concat_ws(" ",
           (1 to 19).map(j => concat(lit("w"), pmod(xxhash64(col("seed"), lit(j)), lit(50000L)))) :+
             concat(lit("u"), col("uid")): _*)
+        // NOTE: the corpus is deliberately NOT persisted — the text
+        // synthesis is pure codegen (xxhash64+concat) and re-running it
+        // per pass measures faster than caching 1M materialized rows.
         val corpus = docs.select(col("doc_id"), text.as("text"))
 
         val nExact = corpus.select(md5(col("text").cast("binary")).as("h"))
@@ -849,20 +852,29 @@ object Documents {
         // SIMD-in-a-long bit counting: lane k packs the counts of bit
         // positions {k, k+8, …, k+56} as 8 byte-wide counters in one
         // long (per-doc word count ≤ 20 < 256 ⇒ no lane carry), so the
-        // 64 per-bit sums collapse to 8 aggregate columns; the 64-way
-        // unpack afterwards is a pure projection. Bit p of the
-        // signature = majority vote: 2·count_p ≥ n_words.
-        val lanes = (0 until 8).map { k =>
-          sum(expr(s"(h >> $k) & ${java.lang.Long.parseLong("0101010101010101", 16)}")).as(s"lane$k")
-        }
+        // 64 per-bit sums collapse to 8 lanes; the 64-way unpack
+        // afterwards is a pure projection. Bit p of the signature =
+        // majority vote: 2·count_p ≥ n_words.
+        //
+        // The whole signature is built per-ROW with higher-order
+        // functions (array_distinct → xxhash64 → aggregate lane sums):
+        // a doc's words never leave its row, so the signature stage is
+        // map-only — no explode, no 20M-row distinct shuffle, no
+        // groupBy shuffle. At 100 TB that removes the two largest
+        // shuffles of the whole dedup pipeline; the only remaining
+        // shuffles are the (k, block) candidate join and CC.
+        val laneMask = java.lang.Long.parseLong("0101010101010101", 16)
         val sigExpr = (0 until 64).map { p =>
-          when(expr(s"((lane${p % 8} >> ${8 * (p / 8)}) & 255) * 2") >= col("nw"), lit(1L << p))
-            .otherwise(lit(0L))
+          when(expr(s"((element_at(lanes, ${p % 8 + 1}) >> ${8 * (p / 8)}) & 255) * 2") >= col("nw"),
+            lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
         val sig = corpus
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w")).distinct()
-          .withColumn("h", xxhash64(col("w")))
-          .groupBy("doc_id").agg(count(lit(1)).as("nw"), lanes: _*)
+          .withColumn("ws", array_distinct(split(col("text"), " ")))
+          .withColumn("nw", size(col("ws")))
+          .withColumn("lanes",
+            expr(s"""aggregate(transform(ws, w -> xxhash64(w)),
+                     array_repeat(0L, 8),
+                     (acc, h) -> transform(acc, (a, i) -> a + ((h >> i) & $laneMask)))"""))
           .select(col("doc_id"), sigExpr.as("sig"))
           .persist()
         val blk = sig.select(col("doc_id"), col("sig"),

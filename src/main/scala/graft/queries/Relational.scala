@@ -809,6 +809,34 @@ object Relational {
              |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
     ),
 
+    // Point-lookup serving path on the versioned table: k probe keys
+    // open at most min(k, nBuckets) hash-bucket directories — the
+    // write-time routing hash IS the read-time index, no scan of the
+    // other buckets ever happens. Probes keys that were inserted,
+    // updated, AND deleted by the merge; the oracle restates the
+    // final table state filtered to the probe set.
+    QueryDef(
+      "vt_lookup",
+      (s, d) => {
+        val vt = vtFixture(s, d)
+        val probe = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === 1).select("o_orderkey")
+        vt.lookup(probe, Seq("o_orderkey")).get.orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         (o_orderkey % 15 = 0) AS del
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |kept AS (
+             |  SELECT b.* FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
+             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del),
+             |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+             |SELECT * FROM final WHERE o_orderkey % 97 = 1 ORDER BY o_orderkey""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // §2.6 set operations (the reference only has digest-based set
     // *equality*; union/intersect/except come free with Spark and are
@@ -1117,6 +1145,26 @@ object Relational {
              |  event_type, count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+
+    // St5 (batch shape) — stream-stream event-time interval join:
+    // click→purchase attribution inside a 30-minute event-time
+    // window. The equi-key (user) carries the shuffle; the interval
+    // bound is the residual — and in the streaming twin
+    // (graft.streaming.StreamJoin + StreamJoinSpec) that same bound
+    // is what lets the join evict state at the watermark. Timestamps
+    // are micro-aligned in the source, so both engines compare
+    // identical instants.
+    QueryDef(
+      "st5_stream_join",
+      (s, d) => graft.streaming.StreamJoin.attribution(Tables.events(s, d), 1800L)
+        .orderBy("click_id", "purchase_id"),
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+             |FROM events c JOIN events p
+             |  ON p.user_id = c.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECOND
+             |ORDER BY click_id, purchase_id""".stripMargin),
     ),
 
     // ------------------------------------------------------------------
