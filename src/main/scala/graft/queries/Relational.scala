@@ -252,6 +252,7 @@ object Relational {
              |              WHERE o_orderkey = l_orderkey
              |                AND o_orderpriority = '1-URGENT' AND o_totalprice > 250000)
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      headline = true,
     ),
 
     // ------------------------------------------------------------------
@@ -807,6 +808,7 @@ object Relational {
              |SELECT o_custkey, count(*) AS n_orders,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      headline = true,
     ),
 
     // Point-lookup serving path on the versioned table: k probe keys
@@ -1165,6 +1167,45 @@ object Relational {
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECOND
              |ORDER BY click_id, purchase_id""".stripMargin),
+      headline = true,
+    ),
+
+    // St6 (batch shape) — native session_window sessionization: Spark's
+    // built-in gap-based session assignment (the streaming-capable
+    // operator behind `sessionize`'s window-function formulation; the
+    // streaming twin with watermark + state merge across micro-batches
+    // is SessionWindowSpec). Session gap is half-open: an event lands
+    // in the current session iff ts < prev + gap, so the oracle's
+    // new-session condition is `diff >= 1800`. Window bounds emitted
+    // as strings (nanos-source rendering parity, as st4).
+    QueryDef(
+      "st6_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+          col("n_events"))
+        .orderBy("user_id", "w_start"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+             |  strftime(max(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS w_end,
+             |  count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, w_start""".stripMargin),
     ),
 
     // ------------------------------------------------------------------
