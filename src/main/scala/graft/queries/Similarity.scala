@@ -106,6 +106,14 @@ object Similarity {
       s"(instr('0123456789abcdef', substring($h,${off + k},1)) - 1) * ${math.pow(16, 3 - k).toLong}"
     }.mkString("(", " + ", ")")
 
+  /** hex→int for 8 hex digits (one unsigned 32-bit half; per-digit
+    * products forced to BIGINT so ANSI-mode INT multiply can't
+    * overflow). */
+  private def hex8(h: String, off: Int): String =
+    (0 until 8).map { k =>
+      s"CAST(instr('0123456789abcdef', substring($h,${off + k},1)) - 1 AS BIGINT) * ${1L << (4 * (7 - k))}"
+    }.mkString("(", " + ", ")")
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -625,6 +633,77 @@ object Similarity {
               |  CASE ${hex4("h", 9)} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
               |  CAST(1 + ${hex4("h", 13)} % 240 AS BIGINT) AS n_frames
               |FROM h ORDER BY doc_id""".stripMargin),
+    ),
+
+    // mm5 — perceptual-hash near-dup over the image stand-ins: the
+    // image dedup path (aHash/pHash → hamming) run entirely in SQL
+    // expressions. The 64-bit hash is carried as two 32-bit halves
+    // (portable BIGINT arithmetic), candidates come from the
+    // pigeonhole 4×16-bit block equi-join (any pair within hamming 3
+    // agrees on ≥1 block — perfect recall, never O(n²)), and the
+    // exact hamming filter runs only on candidates. "Re-encoded"
+    // variants are planted in-query: docs with id%50∈{1,2} take their
+    // leader's hash with 1 or 3 deterministically-flipped bits — the
+    // fixture models slightly-perturbed copies of the same image, and
+    // being md5-derived it is reproduced bit-for-bit by the oracle.
+    QueryDef(
+      "mm5_phash_neardup",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        val sig0 = base.select(col("doc_id"),
+          expr(s"CAST(${hex8("h", 1)} AS BIGINT)").as("hi0"),
+          expr(s"CAST(${hex8("h", 9)} AS BIGINT)").as("lo0"),
+          expr("CAST(CASE WHEN doc_id % 50 IN (1,2) THEN doc_id - doc_id % 50 ELSE doc_id END AS BIGINT)").as("leader"))
+        val leaders = sig0.select(col("doc_id").as("lid"), col("hi0").as("lhi"), col("lo0").as("llo"))
+        val sig = sig0.join(leaders, col("leader") === col("lid"))
+          .select(col("doc_id"),
+            expr("""CASE WHEN doc_id % 50 = 2 THEN lhi ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))
+                         WHEN doc_id % 50 = 1 THEN lhi ELSE hi0 END""").as("hi"),
+            expr("""CASE WHEN doc_id % 50 = 1 THEN llo ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 29 AS INT))
+                         WHEN doc_id % 50 = 2 THEN llo ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 7 AS INT))
+                                                    ^ shiftleft(CAST(1 AS BIGINT), CAST(7 + doc_id % 11 AS INT))
+                         ELSE lo0 END""").as("lo"))
+        val blk = sig.select(col("doc_id"), col("hi"), col("lo"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+          .withColumn("blk", expr(
+            "CASE k WHEN 0 THEN hi div 65536 WHEN 1 THEN hi % 65536 WHEN 2 THEN lo div 65536 ELSE lo % 65536 END"))
+        blk.select(col("doc_id").as("doc_a"), col("hi").as("ha"), col("lo").as("la"), col("k"), col("blk"))
+          .join(blk.select(col("doc_id").as("doc_b"), col("hi").as("hb"), col("lo").as("lb"), col("k"), col("blk")),
+            Seq("k", "blk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |sig0 AS (SELECT doc_id,
+              |  CAST(${hex8("h", 1)} AS BIGINT) AS hi0,
+              |  CAST(${hex8("h", 9)} AS BIGINT) AS lo0,
+              |  CAST(CASE WHEN doc_id % 50 IN (1,2) THEN doc_id - doc_id % 50 ELSE doc_id END AS BIGINT) AS leader
+              |  FROM base),
+              |sig AS (SELECT s.doc_id,
+              |  CASE WHEN s.doc_id % 50 = 2 THEN xor(l.hi0, CAST(1 AS BIGINT) << CAST(s.doc_id % 13 AS INT))
+              |       WHEN s.doc_id % 50 = 1 THEN l.hi0 ELSE s.hi0 END AS hi,
+              |  CASE WHEN s.doc_id % 50 = 1 THEN xor(l.lo0, CAST(1 AS BIGINT) << CAST(s.doc_id % 29 AS INT))
+              |       WHEN s.doc_id % 50 = 2 THEN xor(xor(l.lo0, CAST(1 AS BIGINT) << CAST(s.doc_id % 7 AS INT)),
+              |                                       CAST(1 AS BIGINT) << CAST(7 + s.doc_id % 11 AS INT))
+              |       ELSE s.lo0 END AS lo
+              |  FROM sig0 s JOIN sig0 l ON l.doc_id = s.leader),
+              |blk AS (SELECT doc_id, hi, lo, k,
+              |  CASE k WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+              |         WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS blk
+              |  FROM sig CROSS JOIN (SELECT unnest(range(0,4)) AS k) ks),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+              |  FROM blk a JOIN blk b ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b,
+              |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+              |FROM cand
+              |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin),
     ),
   )
 }

@@ -26,6 +26,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .appName("plan-spec")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -104,6 +105,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("ss7/ss9: batched ANN and knn graph are bucket equi-joins, never nested loops") {
     for (name <- Seq("ss7_batch_ann_topk", "ss9_knn_graph")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name:\n${p.take(3000)}")
+    }
+  }
+
+  test("mm5/st5: phash blocking and the stream-join twin are equi-joins, never nested loops") {
+    for (name <- Seq("mm5_phash_neardup", "st5_stream_join")) {
       val p = plan(name)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name:\n${p.take(3000)}")
