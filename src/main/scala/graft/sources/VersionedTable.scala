@@ -97,13 +97,20 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
   /** snapshot read at `version` (default: latest); None if the table
     * has no committed version yet. The `__bucket` partition column is
     * internal and dropped. */
+  /** union bucket-dir frames tolerating ADDITIVE schema evolution: a
+    * version whose merge introduced a column only rewrote its dirty
+    * buckets — inherited buckets still carry the old schema, and the
+    * missing column reads as NULL (each dir is internally uniform, so
+    * no parquet mergeSchema pass is needed). */
+  private def unionDirs(dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_, allowMissingColumns = true))
+
   def read(version: Option[Int] = None): Option[DataFrame] =
     version.orElse(currentVersion()).map { v =>
       // each bucket dir is read as its own root (no cross-version
       // partition inference) and unioned — bucket count is small and
       // fixed, the per-dir scans stay fully parallel
-      val dirs = readManifest(v).values.toSeq.distinct.map(rel => s"$baseDir/$rel")
-      dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+      unionDirs(readManifest(v).values.toSeq.distinct.map(rel => s"$baseDir/$rel"))
     }
 
   /** buckets whose recorded [min,max] for `statCol` intersects
@@ -133,7 +140,30 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
         // every bucket pruned: preserve the schema, return no rows
         val any = man.values.headOption.map(rel => spark.read.parquet(s"$baseDir/$rel"))
         any.map(_.filter(lit(false))).getOrElse(spark.emptyDataFrame)
-      } else dirs.map(rel => spark.read.parquet(s"$baseDir/$rel")).reduce(_ unionByName _)
+      } else unionDirs(dirs.map(rel => s"$baseDir/$rel"))
+    }
+
+  /** Point-lookup read: rows of `probe`'s key values, touching ONLY
+    * the hash buckets those keys map to. The same [[bucketCol]] hash
+    * that routed the rows at write time routes the probe at read time,
+    * so a k-key lookup opens at most min(k, nBuckets) bucket
+    * directories — O(probed buckets), not O(table) — and the residual
+    * broadcast semi join inside them is exact. The collected set is
+    * bucket IDs only (≤ nBuckets ints), never data. This is the
+    * serving-path complement to [[readPruned]]'s range pruning.
+    */
+  def lookup(probe: DataFrame, keys: Seq[String], version: Option[Int] = None): Option[DataFrame] =
+    version.orElse(currentVersion()).map { v =>
+      val man = readManifest(v)
+      val want = probe.select(bucketCol(keys).as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val dirs = man.filter { case (b, _) => want.contains(b) }.values.toSeq.distinct
+      val hit =
+        if (dirs.isEmpty) {
+          val any = man.values.headOption.map(rel => spark.read.parquet(s"$baseDir/$rel"))
+          any.map(_.filter(lit(false))).getOrElse(spark.emptyDataFrame)
+        } else unionDirs(dirs.map(rel => s"$baseDir/$rel"))
+      hit.join(broadcast(probe.select(keys.map(col): _*).distinct()), keys, "left_semi")
     }
 
   /** Write `rows` (which must hold the COMPLETE contents of every
@@ -183,14 +213,19 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
         .filter { case (b, _) => dirty.contains(b) }
         .values.toSeq.distinct
       if (dirtyDirs.isEmpty) null
-      else dirtyDirs.map(rel => spark.read.parquet(s"$baseDir/$rel")).reduce(_ unionByName _)
+      else unionDirs(dirtyDirs.map(rel => s"$baseDir/$rel"))
         .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
     }.orNull
     val inserts = deleteCol match {
       case Some(dc) => updates.filter(!col(dc)).drop(dc)
       case None => updates
     }
-    val newRows = if (survivors == null) inserts else survivors.unionByName(inserts)
+    // allowMissingColumns: updates may carry a NEW column (additive
+    // schema evolution) — survivors read NULL for it, and only the
+    // dirty buckets are rewritten with the widened schema
+    val newRows =
+      if (survivors == null) inserts
+      else survivors.unionByName(inserts, allowMissingColumns = true)
     commitInternal(newRows, keys, expectedBase, forcedDirty = Some(dirty), statsCols)
   }
 
@@ -360,16 +395,28 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     def rowsOf(man: Map[Int, String]): Option[DataFrame] = {
       val dirs = man.filter { case (b, _) => changed.contains(b) }.values.toSeq.distinct
       if (dirs.isEmpty) None
-      else Some(dirs.map(rel => spark.read.parquet(s"$baseDir/$rel")).reduce(_ unionByName _))
+      else Some(unionDirs(dirs.map(rel => s"$baseDir/$rel")))
     }
     val pre  = rowsOf(mF)
     val post = rowsOf(mT)
     val schema = pre.orElse(post).getOrElse(
       throw new IllegalStateException("no changed buckets between the two versions"))
-    val dataCols = schema.columns.filterNot(keys.contains).toSeq
+    // data columns = UNION of both sides' schemas, so a version step
+    // that introduced (or dropped) a column still yields comparable
+    // images: the side without the column carries NULL, and a value
+    // appearing where there was NULL reads as an update
+    val dataCols = (schema.columns ++
+      pre.map(_.columns).getOrElse(Array.empty[String]) ++
+      post.map(_.columns).getOrElse(Array.empty[String]))
+      .distinct.filterNot(keys.contains).toSeq
+    val colType: Map[String, org.apache.spark.sql.types.DataType] =
+      (pre.toSeq ++ post.toSeq).flatMap(_.schema.fields).map(f => f.name -> f.dataType).toMap
     def packed(dfO: Option[DataFrame], as: String): DataFrame = {
       val df = dfO.getOrElse(schema.filter(lit(false)))
-      df.select((keys.map(col) :+ struct(dataCols.map(col): _*).as(as)): _*)
+      val have = df.columns.toSet
+      val fields = dataCols.map(c =>
+        if (have.contains(c)) col(c) else lit(null).cast(colType(c)).as(c))
+      df.select((keys.map(col) :+ struct(fields: _*).as(as)): _*)
     }
     (packed(pre, "__pre").join(packed(post, "__post"), keys, "full_outer"), dataCols)
   }

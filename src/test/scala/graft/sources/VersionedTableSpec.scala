@@ -207,6 +207,71 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mv0 + delta == full)
   }
 
+  test("lookup reads only the probed keys' buckets and respects merge results") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("vt_lookup").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 8)
+    t.commit(df((0L until 64L).map(i => (i, s"n$i", i * 10))), Seq("k"), None)
+    t.merge(Seq((3L, "UPDATED", 999L, false), (100L, "NEW", 1L, false), (5L, "x", 0L, true))
+      .toDF("k", "name", "v", "del"), Seq("k"), Some(0), deleteCol = Some("del"))
+
+    val probe = Seq(3L, 5L, 100L, 7L, 4096L).toDF("k")
+    val got = t.lookup(probe, Seq("k")).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((3L, "UPDATED", 999L), (7L, "n7", 70L), (100L, "NEW", 1L)))
+
+    // a single-key probe must touch exactly one bucket's worth of data
+    val one = Seq(7L).toDF("k")
+    val planned = t.lookup(one, Seq("k")).get.queryExecution.sparkPlan.toString
+    // 8 buckets exist; a one-bucket read has exactly one parquet scan
+    assert(planned.split("FileScan parquet").length - 1 == 1, planned)
+
+    // probing only absent keys returns an empty, schema-preserving frame
+    val none = t.lookup(Seq(4096L).toDF("k"), Seq("k")).get
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "name", "v"))
+  }
+
+  test("additive schema evolution: merge introduces a column; reads, lookup, cdc all widen") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("vt_evolve").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 4)
+    t.commit(df((0L until 16L).map(i => (i, s"n$i", i * 10))), Seq("k"), None)
+
+    // v1 updates carry a NEW column `tag`; only dirty buckets rewrite
+    t.merge(Seq((3L, "UPD", 999L, "hot"), (100L, "NEW", 1L, "cold"))
+      .toDF("k", "name", "v", "tag"), Seq("k"), Some(0))
+
+    val v1 = t.read(Some(1)).get
+    assert(v1.columns.contains("tag"))
+    val byKey = v1.collect().map(r => r.getLong(0) -> r.getAs[String]("tag")).toMap
+    assert(byKey(3L) == "hot" && byKey(100L) == "cold")
+    assert(byKey(7L) == null, "inherited buckets read NULL for the new column")
+    assert(v1.count() == 17)
+
+    // time travel to v0 still shows the ORIGINAL schema
+    assert(!t.read(Some(0)).get.columns.contains("tag"))
+
+    // point lookup across mixed-schema buckets
+    val got = t.lookup(Seq(3L, 7L).toDF("k"), Seq("k")).get
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("tag")).toMap
+    assert(got == Map(3L -> "hot", 7L -> null))
+
+    // cdc across the evolving step: post-images carry the new column,
+    // pre-images read NULL for it
+    val c = t.cdc(Seq("k"), 0, 1).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("tag"), r.getAs[String]("change_type")))
+    assert(c.toSet == Set(
+      (3L, null, "update_preimage"), (3L, "hot", "update_postimage"),
+      (100L, "cold", "insert")))
+
+    // compaction heals every bucket to the widened schema
+    t.compact(Seq("k"), Some(1))
+    val v2 = t.read(Some(2)).get
+    assert(v2.columns.contains("tag") && v2.count() == 17)
+  }
+
   test("compact with a Z-order layout key: data identical, rows clustered in-file") {
     val s2 = spark
     import s2.implicits._
