@@ -1034,6 +1034,36 @@ object Relational {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     ),
 
+    // Histogram profiling: fixed-width value-distribution buckets over
+    // o_totalprice (plain floor arithmetic — portable across engines,
+    // unlike width_bucket which DuckDB lacks). One groupBy with
+    // map-side combine; bucket count is the knob, independent of rows.
+    QueryDef(
+      "dq3_histogram",
+      (s, d) => Tables.orders(s, d)
+        .select((floor(col("o_totalprice") / 25000).cast("long")).as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
+    // Time travel: snapshot read of the PRE-merge version of the
+    // versioned table — later commits never disturb a pinned reader,
+    // and the oracle restates exactly the base state. Paired with
+    // vt_merge (v1) this checks both ends of the version axis through
+    // the driver gate.
+    QueryDef(
+      "vt_time_travel",
+      (s, d) => vtFixture(s, d).read(Some(0)).get.orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin),
+    ),
+
     // Data-quality constraint report (operators.Constraints — the
     // reference's integrity checks generalized): null checks, key
     // uniqueness, value ranges, referential integrity, dense

@@ -635,6 +635,30 @@ object Similarity {
               |FROM h ORDER BY doc_id""".stripMargin),
     ),
 
+    // mm6 — every-Nth frame sampling over a fixed-stride payload (raw
+    // video shape): the Multimodal.sampleFrames operator's offset math
+    // (frame grid over the byte payload, stride sampling) is pure
+    // arithmetic, so the whole operator is oracle-checked; only the
+    // per-frame pixel decode remains the declared stub seam. 64-byte
+    // frames, every 4th sampled.
+    QueryDef(
+      "mm6_frame_sample",
+      (s, d) => graft.multimodal.Multimodal
+        .sampleFrames(graft.multimodal.Multimodal.fromDocuments(s, d), frameBytes = 64, everyNth = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("byte_offset"), col("byte_len").cast("long").as("byte_len"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH sized AS (
+             |  SELECT doc_id, octet_length(encode(text)) // 64 AS n_frames FROM documents),
+             |frames AS (
+             |  SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx
+             |  FROM sized WHERE n_frames > 0)
+             |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |  CAST(frame_idx * 64 AS BIGINT) AS byte_offset, CAST(64 AS BIGINT) AS byte_len
+             |FROM frames ORDER BY doc_id, frame_idx""".stripMargin),
+    ),
+
     // mm5 — perceptual-hash near-dup over the image stand-ins: the
     // image dedup path (aHash/pHash → hamming) run entirely in SQL
     // expressions. The 64-bit hash is carried as two 32-bit halves
