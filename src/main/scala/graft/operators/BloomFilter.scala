@@ -114,7 +114,14 @@ object BloomFilter {
   /** Bloom-prefiltered semi join: exact results (the residual semi
     * join removes false positives), but the fact side is cut at the
     * scan. The single collected row is the filter itself — O(numBits),
-    * independent of either table's cardinality. */
+    * independent of either table's cardinality.
+    *
+    * The dim subquery feeds two consumers (the bloom build, which
+    * executes eagerly here, and the residual broadcast at result
+    * execution) — the distinct key frame is persisted so the dim
+    * scan+filter runs once, not twice. The cache is a key column only
+    * (the broadcast-sized side by assumption); Spark's CacheManager
+    * dedupes repeated calls on the same plan. */
   def semiJoin(
       fact: DataFrame,
       factKey: Column,
@@ -122,13 +129,13 @@ object BloomFilter {
       dimKey: Column,
       numBits: Int = 1 << 20,
       numHashes: Int = 5): DataFrame = {
-    val filter = dim
-      .select(bloomAgg(keyBytes(dimKey), numBits, numHashes).as("bf"))
+    val dimKeys = dim.select(dimKey.as("__bloom_key")).distinct().persist()
+    val filter = dimKeys
+      .select(bloomAgg(keyBytes(col("__bloom_key")), numBits, numHashes).as("bf"))
       .head().getAs[Array[Byte]](0)
     fact
       .filter(mightContainCol(filter, keyBytes(factKey)))
-      .join(broadcast(dim.select(dimKey.as("__bloom_key")).distinct()),
-        factKey === col("__bloom_key"), "left_semi")
+      .join(broadcast(dimKeys), factKey === col("__bloom_key"), "left_semi")
   }
 }
 

@@ -105,6 +105,27 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
   private def unionDirs(dirs: Seq[String]): DataFrame =
     dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** the widened schema of `version` = union of every bucket dir's
+    * schema (driver-side footer reads only — one file per dir, never
+    * data). Partial reads ([[lookup]], [[readPruned]]) conform to this
+    * so their result schema never depends on WHICH buckets were probed
+    * after an evolving merge. */
+  private def versionSchema(v: Int): org.apache.spark.sql.types.StructType = {
+    val fields = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField]()
+    readManifest(v).values.toSeq.distinct.foreach { rel =>
+      spark.read.parquet(s"$baseDir/$rel").schema.fields.foreach(f => fields.getOrElseUpdate(f.name, f))
+    }
+    org.apache.spark.sql.types.StructType(fields.values.toSeq)
+  }
+
+  /** add NULL columns for any of `schema`'s fields `df` lacks and fix
+    * the column order to `schema`'s. */
+  private def conform(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map(f =>
+      if (have.contains(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
   def read(version: Option[Int] = None): Option[DataFrame] =
     version.orElse(currentVersion()).map { v =>
       // each bucket dir is read as its own root (no cross-version
@@ -136,11 +157,11 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
       val man = readManifest(v)
       val keep = bucketsFor(statCol, lo, hi, Some(v)).toSet
       val dirs = man.filter { case (b, _) => keep.contains(b) }.values.toSeq.distinct
-      if (dirs.isEmpty) {
-        // every bucket pruned: preserve the schema, return no rows
-        val any = man.values.headOption.map(rel => spark.read.parquet(s"$baseDir/$rel"))
-        any.map(_.filter(lit(false))).getOrElse(spark.emptyDataFrame)
-      } else unionDirs(dirs.map(rel => s"$baseDir/$rel"))
+      val full = versionSchema(v)
+      if (dirs.isEmpty)
+        // every bucket pruned: preserve the (widened) schema, no rows
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+      else conform(unionDirs(dirs.map(rel => s"$baseDir/$rel")), full)
     }
 
   /** Point-lookup read: rows of `probe`'s key values, touching ONLY
@@ -158,11 +179,11 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
       val want = probe.select(bucketCol(keys).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
       val dirs = man.filter { case (b, _) => want.contains(b) }.values.toSeq.distinct
+      val full = versionSchema(v)
       val hit =
-        if (dirs.isEmpty) {
-          val any = man.values.headOption.map(rel => spark.read.parquet(s"$baseDir/$rel"))
-          any.map(_.filter(lit(false))).getOrElse(spark.emptyDataFrame)
-        } else unionDirs(dirs.map(rel => s"$baseDir/$rel"))
+        if (dirs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+        else conform(unionDirs(dirs.map(rel => s"$baseDir/$rel")), full)
       hit.join(broadcast(probe.select(keys.map(col): _*).distinct()), keys, "left_semi")
     }
 
@@ -199,6 +220,17 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     val base = currentVersion()
     if (base != expectedBase)
       throw new CommitConflict(s"base moved: expected $expectedBase, found $base")
+
+    // additive-only evolution: updates may carry NEW columns, but must
+    // carry every EXISTING one — otherwise the allowMissingColumns
+    // union below would silently rewrite matched rows with NULLs in
+    // the omitted column (fail fast instead of corrupting a bucket)
+    base.foreach { bv =>
+      val missing = versionSchema(bv).fieldNames.toSet -- updates.columns.toSet
+      require(missing.isEmpty,
+        s"merge updates omit existing column(s) ${missing.mkString(", ")}; " +
+          "schema evolution is additive-only")
+    }
 
     val upd = updates.withColumn("__bucket", bucketCol(keys))
     val dirty = upd.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
@@ -399,16 +431,24 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     }
     val pre  = rowsOf(mF)
     val post = rowsOf(mT)
-    val schema = pre.orElse(post).getOrElse(
-      throw new IllegalStateException("no changed buckets between the two versions"))
+    val schema = pre.orElse(post).getOrElse {
+      // no-op step (e.g. a merge whose update set was empty): changed
+      // nothing, so the delta is the EMPTY change set, not an error —
+      // a follower must be able to step over it
+      val fallback = versionSchema(toVersion)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fallback)
+      val dcs = fallback.fieldNames.toSeq.filterNot(keys.contains)
+      def packedEmpty(as: String) =
+        empty.select((keys.map(col) :+ struct(dcs.map(col): _*).as(as)): _*)
+      return (packedEmpty("__pre").join(packedEmpty("__post"), keys, "full_outer"), dcs)
+    }
     // data columns = UNION of both sides' schemas, so a version step
     // that introduced (or dropped) a column still yields comparable
     // images: the side without the column carries NULL, and a value
     // appearing where there was NULL reads as an update
-    val dataCols = (schema.columns ++
-      pre.map(_.columns).getOrElse(Array.empty[String]) ++
-      post.map(_.columns).getOrElse(Array.empty[String]))
-      .distinct.filterNot(keys.contains).toSeq
+    val dataCols = (pre.toSeq ++ post.toSeq).flatMap(_.columns)
+      .distinct.filterNot(keys.contains)
     val colType: Map[String, org.apache.spark.sql.types.DataType] =
       (pre.toSeq ++ post.toSeq).flatMap(_.schema.fields).map(f => f.name -> f.dataType).toMap
     def packed(dfO: Option[DataFrame], as: String): DataFrame = {

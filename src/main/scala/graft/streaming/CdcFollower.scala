@@ -40,14 +40,21 @@ final class CdcFollower(
   private def aggregated(rows: DataFrame): DataFrame =
     rows.groupBy(groupCol)
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(valueCol).cast("decimal(28,2)")).as("total"))
+        // all-NULL groups total 0, not NULL — the delta algebra adds
+        // decimals, so the view's totals must stay non-null for the
+        // delta≡recompute invariant to hold on such groups
+        coalesce(sum(col(valueCol).cast("decimal(28,2)")), lit(BigDecimal(0)).cast("decimal(28,2)"))
+          .as("total"))
 
   /** seed the view from the snapshot at `fromVersion` (the one full
-    * read the follower ever does). */
+    * read the follower ever does). Re-seeding releases the previous
+    * view's cache. */
   def seed(fromVersion: Int): Unit = {
+    val prev = view
     view = aggregated(table.read(Some(fromVersion)).get)
       .persist()
     view.count() // materialize so later steps don't re-read the snapshot
+    if (prev != null) prev.unpersist()
     at = fromVersion
   }
 
@@ -83,7 +90,10 @@ final class CdcFollower(
     at = toVersion
   }
 
-  /** current view (group, n_rows, total). */
+  /** current view (group, n_rows, total). Valid until the next
+    * advance()/seed(): stepping unpersists the superseded view, so a
+    * held reference recomputes through its lineage — collect() before
+    * advancing if the old state is needed. */
   def snapshot(): DataFrame = view
 
   /** ground truth for the current version — used by specs to prove

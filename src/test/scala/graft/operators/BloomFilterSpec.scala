@@ -93,7 +93,8 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = BloomFilter.semiJoin(fact, col("l_orderkey"), dim, col("o_orderkey"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("bloom_might_contain"), s"prefilter missing from plan:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") == false,
-      s"residual join should broadcast the small dim:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"residual join should broadcast the small dim:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"never a nested loop:\n$plan")
   }
 }

@@ -266,10 +266,36 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, null, "update_preimage"), (3L, "hot", "update_postimage"),
       (100L, "cold", "insert")))
 
+    // lookup schema must NOT depend on which buckets were probed: a
+    // probe hitting only inherited (old-schema) buckets still returns
+    // the widened schema
+    val oldOnly = t.lookup(Seq(7L).toDF("k"), Seq("k")).get
+    assert(oldOnly.columns.contains("tag"))
+    assert(oldOnly.collect().map(r => r.getAs[String]("tag")).toSeq == Seq(null))
+
+    // merges must carry every EXISTING column — omitting one would
+    // silently NULL it out in rewritten buckets; fail fast instead
+    val thrown = intercept[IllegalArgumentException] {
+      t.merge(Seq((3L, "X")).toDF("k", "name"), Seq("k"), Some(1))
+    }
+    assert(thrown.getMessage.contains("additive-only"))
+
     // compaction heals every bucket to the widened schema
     t.compact(Seq("k"), Some(1))
     val v2 = t.read(Some(2)).get
     assert(v2.columns.contains("tag") && v2.count() == 17)
+  }
+
+  test("a no-op merge yields an EMPTY cdc/diff delta, not an error") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("vt_noop").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 4)
+    t.commit(df((0L until 8L).map(i => (i, s"n$i", i))), Seq("k"), None)
+    t.merge(Seq.empty[(Long, String, Long)].toDF("k", "name", "v"), Seq("k"), Some(0))
+    assert(t.currentVersion().contains(1))
+    assert(t.diff(Seq("k"), 0, 1).count() == 0)
+    assert(t.cdc(Seq("k"), 0, 1).count() == 0)
   }
 
   test("compact with a Z-order layout key: data identical, rows clustered in-file") {

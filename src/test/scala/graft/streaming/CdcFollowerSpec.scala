@@ -92,4 +92,21 @@ class CdcFollowerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.version == 3)
     assert(viewRows(f.snapshot()) == viewRows(f.recomputed()))
   }
+
+  test("a no-op commit is stepped over, not fatal") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = Files.createTempDirectory("cdc_follow3").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 4)
+    t.commit(df((0L until 4L).map(k => (k, k % 2, k * 1.0))), Seq("k"), None)
+    val f = new CdcFollower(spark, t, Seq("k"), "grp", "v")
+    f.seed(0)
+    t.merge(Seq.empty[(Long, Long, Double, Boolean)].toDF("k", "grp", "v", "del"),
+      Seq("k"), Some(0), deleteCol = Some("del"))
+    t.merge(Seq((0L, 0L, 9.0, false)).toDF("k", "grp", "v", "del"),
+      Seq("k"), Some(1), deleteCol = Some("del"))
+    f.catchUp()
+    assert(f.version == 2)
+    assert(viewRows(f.snapshot()) == viewRows(f.recomputed()))
+  }
 }
