@@ -18,6 +18,30 @@ object Mpt {
   def keyNibbles(key: Array[Byte]): Array[Int] =
     key.flatMap(b => Array((b >> 4) & 0xf, b & 0xf))
 
+  /** per-node structural metadata for `explode_mpt_proof` (§2.9
+    * generator — S1 ingest validation): node kind from the RLP list
+    * arity (17 = branch; 2 = leaf/extension by the hex-prefix
+    * terminator flag, `mpt_sequential/mod.rs:51-68`), plus size and
+    * keccak identity. */
+  final case class NodeInfo(level: Int, node_type: String, n_items: Int,
+      node_len: Int, node_hash: Array[Byte])
+
+  def nodeInfos(proof: Seq[Array[Byte]]): Seq[NodeInfo] =
+    proof.zipWithIndex.map { case (node, i) =>
+      val (tpe, n) = scala.util.Try(Rlp.decode(node)).toOption match {
+        case Some(Rlp.Lst(items)) if items.length == 17 => ("branch", 17)
+        case Some(Rlp.Lst(items)) if items.length == 2 =>
+          items.head match {
+            case Rlp.Str(b) if b.nonEmpty =>
+              (if (Rlp.hexPrefixDecode(b)._2) "leaf" else "extension", 2)
+            case _ => ("malformed", 2)
+          }
+        case Some(Rlp.Lst(items)) => ("malformed", items.length)
+        case _ => ("malformed", 0)
+      }
+      NodeInfo(i, tpe, n, node.length, Keccak.keccak256(node))
+    }
+
   /** Verify and return the RLP-*decoded* leaf value (storage-trie
     * convention: the payload is RLP(bytes)). */
   def verifyProof(proof: Seq[Array[Byte]], mptKey: Array[Byte], rootHash: Array[Byte]): Option[Array[Byte]] =

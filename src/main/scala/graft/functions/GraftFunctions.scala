@@ -68,6 +68,13 @@ object GraftFunctions {
   def mptVerifyRaw(nodes: Column, mptKey: Column, root: Column): Column =
     toCol(graft.expressions.MptVerifyExpr(toExpr(nodes), toExpr(mptKey), toExpr(root), raw = true))
 
+  private val explodeMptUdf = udf((nodes: Seq[Array[Byte]]) => Mpt.nodeInfos(nodes))
+  /** §2.9 generator `explode_mpt_proof`: proof node list →
+    * array<struct(level, node_type, n_items, node_len, node_hash)>
+    * for per-node ingest validation; pair with `posexplode`/`explode`
+    * to get one row per trie node. */
+  def explodeMptProof(nodes: Column): Column = explodeMptUdf(nodes)
+
   private val accountStorageRootUdf = udf((acct: Array[Byte]) =>
     if (acct == null) null
     else Rlp.decodeList(acct)(2) match {

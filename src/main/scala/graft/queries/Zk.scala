@@ -222,6 +222,30 @@ object Zk {
     // per entry (keccak linkage, nibble path, value extraction).
     // Oracled: one proof per ground-truth entry, every MPT walk valid.
     QueryDef(
+      "zk_mpt_explode",
+      // §2.9 generator explode_mpt_proof: one row per trie node of
+      // every fixture proof — level, kind (branch / extension / leaf
+      // from RLP arity + hex-prefix terminator), size, keccak
+      // identity, and the level-0 root binding. The per-node shape is
+      // what S1 ingest validation filters/aggregates on before the
+      // full proof walk spends keccak time on malformed input.
+      (s, _) => {
+        FixtureStore.ensure(s)
+        import graft.functions.GraftFunctions
+        Fixtures.storageProofs(s, cfg)
+          .select(col("block_number"), hex(col("mpt_key")).as("mpt_key"), col("mpt_root"),
+            explode(GraftFunctions.explodeMptProof(col("nodes"))).as("nd"))
+          .select(col("block_number"), col("mpt_key"),
+            col("nd.level").as("level"), col("nd.node_type").as("node_type"),
+            col("nd.n_items").as("n_items"), col("nd.node_len").as("node_len"),
+            hex(col("nd.node_hash")).as("node_hash"),
+            (col("nd.level") =!= 0 || col("nd.node_hash") === col("mpt_root")).as("root_ok"))
+          .orderBy("block_number", "mpt_key", "level")
+      },
+      None,
+    ),
+
+    QueryDef(
       "zk_mpt_verify",
       (s, _) => {
         FixtureStore.ensure(s)

@@ -75,6 +75,31 @@ class MptSpec extends AnyFunSuite {
     }
   }
 
+  test("nodeInfos classifies every proof node and binds level 0 to the root") {
+    val entries = (0 until 64).map { i =>
+      (Keccak.keccak256(s"k$i".getBytes), Keccak.keccak256(s"v$i".getBytes).take(8))
+    }
+    val trie = MptTrie.build(entries)
+    val root = MptTrie.rootHash(trie)
+    entries.take(8).foreach { case (k, _) =>
+      val proof = MptTrie.proof(trie, k)
+      val infos = Mpt.nodeInfos(proof)
+      assert(infos.size == proof.size)
+      assert(infos.map(_.level) == proof.indices)
+      // level 0 IS the root node
+      assert(infos.head.node_hash.sameElements(root))
+      // the walk ends at the leaf; interior nodes are branch/extension
+      assert(infos.last.node_type == "leaf")
+      infos.init.foreach(n => assert(Set("branch", "extension")(n.node_type), n.node_type))
+      // arity matches the kind
+      infos.foreach { n =>
+        if (n.node_type == "branch") assert(n.n_items == 17) else assert(n.n_items == 2)
+      }
+    }
+    // garbage bytes classify as malformed instead of throwing
+    assert(Mpt.nodeInfos(Seq(Array[Byte](1, 2, 3))).head.node_type == "malformed")
+  }
+
   test("short keys / tiny values exercise inline (<32B) children") {
     // 2-byte keys -> 4-nibble paths, 1-byte values: leaf encodings are
     // well under 32 bytes, so branch children embed inline
