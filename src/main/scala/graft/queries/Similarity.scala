@@ -590,12 +590,33 @@ object Similarity {
           max("width").as("max_w"), max("height").as("max_h"),
           max("sample_rate").as("max_rate"))
         .orderBy("format"),
-      None,
+      // cross-check like mm4: Spark forges real container bytes and
+      // parses them back; the oracle recomputes the expected metadata
+      // from the fixture arithmetic — agreement proves the
+      // writer/parser pair per format (PNG/JPEG/GIF headers, WAV).
+      Some("""WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 400)),
+             |m AS (SELECT i,
+             |  CASE i % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+             |  CASE i % 4 WHEN 0 THEN 16 + i % 64 WHEN 1 THEN 32 + i % 128
+             |       WHEN 2 THEN 8 + i % 32 ELSE -1 END AS w,
+             |  CASE i % 4 WHEN 0 THEN 16 + (i * 7) % 64 WHEN 1 THEN 32 + (i * 3) % 128
+             |       WHEN 2 THEN 8 + (i * 5) % 32 ELSE -1 END AS h,
+             |  CASE i % 4 WHEN 3 THEN 8000 + (i % 3) * 4000 ELSE -1 END AS rate
+             |  FROM ids)
+             |SELECT format, count(*) AS n, count(*) AS n_parsed,
+             |  CAST(max(w) AS INTEGER) AS max_w, CAST(max(h) AS INTEGER) AS max_h,
+             |  CAST(max(rate) AS INTEGER) AS max_rate
+             |FROM m GROUP BY format ORDER BY format""".stripMargin),
     ),
 
     // mm4 — audio windowing driven by REAL WAV headers: window
     // offsets derive from the parsed sample rate; decode-in-window
-    // remains the stub seam. One row per (doc, window).
+    // remains the stub seam. One row per (doc, window). Oracled as a
+    // genuine cross-check: the Spark path forges real WAV bytes
+    // (MediaParsers.makeWav) and PARSES them back; the oracle
+    // recomputes the expected windows from the fixture arithmetic
+    // directly — agreement proves the byte-level writer/parser pair
+    // and the windowing math together.
     QueryDef(
       "mm4_audio_windows",
       (s, _) => graft.multimodal.Multimodal
@@ -604,7 +625,15 @@ object Similarity {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_windows"), sum("n_samples").as("total_samples"))
         .orderBy("doc_id"),
-      None,
+      Some("""WITH ids AS (
+             |  SELECT CAST(range AS BIGINT) AS doc_id FROM range(0, 400) WHERE range % 4 = 3),
+             |w AS (SELECT doc_id,
+             |  (8000 + (doc_id % 3) * 4000) // 4 AS per_window,
+             |  8000 + (doc_id % 5) * 4000 AS n_samples FROM ids)
+             |SELECT doc_id,
+             |  CAST((n_samples + per_window - 1) // per_window AS BIGINT) AS n_windows,
+             |  CAST(n_samples AS BIGINT) AS total_samples
+             |FROM w ORDER BY doc_id""".stripMargin),
     ),
 
     // ------------------------------------------------------------------
