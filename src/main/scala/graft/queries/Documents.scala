@@ -1091,6 +1091,80 @@ object Documents {
     // One TakeOrderedAndProject, no shuffle of the corpus — the
     // quality-weighted subset selection step of a curation pipeline.
     QueryDef(
+      "d16_corpus_mix",
+      // data MIXING: the step before training that samples each source
+      // corpus at its own weight (web 0.9 / code 0.5 / books 0.2 here,
+      // sources simulated by doc_id % 3). Membership is a pure hash
+      // decision — deterministic, seedable ('mix|' prefix), and
+      // embarrassingly parallel: at 100 TB the mix is a map-only pass,
+      // no shuffle until the per-source accounting aggregate. Output
+      // is the per-source budget sheet (docs kept, chars kept).
+      (s, d) => {
+        val u = (expr("CAST(conv(substring(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") + 1
+          ).cast("double") / lit(math.pow(2, 60))
+        val rate = expr("CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END")
+        Tables.documents(s, d)
+          .select(
+            expr("CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END").as("source"),
+            col("n_chars"), (u <= rate).as("kept"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+            sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_sampled"))
+          .orderBy("source")
+      },
+      Some(s"""WITH mixed AS (
+              |  SELECT
+              |    CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END AS source,
+              |    n_chars,
+              |    (${MhDuckParse("md5('mix|' || CAST(doc_id AS VARCHAR))")} + 1) / 1152921504606846976.0
+              |      <= CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END AS kept
+              |  FROM documents)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+              |  CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+              |FROM mixed GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
+    QueryDef(
+      "d17_token_budget",
+      // budgeted curriculum selection: fill each source's token budget
+      // (5000 here) with its LARGEST documents first — rank + running
+      // total inside the source partition, cut at the budget. The
+      // ordering keys are integers (n_tokens, doc_id), so the cut is
+      // engine-exact; at scale this is one shuffle on source with the
+      // window running inside each partition.
+      (s, d) => {
+        val nt = tokens(Tables.documents(s, d))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+          .withColumn("source",
+            expr("CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        nt.withColumn("cum", sum("n_tokens").over(w))
+          .filter(col("cum") <= 5000)
+          .select("source", "doc_id", "n_tokens", "cum")
+          .orderBy("source", "cum")
+      },
+      Some("""WITH nt AS (
+             |  SELECT doc_id, count(*) AS n_tokens
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) t
+             |  WHERE w <> '' GROUP BY doc_id),
+             |src AS (
+             |  SELECT doc_id, n_tokens,
+             |    CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END AS source
+             |  FROM nt),
+             |c AS (
+             |  SELECT source, doc_id, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM src)
+             |SELECT source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum
+             |FROM c WHERE cum <= 5000 ORDER BY source, cum""".stripMargin),
+    ),
+
+    QueryDef(
       "d11_weighted_sample",
       (s, d) => {
         // u in (0,1]: (H+1)/2^60 with H the first 15 md5 hex digits
