@@ -40,6 +40,14 @@ object Query2Mv {
       .as[KeyedEntry]
   }
 
+  private def fold(minB: Long)(id: Long, it: Iterator[KeyedEntry],
+      state: org.apache.spark.sql.streaming.GroupState[Long]): Coverage = {
+    var mask = state.getOption.getOrElse(0L)
+    it.foreach { e => mask |= 1L << (e.block_number - minB) }
+    state.update(mask)
+    Coverage(id, java.lang.Long.bitCount(mask).toLong)
+  }
+
   /** streaming coverage updates (Update output mode): one row per
     * touched id per micro-batch with its block-coverage count so far. */
   def updates(entries: Dataset[KeyedEntry], minB: Long, maxB: Long): Dataset[Coverage] = {
@@ -47,13 +55,36 @@ object Query2Mv {
     import entries.sparkSession.implicits._
     entries
       .groupByKey(_.nft_id)
-      .mapGroupsWithState[Long, Coverage](GroupStateTimeout.NoTimeout) {
-        (id, it, state) =>
-          var mask = state.getOption.getOrElse(0L)
-          it.foreach { e => mask |= 1L << (e.block_number - minB) }
-          state.update(mask)
-          Coverage(id, java.lang.Long.bitCount(mask).toLong)
-      }
+      .mapGroupsWithState[Long, Coverage](GroupStateTimeout.NoTimeout)(fold(minB))
+  }
+
+  /** per-id coverage bitmask computed in BATCH over already-ingested
+    * blocks — the snapshot the stream bootstraps from. */
+  def snapshotState(entries: DataFrame, contract: Array[Byte], slot: Int, owner: Array[Byte],
+                    minB: Long, snapshotMaxB: Long): Dataset[(Long, Long)] = {
+    import entries.sparkSession.implicits._
+    keyed(entries, contract, slot, owner, minB, snapshotMaxB)
+      .toDF()
+      .groupBy("nft_id")
+      .agg(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(block_number - $minB AS INT)))").as("mask"))
+      .as[(Long, Long)]
+  }
+
+  /** snapshot-then-stream handoff: keyed state starts from the batch
+    * snapshot's bitmasks (mapGroupsWithState initial state) and the
+    * stream continues from the NEXT block — the MV never rescans the
+    * ingested history yet ends bit-identical to the full-history
+    * batch answer. This is how a 100-TB backfill meets a live stream:
+    * one batch pass over the past, O(delta) forever after. */
+  def updatesFrom(entries: Dataset[KeyedEntry], minB: Long, maxB: Long,
+                  initial: Dataset[(Long, Long)]): Dataset[Coverage] = {
+    require(maxB - minB + 1 <= 64, "single-Long bitmask covers ranges up to 64 blocks")
+    import entries.sparkSession.implicits._
+    entries
+      .groupByKey(_.nft_id)
+      .mapGroupsWithState[Long, Coverage](
+        GroupStateTimeout.NoTimeout,
+        initial.groupByKey(_._1).mapValues(_._2))(fold(minB))
   }
 }
 

@@ -70,6 +70,43 @@ class Query2MvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"streaming MV $got vs batch $want")
   }
 
+  test("snapshot-then-stream handoff: bootstrapped state + delta equals the full batch") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val cfg = Fixtures.Cfg()
+    val (minB, maxB) = (cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+    val nBlocks = maxB - minB + 1
+    val splitB = minB + nBlocks / 2 - 1 // snapshot covers [minB, splitB]
+
+    // batch pass over the ingested history → per-id bitmask snapshot
+    val snapshot = Query2Mv.snapshotState(
+      Fixtures.entries(spark, cfg).filter(s"block_number <= $splitB"),
+      Fixtures.contractAddr(0), cfg.nftSlot, Fixtures.userAddr(0), minB, splitB)
+
+    // the stream sees ONLY the post-snapshot blocks
+    val stream = MemoryStream[Fixtures.Entry]
+    val keyed = Query2Mv.keyed(stream.toDS().toDF(),
+      Fixtures.contractAddr(0), cfg.nftSlot, Fixtures.userAddr(0), minB, maxB)
+    val q = Query2Mv.updatesFrom(keyed, minB, maxB, snapshot)
+      .writeStream.format("memory").queryName("q2mv_boot")
+      .outputMode("update").start()
+    stream.addData(Fixtures.entriesSeq(cfg).filter(_.block_number > splitB))
+    q.processAllAvailable()
+    val latest = spark.table("q2mv_boot").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).max }
+    q.stop()
+
+    val got = latest.filter(_._2 == nBlocks).keys.toSeq.sorted
+    val (batchIds, _) = ZkPipeline.query2(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
+      Fixtures.userAddr(0), minB, maxB)
+    val want = batchIds.collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"bootstrapped MV $got vs batch $want")
+    assert(got.nonEmpty, "fixture must qualify at least one id for the handoff to be probed")
+  }
+
   test("streaming ERC20 reward sum equals the batch query at end of stream") {
     implicit val sq = spark.sqlContext
     val s2 = spark
