@@ -123,30 +123,63 @@ object Erc20Mv {
       .as[RewardEntry]
   }
 
+  /** batch snapshot of the MV state over already-ingested blocks —
+    * distributed aggregates (bit_or masks + the mergeable U256 sum
+    * aggregator), one state row out. Pair with [[updatesFrom]] for the
+    * backfill→live handoff. */
+  def snapshotState(entries: DataFrame, contract: Array[Byte], slot: Int, user: Array[Byte],
+                    rate: java.math.BigInteger, totalSupply: java.math.BigInteger,
+                    minB: Long, snapshotMaxB: Long): Dataset[(Int, State)] = {
+    import entries.sparkSession.implicits._
+    val k = keyed(entries, contract, slot, user, rate, totalSupply, minB, snapshotMaxB)
+    val zero = graft.core.U256.toBytes32(java.math.BigInteger.ZERO)
+    val row = k.toDF().agg(
+      coalesce(expr(s"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(block_number - $minB AS INT)))"), lit(0L)).as("seen"),
+      coalesce(expr(s"bit_or(CASE WHEN is_user THEN shiftleft(CAST(1 AS BIGINT), CAST(block_number - $minB AS INT)) ELSE 0 END)"), lit(0L)).as("user_seen"),
+      coalesce(graft.operators.Aggregators.u256Sum(when(col("is_user"), col("reward"))), lit(zero)).as("sum"))
+      .head()
+    entries.sparkSession.createDataset(Seq(
+      0 -> State(row.getLong(0), row.getLong(1), Option(row.getAs[Array[Byte]](2)).getOrElse(zero))))
+  }
+
+  /** stream continuation from a batch snapshot (initial keyed state). */
+  def updatesFrom(entries: Dataset[RewardEntry], minB: Long, maxB: Long,
+                  initial: Dataset[(Int, State)]): Dataset[Result] = {
+    require(maxB - minB + 1 <= 64, "single-Long bitmask covers ranges up to 64 blocks")
+    import entries.sparkSession.implicits._
+    entries
+      .groupByKey(_ => 0)
+      .mapGroupsWithState[State, Result](
+        GroupStateTimeout.NoTimeout,
+        initial.groupByKey(_._1).mapValues(_._2))(fold(minB))
+  }
+
+  private def fold(minB: Long)(key: Int, it: Iterator[RewardEntry],
+      state: org.apache.spark.sql.streaming.GroupState[State]): Result = {
+    val zero = graft.core.U256.toBytes32(java.math.BigInteger.ZERO)
+    var s = state.getOption.getOrElse(State(0L, 0L, zero))
+    it.foreach { e =>
+      val bit = 1L << (e.block_number - minB)
+      val seen = s.seen | bit
+      if (e.is_user && (s.userSeen & bit) == 0L) {
+        val next = new java.math.BigInteger(1, s.sum)
+          .add(new java.math.BigInteger(1, e.reward))
+        require(next.bitLength() <= 256, "U256 overflow in streaming reward sum")
+        s = State(seen, s.userSeen | bit, graft.core.U256.toBytes32(next))
+      } else s = State(seen, s.userSeen, s.sum)
+    }
+    state.update(s)
+    val n = java.lang.Long.bitCount(s.seen).toLong
+    val lo = java.lang.Long.numberOfTrailingZeros(if (s.seen == 0) 1L else s.seen)
+    val hi = 63 - java.lang.Long.numberOfLeadingZeros(if (s.seen == 0) 1L else s.seen)
+    Result(n, s.seen != 0 && n == hi - lo + 1, graft.core.Bytes.toHex(s.sum))
+  }
+
   def updates(entries: Dataset[RewardEntry], minB: Long, maxB: Long): Dataset[Result] = {
     require(maxB - minB + 1 <= 64, "single-Long bitmask covers ranges up to 64 blocks")
     import entries.sparkSession.implicits._
-    val zero = graft.core.U256.toBytes32(java.math.BigInteger.ZERO)
     entries
       .groupByKey(_ => 0)
-      .mapGroupsWithState[State, Result](GroupStateTimeout.NoTimeout) {
-        (_, it, state) =>
-          var s = state.getOption.getOrElse(State(0L, 0L, zero))
-          it.foreach { e =>
-            val bit = 1L << (e.block_number - minB)
-            val seen = s.seen | bit
-            if (e.is_user && (s.userSeen & bit) == 0L) {
-              val next = new java.math.BigInteger(1, s.sum)
-                .add(new java.math.BigInteger(1, e.reward))
-              require(next.bitLength() <= 256, "U256 overflow in streaming reward sum")
-              s = State(seen, s.userSeen | bit, graft.core.U256.toBytes32(next))
-            } else s = State(seen, s.userSeen, s.sum)
-          }
-          state.update(s)
-          val n = java.lang.Long.bitCount(s.seen).toLong
-          val lo = java.lang.Long.numberOfTrailingZeros(if (s.seen == 0) 1L else s.seen)
-          val hi = 63 - java.lang.Long.numberOfLeadingZeros(if (s.seen == 0) 1L else s.seen)
-          Result(n, s.seen != 0 && n == hi - lo + 1, graft.core.Bytes.toHex(s.sum))
-      }
+      .mapGroupsWithState[State, Result](GroupStateTimeout.NoTimeout)(fold(minB))
   }
 }

@@ -144,4 +144,41 @@ class Query2MvSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.core.Bytes.toHex(batch.getAs[Array[Byte]]("result")),
       "streaming U256 sum must equal the batch result")
   }
+
+  test("ERC20 snapshot-then-stream handoff equals the full batch reward") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val cfg = Fixtures.Cfg()
+    val (minB, maxB) = (cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+    val splitB = minB + (maxB - minB) / 2
+    val rate = java.math.BigInteger.valueOf(7L)
+    val supply = java.math.BigInteger.valueOf(1000L)
+
+    val snapshot = Erc20Mv.snapshotState(
+      Fixtures.entries(spark, cfg).filter(s"block_number <= $splitB"),
+      Fixtures.contractAddr(1), cfg.erc20Slot, Fixtures.userAddr(2),
+      rate, supply, minB, splitB)
+    // the snapshot must carry a non-zero running sum for the handoff
+    // to actually be probed
+    assert(new java.math.BigInteger(1, snapshot.collect().head._2.sum).signum() > 0)
+
+    val stream = MemoryStream[Fixtures.Entry]
+    val keyed = Erc20Mv.keyed(stream.toDS().toDF(),
+      Fixtures.contractAddr(1), cfg.erc20Slot, Fixtures.userAddr(2), rate, supply, minB, maxB)
+    val q = Erc20Mv.updatesFrom(keyed, minB, maxB, snapshot)
+      .writeStream.format("memory").queryName("erc20mv_boot")
+      .outputMode("update").start()
+    stream.addData(Fixtures.entriesSeq(cfg).filter(_.block_number > splitB))
+    q.processAllAvailable()
+    val last = spark.table("erc20mv_boot").collect().last
+    q.stop()
+
+    val batch = ZkPipeline.queryErc20(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(1), cfg.erc20Slot,
+      Fixtures.userAddr(2), rate, supply, minB, maxB).collect()(0)
+    assert(last.getLong(0) == batch.getAs[Long]("n_blocks"))
+    assert(last.getBoolean(1) == batch.getAs[Boolean]("gap_free"))
+    assert(last.getString(2) == graft.core.Bytes.toHex(batch.getAs[Array[Byte]]("result")))
+  }
 }
