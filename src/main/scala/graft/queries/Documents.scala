@@ -509,6 +509,70 @@ object Documents {
              |FROM spans GROUP BY bin ORDER BY bin""".stripMargin),
     ),
 
+    // d18 — the FULL training-data pipeline as one composed plan:
+    // exact dedup (keep smallest id per content hash) → quality gate
+    // (≥ 30 tokens) → weighted corpus mix (d16's seeded hash rates) →
+    // 512-token sequence packing (d9's prefix-sum layout). Every
+    // stage is individually oracled elsewhere; this query proves the
+    // COMPOSITION end-to-end against one chained SQL oracle — the
+    // shape a real preprocessing job ships as a single lazy plan:
+    // dedup's one shuffle, the gate and mix map-side, packing's one
+    // window. Output is the packed-bin manifest.
+    QueryDef(
+      "d18_pipeline_e2e",
+      (s, d) => {
+        val cap = 512L
+        val docs = Tables.documents(s, d)
+        val keep = docs
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val gated = tokens(docs.join(keep, Seq("doc_id"), "left_semi"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+          .filter(col("n_tokens") >= 30)
+        val u = (expr("CAST(conv(substring(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") + 1
+          ).cast("double") / lit(math.pow(2, 60))
+        val mixed = gated
+          .filter(u <= expr("CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END"))
+        val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        mixed
+          .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("bin", explode(sequence(
+            (col("start") / cap).cast("long"),
+            ((col("start") + col("n_tokens") - 1) / cap).cast("long"))))
+          .withColumn("contrib",
+            least(col("start") + col("n_tokens"), (col("bin") + 1) * cap) -
+              greatest(col("start"), col("bin") * cap))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("contrib").as("n_tokens"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH keep AS (
+              |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+              |toks AS (
+              |  SELECT t.doc_id, count(*) AS n_tokens FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              |  JOIN keep k ON k.doc_id = t.doc_id
+              |  WHERE w <> '' GROUP BY t.doc_id),
+              |gated AS (SELECT doc_id, n_tokens FROM toks WHERE n_tokens >= 30),
+              |mixed AS (
+              |  SELECT doc_id, n_tokens FROM gated
+              |  WHERE (${MhDuckParse("md5('mix|' || CAST(doc_id AS VARCHAR))")} + 1) / 1152921504606846976.0
+              |    <= CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END),
+              |placed AS (
+              |  SELECT doc_id, n_tokens,
+              |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              |  FROM mixed),
+              |spans AS (
+              |  SELECT doc_id, n_tokens, start,
+              |    unnest(range(CAST(start // 512 AS BIGINT), CAST((start + n_tokens - 1) // 512 + 1 AS BIGINT))) AS bin
+              |  FROM placed)
+              |SELECT bin, count(*) AS n_docs,
+              |  CAST(SUM(least(start + n_tokens, (bin + 1) * 512) - greatest(start, bin * 512)) AS BIGINT) AS n_tokens
+              |FROM spans GROUP BY bin ORDER BY bin""".stripMargin),
+      headline = true,
+    ),
+
     // ------------------------------------------------------------------
     // dd1 — exact dedup: hash-groupBy on the content hash, keep the
     // smallest doc_id per group. Map-side partial agg means only one
