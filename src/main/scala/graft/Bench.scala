@@ -38,7 +38,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    // the driver's BENCH_r*.json keeps only a tail of stdout, which has
+    // truncated per-query numbers in past rounds — persist the full
+    // line as a file artifact too
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case t: Throwable => System.err.println(s"[bench] bench.json write failed: $t") }
     spark.stop()
   }
 }

@@ -141,6 +141,55 @@ object Documents {
       s"(instr('0123456789abcdef', substring($md5Expr, ${k + 1}, 1)) - 1) * $pow"
     }.mkString("(", " + ", ")")
 
+  /** Distributed two-pass prefix sum of `n_tokens` in `doc_id` order —
+    * the running-offset ("start") column of sequence packing WITHOUT a
+    * single-partition window.
+    *
+    * Pass 1 groups docs into chunks of `chunk` ids (`doc_id div chunk`
+    * is monotone in doc_id, so chunk-order ∘ local-order == global
+    * order) and takes per-chunk running sums under a PARTITIONED window
+    * — fully parallel, each task sorts only its chunks. Pass 2 collects
+    * the per-chunk subtotals (|corpus| / chunk rows — ≤ ~10⁵ entries at
+    * a billion docs with chunk = 8192, the same metadata class as a
+    * bucket manifest), folds them into cumulative offsets on the
+    * driver, and re-enters the plan as a broadcast map literal, so
+    * `start = offset(chunk) + local running sum` is a pure projection.
+    * No Exchange SinglePartition anywhere; oracle-identical to the
+    * global ORDER BY window it replaces. */
+  private def packedStarts(toks: DataFrame, chunk: Long): DataFrame = {
+    val byChunk = toks.withColumn("_ck", expr(s"doc_id div $chunk"))
+    val subs = byChunk.groupBy("_ck").agg(sum("n_tokens").as("_sub"))
+      .collect().sortBy(_.getLong(0))
+    var acc = 0L
+    val offs: Map[Long, Long] = subs.map { r =>
+      val e = (r.getLong(0), acc); acc += r.getLong(1); e
+    }.toMap
+    val localW = Window.partitionBy("_ck").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byChunk
+      .withColumn("start",
+        coalesce(element_at(typedLit(offs), col("_ck")), lit(0L)) +
+          coalesce(sum("n_tokens").over(localW), lit(0L)))
+      .drop("_ck")
+  }
+
+  /** Shared packing tail of d9 / d18: explode each doc over the bins
+    * its [start, start + n_tokens) span touches and sum the clipped
+    * per-bin contributions. Integer `div` throughout — matches the
+    * oracle's `//` and stays exact past 2⁵³ cumulative tokens, where
+    * double division would round bins. */
+  private def packBins(placed: DataFrame, cap: Long): DataFrame =
+    placed
+      .withColumn("bin", explode(sequence(
+        expr(s"start div $cap"),
+        expr(s"(start + n_tokens - 1) div $cap"))))
+      .withColumn("contrib",
+        least(col("start") + col("n_tokens"), (col("bin") + 1) * cap) -
+          greatest(col("start"), col("bin") * cap))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("contrib").as("n_tokens"))
+      .orderBy("bin")
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -468,29 +517,19 @@ object Documents {
     // d9 — token-sequence packing: documents laid out contiguously (by
     // doc_id) into fixed 512-token training sequences, straddling
     // allowed (the standard pretraining packing with cross-boundary
-    // attention masks). Offsets are a prefix sum (one window), bin
+    // attention masks). Offsets come from the distributed two-pass
+    // prefix sum ([[packedStarts]] — chunked partitioned windows +
+    // broadcast chunk offsets, no single-partition Exchange), bin
     // membership an explode over the doc's bin span; every bin except
     // the last must hold exactly 512 tokens — the oracle checks the
-    // clipped per-bin token contributions exactly.
+    // clipped per-bin token contributions exactly. chunk = 64 so even
+    // sf0.01's 500 docs exercise the multi-chunk offset path.
     QueryDef(
       "d9_sequence_packing",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val cap = 512L
-        val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
         val toks = tokens(Tables.documents(s, d)).groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"))
-        toks
-          .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
-          .withColumn("bin", explode(sequence(
-            (col("start") / cap).cast("long"),
-            ((col("start") + col("n_tokens") - 1) / cap).cast("long"))))
-          .withColumn("contrib",
-            least(col("start") + col("n_tokens"), (col("bin") + 1) * cap) -
-              greatest(col("start"), col("bin") * cap))
-          .groupBy("bin")
-          .agg(count(lit(1)).as("n_docs"), sum("contrib").as("n_tokens"))
-          .orderBy("bin")
+        packBins(packedStarts(toks, chunk = 64L), cap = 512L)
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, count(*) AS n_tokens FROM (
@@ -515,13 +554,13 @@ object Documents {
     // 512-token sequence packing (d9's prefix-sum layout). Every
     // stage is individually oracled elsewhere; this query proves the
     // COMPOSITION end-to-end against one chained SQL oracle — the
-    // shape a real preprocessing job ships as a single lazy plan:
-    // dedup's one shuffle, the gate and mix map-side, packing's one
-    // window. Output is the packed-bin manifest.
+    // shape a real preprocessing job ships: dedup's one shuffle, the
+    // gate and mix map-side, packing's chunked partitioned windows
+    // (plus one metadata-sized chunk-offset collect — see
+    // [[packedStarts]]). Output is the packed-bin manifest.
     QueryDef(
       "d18_pipeline_e2e",
       (s, d) => {
-        val cap = 512L
         val docs = Tables.documents(s, d)
         val keep = docs
           .groupBy(md5(col("text").cast("binary")).as("h"))
@@ -534,18 +573,7 @@ object Documents {
           ).cast("double") / lit(math.pow(2, 60))
         val mixed = gated
           .filter(u <= expr("CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END"))
-        val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-        mixed
-          .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
-          .withColumn("bin", explode(sequence(
-            (col("start") / cap).cast("long"),
-            ((col("start") + col("n_tokens") - 1) / cap).cast("long"))))
-          .withColumn("contrib",
-            least(col("start") + col("n_tokens"), (col("bin") + 1) * cap) -
-              greatest(col("start"), col("bin") * cap))
-          .groupBy("bin")
-          .agg(count(lit(1)).as("n_docs"), sum("contrib").as("n_tokens"))
-          .orderBy("bin")
+        packBins(packedStarts(mixed, chunk = 64L), cap = 512L)
       },
       Some(s"""WITH keep AS (
               |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -570,6 +598,53 @@ object Documents {
               |SELECT bin, count(*) AS n_docs,
               |  CAST(SUM(least(start + n_tokens, (bin + 1) * 512) - greatest(start, bin * 512)) AS BIGINT) AS n_tokens
               |FROM spans GROUP BY bin ORDER BY bin""".stripMargin),
+      headline = true,
+    ),
+
+    // d18_scale — the packing prefix sum PROVED at a million docs:
+    // executor-born corpus (s.range, no parquet), token counts from a
+    // portable integer formula both engines compute bit-identically,
+    // packed by the same packedStarts/packBins path as d9/d18 with
+    // chunk = 8192 (123 chunk offsets in the broadcast map —
+    // metadata-sized). The plan contains NO single-partition Exchange:
+    // chunked partitioned windows + a broadcast-literal offset
+    // projection. Fully hash-oracled — DuckDB regenerates the corpus
+    // from range(1e6), reruns the global-window packing, and must land
+    // on the same ~390k-bin summary.
+    QueryDef(
+      "d18_scale",
+      (s, _) => {
+        val toks = s.range(1000000L).select(
+          col("id").as("doc_id"),
+          expr("(id * 2654435761) % 400 + 1").as("n_tokens"))
+        packBins(packedStarts(toks, chunk = 8192L), cap = 512L)
+          .agg(
+            count(lit(1)).as("n_bins"),
+            sum(when(col("n_tokens") === 512L, 1L).otherwise(0L)).as("n_full_bins"),
+            sum("n_tokens").as("total_tokens"),
+            max("n_docs").as("max_docs_per_bin"),
+            sum(col("bin") * col("n_tokens")).as("checksum"))
+      },
+      Some("""WITH ids AS (SELECT unnest(range(1000000)) AS doc_id),
+             |toks AS (SELECT doc_id, (doc_id * 2654435761) % 400 + 1 AS n_tokens FROM ids),
+             |placed AS (
+             |  SELECT doc_id, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             |  FROM toks),
+             |spans AS (
+             |  SELECT n_tokens, start,
+             |    unnest(range(CAST(start // 512 AS BIGINT), CAST((start + n_tokens - 1) // 512 + 1 AS BIGINT))) AS bin
+             |  FROM placed),
+             |bins AS (
+             |  SELECT bin, count(*) AS n_docs,
+             |    CAST(SUM(least(start + n_tokens, (bin + 1) * 512) - greatest(start, bin * 512)) AS BIGINT) AS n_tokens
+             |  FROM spans GROUP BY bin)
+             |SELECT count(*) AS n_bins,
+             |  CAST(SUM(CASE WHEN n_tokens = 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_bins,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  max(n_docs) AS max_docs_per_bin,
+             |  CAST(SUM(bin * n_tokens) AS BIGINT) AS checksum
+             |FROM bins""".stripMargin),
       headline = true,
     ),
 

@@ -118,4 +118,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name:\n${p.take(3000)}")
     }
   }
+
+  test("d9/d18: packing prefix sum is a chunk-partitioned window, never a single-partition running sum") {
+    for (name <- Seq("d9_sequence_packing", "d18_pipeline_e2e")) {
+      val p = plan(name)
+      // the running sum must be windowed over the chunk key …
+      assert(p.contains("windowspecdefinition(_ck"), s"$name:\n${p.take(3000)}")
+      // … and nothing in the plan may collapse to one partition (d9/d18
+      // end in orderBy → range partitioning, so any SinglePartition
+      // exchange would be the old global-window shape leaking back)
+      assert(!p.contains("SinglePartition"), s"$name:\n${p.take(3000)}")
+    }
+  }
 }
