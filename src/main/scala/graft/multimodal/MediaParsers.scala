@@ -91,7 +91,7 @@ object MediaParsers {
   }
 
   /** detect by magic bytes; unknown formats yield None (caller may
-    * fall back to the declared stub). */
+    * fall back to synthetic metadata). */
   def parse(b: Array[Byte]): Option[ParsedMeta] =
     parsePng(b).orElse(parseJpeg(b)).orElse(parseGif(b)).orElse(parseWav(b))
 

@@ -564,7 +564,8 @@ object Similarity {
     ),
 
     // mm2 — the typed-Dataset twin of mm1: binary payloads through a
-    // mapPartitions stub decoder (the production shape for a JNI/FFI
+    // mapPartitions decoder (ImageIO pixels for decodable payloads,
+    // deterministic synthetic metadata otherwise — the shape a JNI/FFI
     // media decoder). Rows-only check (keccak-derived metadata is not
     // SQL-expressible); golden-tested in MultimodalSpec.
     QueryDef(
@@ -611,7 +612,7 @@ object Similarity {
 
     // mm4 — audio windowing driven by REAL WAV headers: window
     // offsets derive from the parsed sample rate; decode-in-window
-    // remains the stub seam. One row per (doc, window). Oracled as a
+    // stays synthetic (text stand-ins). One row per (doc, window). Oracled as a
     // genuine cross-check: the Spark path forges real WAV bytes
     // (MediaParsers.makeWav) and PARSES them back; the oracle
     // recomputes the expected windows from the fixture arithmetic
@@ -638,7 +639,7 @@ object Similarity {
 
     // ------------------------------------------------------------------
     // mm1 — multimodal metadata extraction over an opaque payload:
-    // the decode step is a deterministic stub (md5-derived fake
+    // the decode step is deterministic synthesis (md5-derived fake
     // dimensions — the real image/audio libs are not in this
     // container), but the Spark-side shape is the real thing: binary
     // payload column in, typed (width, height, format, n_frames)
@@ -668,7 +669,7 @@ object Similarity {
     // video shape): the Multimodal.sampleFrames operator's offset math
     // (frame grid over the byte payload, stride sampling) is pure
     // arithmetic, so the whole operator is oracle-checked; only the
-    // per-frame pixel decode remains the declared stub seam. 64-byte
+    // per-frame pixel decode (real for image payloads — see mm7). 64-byte
     // frames, every 4th sampled.
     QueryDef(
       "mm6_frame_sample",
@@ -757,6 +758,44 @@ object Similarity {
               |FROM cand
               |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
               |ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+
+    // mm7 — pHash-over-REAL-pixels near-dup: the image-dedup path with
+    // the actual decode in it. The fixture forges 50 groups of 4 real
+    // images (PNG / BMP / GIF re-encodings of one 64×64 pattern plus a
+    // +10-brightness PNG); each payload is decoded back through the
+    // JDK's own ImageIO codecs, ImageHash.pHash64 runs over the
+    // decoded rasters, and the same pigeonhole 4×16-bit block join as
+    // mm5 yields candidates (hamming ≤ 3 always shares ≥ 1 block).
+    // Lossless re-encodings of identical pixels hash identically and a
+    // uniform brightness shift moves only the DC coefficient, so the
+    // expected answer — every within-group pair, no cross-group pair —
+    // is fixture arithmetic the oracle recomputes from range(50).
+    QueryDef(
+      "mm7_phash_pixels",
+      (s, _) => {
+        val sig = graft.multimodal.Multimodal
+          .pixelHashes(graft.multimodal.Multimodal.imageFixture(s, 200))
+          .toDF()
+          .select(col("doc_id"), col("phash"))
+        val blk = sig.withColumn("k", explode(sequence(lit(0), lit(3))))
+          .withColumn("blk", expr("(phash >> (k * 16)) & 65535"))
+        blk.select(col("doc_id").as("doc_a"), col("phash").as("pa"), col("k"), col("blk"))
+          .join(blk.select(col("doc_id").as("doc_b"), col("phash").as("pb"), col("k"), col("blk")),
+            Seq("k", "blk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .filter(expr("bit_count(pa ^ pb) <= 3"))
+          .select("doc_a", "doc_b")
+          .distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH g AS (SELECT unnest(range(50)) AS g),
+             |m AS (SELECT unnest(range(4)) AS i),
+             |pairs AS (
+             |  SELECT 4 * g + a.i AS doc_a, 4 * g + b.i AS doc_b
+             |  FROM g, m a, m b WHERE a.i < b.i)
+             |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b
+             |FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
     ),
   )
 }

@@ -22,7 +22,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("mapPartitions decode: distributed output matches driver-side stub, schema is typed") {
+  test("mapPartitions decode: non-image payloads fall back to the synthetic metadata, schema is typed") {
     val s2 = spark
     import s2.implicits._
     val recs = (0L until 64L).map(i => MediaRecord(i, s"payload-$i".getBytes("UTF-8")))
@@ -30,7 +30,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Multimodal.extractMeta(ds).collect().sortBy(_.doc_id)
     assert(out.length == 64)
     out.foreach { m =>
-      val want = Multimodal.decodeStub(s"payload-${m.doc_id}".getBytes("UTF-8")).copy(doc_id = m.doc_id)
+      val want = Multimodal.syntheticMeta(s"payload-${m.doc_id}".getBytes("UTF-8")).copy(doc_id = m.doc_id)
       assert(m == want)
       assert(m.width >= 64 && m.width < 1088 && m.height >= 64 && m.height < 1088)
       assert(Set("jpeg", "png", "webp").contains(m.format))
@@ -78,6 +78,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val unk = spark.createDataset(Seq(MediaRecord(999L, "???".getBytes("UTF-8"))))
     val m = Multimodal.extractContainerMeta(unk).collect().head
     assert(!m.parsed && m.doc_id == 999L)
+  }
+
+  test("real pixel decode: PNG/BMP/GIF round-trip identical pixels; pHash survives re-encode + brightness") {
+    val base = Multimodal.patternPixels(3L, 64, 64)
+    for (f <- Seq("png", "bmp", "gif")) {
+      val im = Multimodal.decodePixels(Multimodal.encodeGray(64, 64, base, f)).get
+      assert(im.width == 64 && im.height == 64)
+      assert(im.px.toSeq == base.toSeq, s"$f re-encode must be pixel-lossless")
+    }
+    val pa = ImageHash.pHash64(base, 64, 64)
+    val aa = ImageHash.aHash64(base, 64, 64)
+    // uniform brightness: only the DC coefficient moves → pHash stable;
+    // aHash thresholds against the (equally shifted) mean → also stable
+    val bright = Multimodal.decodePixels(Multimodal.encodeGray(64, 64, base.map(_ + 10), "png")).get
+    assert(java.lang.Long.bitCount(pa ^ ImageHash.pHash64(bright.px, 64, 64)) <= 3)
+    assert(java.lang.Long.bitCount(aa ^ ImageHash.aHash64(bright.px, 64, 64)) <= 3)
+    // a different pattern is far away
+    val other = Multimodal.patternPixels(4L, 64, 64)
+    assert(java.lang.Long.bitCount(pa ^ ImageHash.pHash64(other, 64, 64)) > 10)
+    assert(java.lang.Long.bitCount(aa ^ ImageHash.aHash64(other, 64, 64)) > 10)
+    // extractMeta reports REAL dimensions + pixel pHash for decodable payloads
+    val s2 = spark
+    import s2.implicits._
+    val rec = spark.createDataset(Seq(MediaRecord(5L, Multimodal.encodeGray(64, 64, base, "png"))))
+    val m = Multimodal.extractMeta(rec).collect().head
+    assert(m.width == 64 && m.height == 64 && m.format == "png")
+    assert(m.phash == f"$pa%016x")
   }
 
   test("audio windows derive from the real WAV header math") {
