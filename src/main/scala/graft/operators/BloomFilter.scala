@@ -119,9 +119,10 @@ object BloomFilter {
     * The dim subquery feeds two consumers (the bloom build, which
     * executes eagerly here, and the residual broadcast at result
     * execution) — the distinct key frame is persisted so the dim
-    * scan+filter runs once, not twice. The cache is a key column only
-    * (the broadcast-sized side by assumption); Spark's CacheManager
-    * dedupes repeated calls on the same plan. */
+    * scan+filter runs once, then RELEASED before returning: the
+    * residual join gets the collected key rows as a local relation
+    * (broadcast-sized by assumption), so repeated semiJoin calls leak
+    * nothing into executor storage memory. */
   def semiJoin(
       fact: DataFrame,
       factKey: Column,
@@ -130,12 +131,24 @@ object BloomFilter {
       numBits: Int = 1 << 20,
       numHashes: Int = 5): DataFrame = {
     val dimKeys = dim.select(dimKey.as("__bloom_key")).distinct().persist()
-    val filter = dimKeys
-      .select(bloomAgg(keyBytes(col("__bloom_key")), numBits, numHashes).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val filter =
+      try dimKeys
+        .select(bloomAgg(keyBytes(col("__bloom_key")), numBits, numHashes).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      catch { case t: Throwable => dimKeys.unpersist(); throw t }
+    // the residual join no longer needs the cache once its broadcast is
+    // built; collect the key rows now and hand the join a local
+    // relation so the cached frame can be released immediately instead
+    // of leaking into executor storage for the session's lifetime
+    // (the dim side is broadcast-sized by assumption)
+    val spark = dim.sparkSession
+    val keyRows = dimKeys.collect().toIndexedSeq
+    dimKeys.unpersist()
+    val localDim = spark.createDataFrame(
+      spark.sparkContext.parallelize(keyRows, 1), dimKeys.schema)
     fact
       .filter(mightContainCol(filter, keyBytes(factKey)))
-      .join(broadcast(dimKeys), factKey === col("__bloom_key"), "left_semi")
+      .join(broadcast(localDim), factKey === col("__bloom_key"), "left_semi")
   }
 }
 

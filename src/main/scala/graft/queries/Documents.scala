@@ -1089,14 +1089,20 @@ object Documents {
     // d14 — inverted-index AND query: posting-list intersection for
     // "docs containing ALL of k terms" — the search-shaped access
     // path. Terms are picked deterministically (frequency ranks
-    // 10/20/30); the intersection is a groupBy-count over only the
-    // probed terms' postings, never a corpus scan per term.
+    // 10/20/30) via orderBy.limit(30) — TakeOrderedAndProject, a
+    // per-partition top-30 merged on one 30-row task, NEVER a global
+    // row_number sort of the vocabulary (a web-scale vocab would pin
+    // that on one task); the rank window then runs over ≤ 30 rows.
+    // The intersection is a groupBy-count over only the probed terms'
+    // postings, never a corpus scan per term.
     QueryDef(
       "d14_inverted_index",
       (s, d) => {
         val tok = tokens(Tables.documents(s, d))
-        val w = Window.orderBy(col("freq").desc, col("w"))
-        val terms = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+        val top = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("w")).limit(30)
+        val w = Window.orderBy(col("freq").desc, col("w")) // ≤ 30 rows
+        val terms = top
           .withColumn("rk", row_number().over(w))
           .filter(col("rk").isin(10, 20, 30))
           .select("w")
@@ -1271,18 +1277,31 @@ object Documents {
       // (5000 here) with its LARGEST documents first — rank + running
       // total inside the source partition, cut at the budget. The
       // ordering keys are integers (n_tokens, doc_id), so the cut is
-      // engine-exact; at scale this is one shuffle on source with the
-      // window running inside each partition.
+      // engine-exact. The per-source window input is BOUNDED by a
+      // two-level top-K pre-filter: a doc past per-source rank K =
+      // budget can never fit (the K docs ahead of it carry ≥ 1 token
+      // each, so its running total already exceeds the budget), and
+      // the rank-≤-K cut itself runs per (source, input-partition) —
+      // distributed — so each source's final window sees ≤ K·P rows
+      // no matter how large the source is.
       (s, d) => {
+        val budget = 5000L
         val nt = tokens(Tables.documents(s, d))
           .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
           .withColumn("source",
             expr("CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END"))
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy("source", "pid")
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        val pruned = nt
+          .withColumn("lrk", row_number().over(wLocal))
+          .filter(col("lrk") <= budget) // superset of the per-source top-K
+          .drop("lrk", "pid")
         val w = Window.partitionBy("source")
           .orderBy(col("n_tokens").desc, col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        nt.withColumn("cum", sum("n_tokens").over(w))
-          .filter(col("cum") <= 5000)
+        pruned.withColumn("cum", sum("n_tokens").over(w))
+          .filter(col("cum") <= budget)
           .select("source", "doc_id", "n_tokens", "cum")
           .orderBy("source", "cum")
       },

@@ -110,12 +110,36 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     * after an evolving merge. */
   private val schemaCache = scala.collection.concurrent.TrieMap.empty[Int, org.apache.spark.sql.types.StructType]
 
+  /** widest of two column types under the standard numeric ladder
+    * (byte→short→int→long, float→double); None if neither widens to
+    * the other. */
+  private def widest(a: org.apache.spark.sql.types.DataType,
+                     b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    if (a == b) Some(a)
+    else {
+      val ladder: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+      val (ia, ib) = (ladder.indexOf(a), ladder.indexOf(b))
+      if (ia >= 0 && ib >= 0) Some(ladder(math.max(ia, ib))) else None
+    }
+  }
+
   private def versionSchema(v: Int): org.apache.spark.sql.types.StructType =
     // safe to memoize: a committed version's files are immutable
     schemaCache.getOrElseUpdate(v, {
       val fields = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructField]()
-      readManifest(v).values.toSeq.distinct.foreach { rel =>
-        spark.read.parquet(s"$baseDir/$rel").schema.fields.foreach(f => fields.getOrElseUpdate(f.name, f))
+      // sorted dirs + widest-type merge: the result must not depend on
+      // Map iteration order when bucket dirs disagree on a column's
+      // width (a narrower cached type can fail or mis-read wider files)
+      readManifest(v).values.toSeq.distinct.sorted.foreach { rel =>
+        spark.read.parquet(s"$baseDir/$rel").schema.fields.foreach { f =>
+          fields.get(f.name) match {
+            case None => fields(f.name) = f
+            case Some(prev) =>
+              val w = widest(prev.dataType, f.dataType).getOrElse(prev.dataType)
+              if (w != prev.dataType) fields(f.name) = prev.copy(dataType = w)
+          }
+        }
       }
       org.apache.spark.sql.types.StructType(fields.values.toSeq)
     })
@@ -219,10 +243,22 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     // union below would silently rewrite matched rows with NULLs in
     // the omitted column (fail fast instead of corrupting a bucket)
     base.foreach { bv =>
-      val missing = versionSchema(bv).fieldNames.toSet -- updates.columns.toSet
+      val baseSchema = versionSchema(bv)
+      val missing = baseSchema.fieldNames.toSet -- updates.columns.toSet
       require(missing.isEmpty,
         s"merge updates omit existing column(s) ${missing.mkString(", ")}; " +
           "schema evolution is additive-only")
+      // …and may not RE-TYPE an existing column (unionByName would
+      // silently coerce and make later multi-dir reads depend on which
+      // bucket's file is seen first); widening along the numeric
+      // ladder is the one allowed change
+      updates.schema.fields.foreach { f =>
+        baseSchema.find(_.name == f.name).foreach { bf =>
+          require(widest(bf.dataType, f.dataType).contains(f.dataType),
+            s"merge re-types column ${f.name}: ${bf.dataType.simpleString} -> " +
+              s"${f.dataType.simpleString}; existing columns must keep or widen their type")
+        }
+      }
     }
 
     val upd = updates.withColumn("__bucket", bucketCol(keys))

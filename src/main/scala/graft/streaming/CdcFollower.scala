@@ -33,6 +33,14 @@ final class CdcFollower(
 
   private var view: DataFrame = _
   private var at: Int = -1
+  private var stepsSinceCheckpoint = 0
+
+  /** every N advance() steps the view is localCheckpoint()ed, which
+    * truncates the logical plan: persist()+count() alone caches the
+    * DATA but leaves one full_outer join per step chained in the plan,
+    * so driver-side analysis (and recomputation on cache-block loss)
+    * would grow without bound over a long follow session. */
+  private val CheckpointEvery = 8
 
   /** version the view currently reflects. */
   def version: Int = at
@@ -78,14 +86,20 @@ final class CdcFollower(
       .agg(sum(col("sgn")).as("dn"),
         sum(col("sgn").cast("decimal(28,2)") * col(valueCol).cast("decimal(28,2)")).as("dt"))
     val old = view
-    view = old.join(delta, Seq(groupCol), "full_outer")
+    val stepped = old.join(delta, Seq(groupCol), "full_outer")
       .select(col(groupCol),
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
         (coalesce(col("total"), lit(BigDecimal(0)).cast("decimal(28,2)")) +
           coalesce(col("dt"), lit(BigDecimal(0)).cast("decimal(28,2)"))).cast("decimal(28,2)").as("total"))
       .filter(col("n_rows") > 0)
-      .persist()
-    view.count() // cut the lineage chain's re-execution; bounded depth
+    if (stepsSinceCheckpoint + 1 >= CheckpointEvery) {
+      view = stepped.localCheckpoint(true) // truncate plan + lineage
+      stepsSinceCheckpoint = 0
+    } else {
+      view = stepped.persist()
+      view.count() // materialize so the next step reads data, not lineage
+      stepsSinceCheckpoint += 1
+    }
     old.unpersist()
     at = toVersion
   }

@@ -62,6 +62,7 @@ object Query2Mv {
     * blocks — the snapshot the stream bootstraps from. */
   def snapshotState(entries: DataFrame, contract: Array[Byte], slot: Int, owner: Array[Byte],
                     minB: Long, snapshotMaxB: Long): Dataset[(Long, Long)] = {
+    require(snapshotMaxB - minB + 1 <= 64, "single-Long bitmask covers ranges up to 64 blocks")
     import entries.sparkSession.implicits._
     keyed(entries, contract, slot, owner, minB, snapshotMaxB)
       .toDF()
@@ -130,6 +131,7 @@ object Erc20Mv {
   def snapshotState(entries: DataFrame, contract: Array[Byte], slot: Int, user: Array[Byte],
                     rate: java.math.BigInteger, totalSupply: java.math.BigInteger,
                     minB: Long, snapshotMaxB: Long): Dataset[(Int, State)] = {
+    require(snapshotMaxB - minB + 1 <= 64, "single-Long bitmask covers ranges up to 64 blocks")
     import entries.sparkSession.implicits._
     val k = keyed(entries, contract, slot, user, rate, totalSupply, minB, snapshotMaxB)
     val zero = graft.core.U256.toBytes32(java.math.BigInteger.ZERO)

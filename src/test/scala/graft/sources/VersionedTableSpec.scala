@@ -281,6 +281,13 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(thrown.getMessage.contains("additive-only"))
 
+    // …and may not RE-TYPE an existing column (narrowing long "v" to
+    // int would make multi-dir read schemas depend on bucket order)
+    val retyped = intercept[IllegalArgumentException] {
+      t.merge(Seq((3L, "X", 3, "t")).toDF("k", "name", "v", "tag"), Seq("k"), Some(1))
+    }
+    assert(retyped.getMessage.contains("re-types"))
+
     // compaction heals every bucket to the widened schema
     t.compact(Seq("k"), Some(1))
     val v2 = t.read(Some(2)).get

@@ -93,6 +93,25 @@ class CdcFollowerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viewRows(f.snapshot()) == viewRows(f.recomputed()))
   }
 
+  test("a long follow crosses the lineage checkpoint and the plan stays bounded") {
+    val s2 = spark; import s2.implicits._
+    val dir = Files.createTempDirectory("cdc_follow_long").toString
+    val t = new VersionedTable(spark, dir, nBuckets = 4)
+    t.commit(df((0L until 8L).map(k => (k, k % 2, k * 2.0))), Seq("k"), None)
+    val f = new CdcFollower(spark, t, Seq("k"), "grp", "v")
+    f.seed(0)
+    // 18 steps: crosses the every-8-steps localCheckpoint twice
+    (1 to 18).foreach { i =>
+      t.merge(Seq((i.toLong % 8, i.toLong % 3, i * 1.5, false)).toDF("k", "grp", "v", "del"),
+        Seq("k"), Some(i - 1), deleteCol = Some("del"))
+      f.advance()
+      assert(viewRows(f.snapshot()) == viewRows(f.recomputed()), s"diverged at step $i")
+    }
+    // the checkpointed view's plan no longer chains one join per step
+    val planDepth = f.snapshot().queryExecution.logical.collect { case n => n }.size
+    assert(planDepth < 40, s"lineage not truncated: $planDepth logical nodes after 18 steps")
+  }
+
   test("a no-op commit is stepped over, not fatal") {
     val s2 = spark
     import s2.implicits._
