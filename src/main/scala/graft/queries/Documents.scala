@@ -130,7 +130,7 @@ object Documents {
   private lazy val mhBaseDuck = MhDuckParse("md5(sh)")
 
   private def mhSlot(j: Int, base: String): String =
-    s"(${MhA(j)} * (($base) % $MhM) + ${MhB(j)}) % $MhM"
+    s"(${mhConstA(j)} * (($base) % $MhM) + ${mhConstB(j)}) % $MhM"
 
   /** DuckDB positional parse of the first 15 hex digits of an
     * arbitrary md5-hex SQL expression → BIGINT (the generic form of
@@ -1039,6 +1039,42 @@ object Documents {
       None,
     ),
 
+    // dd2_scale_banded — the MinHash banding KNOB proven at 200k docs:
+    // bandsFor(200k) widens the signature to r=4 rows × 6 bands (24
+    // affine slots over one md5 base digest) so unrelated docs yield a
+    // bounded false-candidate set (n·s0^r), while the planted near-dup
+    // pairs (19 of 20 words shared ⇒ shingle Jaccard 0.8) still
+    // band-collide with ≥95% design recall. The oracled dd2 is this
+    // rule's r=2,b=4 output at fixture scale. Output pins the planted
+    // recovery AND the band-bucket occupancy bound, so a regression to
+    // degenerate banding fails the row, not just a timer.
+    QueryDef(
+      "dd2_scale_banded",
+      (s, _) => {
+        val n = 200000L
+        val (r, b) = bandsFor(n) // = (4, 6) at 200k
+        val docs = s.range(n).select(col("id").as("doc_id"),
+          expr("CASE WHEN id % 101 <= 1 THEN id - id % 101 ELSE id END").as("seed"))
+        val text = concat_ws(" ",
+          (1 to 19).map(j => concat(lit("w"), pmod(xxhash64(col("seed"), lit(j)), lit(50000L)))) :+
+            concat(lit("u"), col("doc_id")): _*)
+        val st = minhashStage(shingles(docs.select(col("doc_id"), text.as("text"))), r, b)
+        val occ = st.bands.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
+          .agg(max("bn").as("max_band_bucket"))
+        val pairs = minhashTail(st.sh, st.mh, st.bands, jaccardMin = 0.5)
+        val planted = pairs
+          .filter(col("doc_a") % 101 === 0 && col("doc_b") === col("doc_a") + 1)
+          .agg(count(lit(1)).as("n_planted_found"))
+        planted.crossJoin(occ)
+          .select(lit(n).as("n_docs"), lit(r).as("rows_per_band"), lit(b).as("n_bands"),
+            lit(n / 101 + 1).as("n_planted_pairs"), col("n_planted_found"),
+            (col("n_planted_found") >= (n / 101) * 9 / 10).as("recall_ok"),
+            col("max_band_bucket"),
+            (col("max_band_bucket") <= BandSkewThreshold).as("occupancy_ok"))
+      },
+      None,
+    ),
+
     // d12 — BPE ENCODE with the learned merge table: the apply side of
     // d10 — every doc tokenized by the trained merges, per-doc BPE
     // token count out. The merge table is trained once (driver) and
@@ -1381,24 +1417,67 @@ object Documents {
       .select("doc_a", "doc_b")
   }
 
-  /** MinHash-LSH near-dup pairs with exact Jaccard ≥ 0.5 verification
-    * (doc_a < doc_b) — the shared stage behind dd2 (pair listing) and
-    * dd11 (multi-signal clustering). Candidates only from band-bucket
-    * equi-joins (skew-salted past a cardinality threshold), Jaccard
-    * only on candidates.
-    */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** MinHash banding sized to the corpus — the documents-side analog
+    * of `Similarity.planesFor`. Rows-per-band `r` grows with log n so
+    * unrelated docs (background Jaccard ≤ s0) yield a BOUNDED number
+    * of false candidates per doc (n·s0^r ≤ cap), and the band count
+    * `b` grows with r to keep ≥`recall` probability of catching a
+    * true near-dup at Jaccard ≥ tHi (1−(1−tHi^r)^b ≥ recall). At
+    * fixture scale this returns exactly the oracled dd2 config
+    * (r = 2, b = 4), making the fixed 8-hash/4-band query the
+    * documented special case of the scale rule. */
+  def bandsFor(n: Long, cap: Long = 2000L, s0: Double = 0.3,
+               tHi: Double = 0.8, recall: Double = 0.95): (Int, Int) = {
+    val r = math.max(2,
+      math.ceil(math.log(math.max(1.0, n.toDouble / cap)) / math.log(1.0 / s0)).toInt)
+    val b = math.max(4,
+      math.ceil(math.log(1.0 - recall) / math.log(1.0 - math.pow(tHi, r))).toInt)
+    (r, b)
+  }
+
+  /** affine-permutation constants for slot j: the 8 fixed primes the
+    * oracled queries inline, extended past 8 by a Lehmer power chain
+    * (deterministic, < 2^31) for the scale-sized signatures. */
+  private def mhConstA(j: Int): Long =
+    if (j < MhA.length) MhA(j) else lehmerPow(48271L, j + 1)
+  private def mhConstB(j: Int): Long =
+    if (j < MhB.length) MhB(j) else lehmerPow(40503L, j + 1)
+  private def lehmerPow(g: Long, e: Int): Long = {
+    var x = 1L
+    for (_ <- 0 until e) x = x * g % MhM
+    math.max(1L, x)
+  }
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard ≥ `jaccardMin`
+    * verification (doc_a < doc_b) over a shingle frame — the shared
+    * stage behind dd2/dd11 (fixed r=2,b=4) and the banded scale entry
+    * (bandsFor-sized). Candidates only from band-bucket equi-joins
+    * (skew-salted past a cardinality threshold), Jaccard only on
+    * candidates. `sort_array` canonicalizes each band's slots, so the
+    * r=2 path produces byte-identical signatures to the original
+    * least/greatest construction the dd2 oracle inlines. */
+  private final case class MinhashStage(sh: DataFrame, mh: DataFrame, bands: DataFrame)
+
+  private def minhashPairsBanded(shingleFrame: DataFrame, rows: Int, bands: Int,
+                                 jaccardMin: Double): DataFrame = {
+    val st = minhashStage(shingleFrame, rows, bands)
+    minhashTail(st.sh, st.mh, st.bands, jaccardMin)
+  }
+
+  private def minhashStage(shingleFrame: DataFrame, rows: Int, bands: Int): MinhashStage = {
+    val nSlots = rows * bands
     // the shingle set feeds three plan branches (minhash and both
     // sides of the candidate-pair intersection) — persist it once
     // so the document scan + shingle explode run once, not 5×
-    val sh = shingles(Tables.documents(s, d)).persist()
-    // one-pass MinHash + set size: all 8 signature slots AND the
+    val sh = shingleFrame.persist()
+    // one-pass MinHash + set size: all signature slots AND the
     // distinct-shingle count as aggregate columns of a single
     // groupBy over the (already-distinct) shingle set — 60-bit
     // LONG slots keep the whole thing in HashAggregate with
     // map-side partial min/count: one row per doc crosses the
     // shuffle, no sort anywhere
-    val mhAggs = (0 until 8).map(j => min(expr(mhSlot(j, "hb"))).as(s"mh$j")) :+ count(lit(1)).as("n")
+    val mhAggs = (0 until nSlots).map(j => min(expr(mhSlot(j, "hb"))).as(s"mh$j")) :+
+      count(lit(1)).as("n")
     val mh = sh
       .withColumn("hb", expr(mhBaseSpark)) // md5 once per shingle
       .groupBy("doc_id")
@@ -1406,14 +1485,24 @@ object Documents {
       // one tiny row per doc, read by the band explode and both
       // count sides of the Jaccard — keep the aggregate hot too
       .persist()
-    val bands = mh.select(
+    val bandsDf = mh.select(
       col("doc_id"),
-      explode(array((0 until 4).map { k =>
+      explode(array((0 until bands).map { k =>
         struct(lit(k).as("band"),
-          concat_ws("#", least(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}")),
-            greatest(col(s"mh${2 * k}"), col(s"mh${2 * k + 1}"))).as("sig"))
+          concat_ws("#",
+            sort_array(array((0 until rows).map(i => col(s"mh${rows * k + i}")): _*))
+              .cast("array<string>")).as("sig"))
       }: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    MinhashStage(sh, mh, bandsDf)
+  }
+
+  /** fixed-config entry point behind dd2/dd11. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsBanded(shingles(Tables.documents(s, d)), rows = 2, bands = 4, jaccardMin = 0.5)
+
+  private def minhashTail(sh: DataFrame, mh: DataFrame, bands: DataFrame,
+                          jaccardMin: Double): DataFrame = {
     // Skew guard (100 TB hazard: boilerplate-heavy docs share a
     // band signature → one bucket key dominates the self-join).
     // Probe the max bucket once (cheap agg over the tiny band
@@ -1442,7 +1531,7 @@ object Documents {
       .select(
         col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= jaccardMin)
   }
 
   /** SimHash hamming≤3 near-dup pairs (doc_a < doc_b) — the shared

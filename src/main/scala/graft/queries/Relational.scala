@@ -1097,7 +1097,11 @@ object Relational {
         follower.seed(0); follower.catchUp()
         val mvOk = follower.snapshot().count() == 1000 &&
           follower.version == 1
-        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(99999)).get.count()
+        // the real serving path: zone-map bucket pruning + residual
+        // range filter — its count is fixture arithmetic the oracle
+        // re-derives (100k base keys in range minus the deleted ones)
+        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(99999)).get
+          .filter(col("k").between(0L, 99999L)).count()
         val total = vt.read().get.count()
         follower.snapshot().unpersist()
         import s.implicits._
@@ -1106,7 +1110,20 @@ object Relational {
           .toDF("n_base", "n_final", "n_updates", "n_inserts", "n_deletes",
             "n_pruned_read", "mv_ok")
       },
-      None,
+      // the oracle replays the fixture's MERGE rule in SQL: 30k update
+      // keys (every 10th a delete), 6k fresh inserts, and the range
+      // count after deletes — the same change classification vt_merge
+      // oracles at small scale, re-derived at 300k volume
+      Some("""WITH upd AS (SELECT unnest(range(30000)) AS id),
+             |ins AS (SELECT unnest(range(300000, 306000)) AS k),
+             |del AS (SELECT id * 10 AS k FROM upd WHERE id % 10 = 9)
+             |SELECT CAST(300000 AS BIGINT) AS n_base,
+             |  CAST(300000 - (SELECT count(*) FROM del) + (SELECT count(*) FROM ins) AS BIGINT) AS n_final,
+             |  CAST((SELECT count(*) FROM upd WHERE id % 10 <> 9) AS BIGINT) AS n_updates,
+             |  CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_inserts,
+             |  CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deletes,
+             |  CAST(100000 - (SELECT count(*) FROM del WHERE k <= 99999) AS BIGINT) AS n_pruned_read,
+             |  TRUE AS mv_ok""".stripMargin),
     ),
 
     // Data-quality constraint report (operators.Constraints — the

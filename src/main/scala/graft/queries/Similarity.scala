@@ -114,6 +114,67 @@ object Similarity {
       s"CAST(instr('0123456789abcdef', substring($h,${off + k},1)) - 1 AS BIGINT) * ${1L << (4 * (7 - k))}"
     }.mkString("(", " + ", ")")
 
+  // ---------------------------------------------------------- ss_scale
+  // ENGINE-PORTABLE synthetic corpus for the scale queries: coordinate
+  // c_j(id) comes from two Lehmer (multiplicative-congruential) steps —
+  // plain BIGINT `*`/`%` that Spark and DuckDB evaluate identically
+  // with no overflow (every intermediate < 2^62), so the ORACLE can
+  // regenerate the whole corpus and recompute the LSH probe end to end.
+  private val LehmerM = 2147483647L
+
+  /** Spark column for fixed-point coordinate j of vector `id`: two
+    * Lehmer steps around a quadratic (middle-square-style) mix — the
+    * squaring breaks the per-dim linearity a pure LCG chain would
+    * have, which would otherwise collapse the sign-projection buckets
+    * (verified: 1M vectors fill all 1024 buckets, max ≈ 3.9k). */
+  private def scaleCoord(j: Int): Column = {
+    val h1 = (col("id") * 1299709L + lit(j.toLong * 104395301L)) % LehmerM
+    val h2 = (h1 * 48271L) % LehmerM
+    val h3 = (h2 * h2 + h1) % LehmerM
+    ((h3 * 48271L) % LehmerM % 1001L - 500L) * 10000L
+  }
+
+  /** portable per-row checksum term: qid·1000003 + vec_id·97 + ip —
+    * BIGINT arithmetic, bit_xor-aggregated in both engines. */
+  private val ChecksumTerm = "qid * 1000003 + vec_id * 97 + ip"
+
+  /** full DuckDB recompute of an ss_scale probe: regenerate coords,
+    * re-derive the sign-projection buckets (plane matrix inlined), re-
+    * join candidates, re-rank top-10 per query, re-checksum. LIST
+    * form throughout — one row per vector with a 64-element list and
+    * generated per-element expressions, never a (vec, dim) row
+    * explosion (a row-form 3-way dot-product join invites a
+    * catastrophic join order on the dim key). */
+  private def ssScaleOracle(n: Long, nPlanes: Int): (String, String) = {
+    val m = planeMatrix(nPlanes)
+    def coordExpr(j: Int): String = {
+      val h1 = s"((vec_id * 1299709 + ${j.toLong * 104395301L}) % $LehmerM)"
+      val h2 = s"(($h1 * 48271) % $LehmerM)"
+      val h3 = s"(($h2 * $h2 + $h1) % $LehmerM)"
+      s"((($h3 * 48271) % $LehmerM) % 1001 - 500) * 10000"
+    }
+    val fvList = (1 to Dims).map(coordExpr).mkString("[", ", ", "]")
+    val planeSums = (0 until nPlanes).map { p =>
+      val terms = (1 to Dims).map(j => s"${if (m(p)(j - 1) > 0) "+" else "-"} fv[$j]").mkString(" ")
+      s"(CASE WHEN $terms >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+    val dot = (1 to Dims).map(j => s"a.fv[$j] * b.fv[$j]").mkString(" + ")
+    val ctes =
+      s"""ids AS (SELECT CAST(unnest(range($n)) AS BIGINT) AS vec_id),
+         |vecs AS (SELECT vec_id, $fvList AS fv FROM ids),
+         |sig AS (SELECT vec_id, fv, $planeSums AS bucket FROM vecs),
+         |q AS (SELECT vec_id AS qid, fv, bucket FROM sig WHERE vec_id < 8),
+         |ips AS (SELECT b.qid, a.vec_id, $dot AS ip
+         |  FROM sig a JOIN q b ON a.bucket = b.bucket WHERE a.vec_id >= 8),
+         |top AS (SELECT qid, vec_id, ip,
+         |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id ASC) AS rk FROM ips)""".stripMargin
+    val summary =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_results,
+         |  CAST(COALESCE(bit_xor($ChecksumTerm), 0) AS BIGINT) AS checksum
+         |FROM top WHERE rk <= 10""".stripMargin
+    (ctes, summary)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -458,21 +519,21 @@ object Similarity {
 
     // ss_scale — similarity search at 200k vectors, executor-born: the
     // LSH bucket layout + probe path under real volume. Synthetic
-    // 64-dim fixed-point vectors derive from xxhash64 (deterministic,
-    // no driver data); the probe answers 8 query vectors in one pass
-    // (batched shape) against sign-projection buckets — candidates per
-    // query ≈ n/256, never the table. Output pins the result count +
-    // a checksum of ids, so the run is a correctness-carrying
-    // benchmark, not just a timer.
+    // 64-dim fixed-point vectors come from the PORTABLE Lehmer formula
+    // (deterministic, no driver data — and re-derivable by the
+    // oracle); the probe answers 8 query vectors in one pass (batched
+    // shape) against sign-projection buckets — candidates per query ≈
+    // n/256, never the table. FULLY oracled: DuckDB regenerates the
+    // corpus, re-buckets it with the same inlined plane matrix,
+    // re-ranks the probe and must land on the same count + checksum.
     QueryDef(
       "ss_scale_200k",
       (s, _) => {
         val n = 200000L
         val nPlanes = planesFor(n) // = 8 at 200k: n/2^8 ≈ 780 per bucket
         // 64 coords in [-500, 500], fixed-point integers (f directly)
-        val coords = (1 to Dims).map(j =>
-          (pmod(xxhash64(col("id"), lit(j)), lit(1001L)) - 500L).as(s"c$j"))
-        val vecs = s.range(n).select(col("id").as("vec_id"), array(coords.map(c => c * 10000L): _*).as("f"))
+        val vecs = s.range(n).select(col("id").as("vec_id"),
+          array((1 to Dims).map(scaleCoord): _*).as("f"))
         // no persist: sig is pure codegen over executor-born rows — the
         // tiny query side recomputes it for 8 rows instead of pinning
         // the whole signed corpus in the long-lived bench JVM's cache
@@ -488,9 +549,12 @@ object Similarity {
           .filter(col("rk") <= 10)
         top.agg(
           count(lit(1)).as("n_results"),
-          coalesce(expr("bit_xor(xxhash64(qid, vec_id, ip))"), lit(0L)).as("checksum"))
+          coalesce(expr(s"bit_xor($ChecksumTerm)"), lit(0L)).as("checksum"))
       },
-      None,
+      Some {
+        val (ctes, summary) = ssScaleOracle(200000L, planesFor(200000L))
+        s"WITH $ctes\n$summary"
+      },
     ),
 
     // ss_scale_1m — the signature-width knob proven at 1M vectors:
@@ -509,9 +573,8 @@ object Similarity {
         val n = 1000000L
         val cap = 1024L
         val nPlanes = planesFor(n, cap) // = 10 at 1M
-        val coords = (1 to Dims).map(j =>
-          (pmod(xxhash64(col("id"), lit(j)), lit(1001L)) - 500L).as(s"c$j"))
-        val vecs = s.range(n).select(col("id").as("vec_id"), array(coords.map(c => c * 10000L): _*).as("f"))
+        val vecs = s.range(n).select(col("id").as("vec_id"),
+          array((1 to Dims).map(scaleCoord): _*).as("f"))
         val sig = vecs.withColumn("bucket", sigColN(nPlanes))
         val occupancy = sig.groupBy("bucket").agg(count(lit(1)).as("bn"))
           .agg(max("bn").as("max_bucket"), count(lit(1)).as("n_buckets"))
@@ -526,13 +589,23 @@ object Similarity {
           .filter(col("rk") <= 10)
         top.agg(
           count(lit(1)).as("n_results"),
-          coalesce(expr("bit_xor(xxhash64(qid, vec_id, ip))"), lit(0L)).as("checksum"))
+          coalesce(expr(s"bit_xor($ChecksumTerm)"), lit(0L)).as("checksum"))
           .crossJoin(occupancy)
           .select(col("n_results"), col("checksum"), lit(nPlanes).as("planes"),
             col("n_buckets"), col("max_bucket"),
             (col("max_bucket") <= cap * 4).as("occupancy_ok"))
       },
-      None,
+      Some {
+        val nPlanes = planesFor(1000000L, 1024L)
+        val (ctes, summary) = ssScaleOracle(1000000L, nPlanes)
+        s"""WITH $ctes,
+           |occ AS (SELECT count(*) AS n_buckets, CAST(max(bn) AS BIGINT) AS max_bucket FROM (
+           |  SELECT bucket, count(*) AS bn FROM sig GROUP BY bucket) b),
+           |summ AS ($summary)
+           |SELECT s.n_results, s.checksum, CAST($nPlanes AS INTEGER) AS planes,
+           |  o.n_buckets, o.max_bucket, o.max_bucket <= 4096 AS occupancy_ok
+           |FROM summ s, occ o""".stripMargin
+      },
     ),
 
     // ss11 — DIVERSITY sampling: k-means-cluster the embedding space
