@@ -145,24 +145,54 @@ object GraphAnn {
     directed.unionByName(directed.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** COARSE ENTRY LAYER (the HNSW upper-layer analog): one
+    * representative per sign-projection coarse bucket — spread across
+    * the space BY CONSTRUCTION (every occupied region contributes
+    * exactly one entry id), unlike the fixed low-id seeds it replaces.
+    * The representative is the bucket's min-id vector — an unbiased
+    * pick; a max-norm pick reads as "best IP candidate" but drags the
+    * search into hub regions (high-norm vectors score high against
+    * EVERY query), measurably hurting recall on near-random corpora.
+    * Persisted alongside the graph like the trained
+    * quantizers — built once per corpus, loaded at serve time. ~2^p
+    * rows; search scores them all in one job, then descends the base
+    * graph from the best of them — log-depth-style entry that lets
+    * `maxExpand` shrink at equal-or-better recall. */
+  def buildEntryLayer(fx: DataFrame, nPlanes: Int = 5, dims: Int = 64): DataFrame = {
+    val m = planes(t = 7919, nPlanes, dims) // independent matrix
+    val bucket = concat((0 until nPlanes).map { j =>
+      val planeLit = array(m(j).map(v => lit(v.toLong)): _*)
+      when(ip(col("f"), planeLit) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("vec_id").asc)
+    fx.withColumn("bucket", bucket)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id")
+  }
+
   /** greedy best-first search (HNSW's ef-search discipline): score
-    * `seeds` entry points, then repeatedly expand the best `batch`
+    * the entry points, then repeatedly expand the best `batch`
     * NOT-YET-EXPANDED candidates among the top-`ef` scored — tracking
     * the expanded set is what keeps the search descending instead of
     * re-converging on the same beam — until `maxExpand` nodes have
     * been expanded or every top-`ef` candidate already was. Returns
     * the exact top-`k` of everything visited, as (vec_id, score).
-    * Candidate budget ≤ seeds + maxExpand · 2·degree scored vectors. */
+    * Candidate budget ≤ entry points + maxExpand · 2·degree scored
+    * vectors. Entry points come from `entryIds` (a persisted
+    * [[buildEntryLayer]] coarse layer) when given, else the first
+    * `seeds` ids. */
   def search(graph: DataFrame, fx: DataFrame, queryFx: Array[Long],
              k: Int = 10, ef: Int = 24, maxExpand: Int = 30, seeds: Int = 16,
-             batch: Int = 4): DataFrame =
-    searchWithBudget(graph, fx, queryFx, k, ef, maxExpand, seeds, batch)._1
+             batch: Int = 4, entryIds: Option[Seq[Long]] = None): DataFrame =
+    searchWithBudget(graph, fx, queryFx, k, ef, maxExpand, seeds, batch, entryIds)._1
 
   /** [[search]] plus the number of vectors actually scored — the
     * candidate budget spent, the currency recall is traded in. */
   def searchWithBudget(graph: DataFrame, fx: DataFrame, queryFx: Array[Long],
              k: Int = 10, ef: Int = 24, maxExpand: Int = 30, seeds: Int = 16,
-             batch: Int = 4): (DataFrame, Int) = {
+             batch: Int = 4, entryIds: Option[Seq[Long]] = None): (DataFrame, Int) = {
     val spark = fx.sparkSession
     import spark.implicits._
     val qLit = array(queryFx.map(lit): _*)
@@ -192,10 +222,11 @@ object GraphAnn {
         .select("dst").distinct().as[Long].collect().toSeq
     }
 
-    // entry points: fixed low ids — deterministic; a production layout
-    // would persist medoids, but any spread set works for greedy search
-    val entry = fx.select("vec_id").orderBy("vec_id").limit(seeds)
-      .as[Long].collect().toSeq
+    // entry points: the persisted coarse layer when provided (spread
+    // across the space — see buildEntryLayer), else fixed low ids
+    val entry = entryIds.getOrElse(
+      fx.select("vec_id").orderBy("vec_id").limit(seeds)
+        .as[Long].collect().toSeq)
     val scored = scala.collection.mutable.Map[Long, Long](scoreIds(entry): _*)
     val expanded = scala.collection.mutable.Set[Long]()
 

@@ -504,14 +504,24 @@ object Similarity {
         // pin the vector side for its lifetime and release it after —
         // the returned frame is the collected top-k, no live lineage.
         val base = e.filter(col("vec_id") =!= 0).persist()
-        // The BUILT graph is the index: like the trained quantizers it
-        // is committed once per corpus and the serving path loads it
-        // (write-once, content keyed by the sf dir; deterministic).
-        val gdir = new java.io.File(
-          s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/knn").getAbsolutePath
+        // The BUILT graph + coarse entry layer are the index: like the
+        // trained quantizers they are committed once per corpus and
+        // the serving path loads them (write-once, content keyed by
+        // the sf dir; deterministic). The entry layer's spread seeds
+        // let the search run at a reduced expansion budget
+        // (GraphAnnSpec pins recall >= the flat search's at fewer
+        // scored candidates).
+        val store = new java.io.File(
+          s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}").getAbsolutePath
+        val gdir = s"$store/knn"
+        val edir = s"$store/entry"
         if (!new java.io.File(gdir, "_SUCCESS").exists())
           GraphAnn.buildGraph(base).write.mode("overwrite").parquet(gdir)
-        try GraphAnn.search(s.read.parquet(gdir), base, qf)
+        if (!new java.io.File(edir, "_SUCCESS").exists())
+          GraphAnn.buildEntryLayer(base).write.mode("overwrite").parquet(edir)
+        val entry = s.read.parquet(edir).collect().map(_.getLong(0)).toSeq
+        try GraphAnn.search(s.read.parquet(gdir), base, qf,
+          maxExpand = 22, entryIds = Some(entry))
         finally base.unpersist()
       },
       None,

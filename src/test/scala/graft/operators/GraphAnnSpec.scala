@@ -88,4 +88,34 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"graph recall $recall (budget $budget) must beat multi-probe recall $probeRecall " +
         s"(budget ${probeCands.size})")
   }
+
+  test("layered entry: coarse-layer seeds reach >= flat recall at a smaller scored budget") {
+    val fxDf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x * lit(1e7)).cast("long")).as("f"))
+    val qf = fxDf.filter(col("vec_id") === 0).select("f").head().getSeq[Long](0).toArray
+    val base = fxDf.filter(col("vec_id") =!= 0).persist()
+    val fxAll = base.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq
+    val brute = fxAll.map { case (id, f) => (id, ip(f, qf)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+
+    val graph = GraphAnn.buildGraph(base).persist()
+    val (flatTop, flatBudget) = GraphAnn.searchWithBudget(graph, base, qf)
+    val flatRecall = (flatTop.collect().map(_.getLong(0)).toSet intersect brute).size / 10.0
+
+    // the coarse layer is persisted state, like the quantizers — built
+    // once, loaded at serve time; here built inline for the comparison
+    val entry = GraphAnn.buildEntryLayer(base).collect().map(_.getLong(0)).toSeq
+    assert(entry.size >= 8 && entry.size <= 32, s"coarse layer size ${entry.size}")
+    // the spread entry lets the search cut its expansion budget
+    val (layerTop, layerBudget) = GraphAnn.searchWithBudget(
+      graph, base, qf, maxExpand = 22, entryIds = Some(entry))
+    val layerRecall = (layerTop.collect().map(_.getLong(0)).toSet intersect brute).size / 10.0
+    graph.unpersist(); base.unpersist()
+
+    assert(layerBudget < flatBudget,
+      s"layered search must spend less: $layerBudget vs flat $flatBudget")
+    assert(layerRecall >= flatRecall,
+      s"layered recall $layerRecall (budget $layerBudget) must be >= flat $flatRecall (budget $flatBudget)")
+  }
 }
