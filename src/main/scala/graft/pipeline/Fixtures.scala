@@ -291,17 +291,25 @@ object Fixtures {
     // contract addresses as a tiny broadcast lookup (20-byte binaries
     // can't be built with pure column ops)
     val addrs = array((0 until nContracts).map(i => lit(contractAddr(i))): _*)
+    // exact integer arithmetic throughout (`div`, not `/`): double
+    // division wobbles in the last bits as the block number grows, so
+    // a double-typed key index fed to xxhash64 silently made "the same
+    // key" hash differently in different blocks — breaking both the
+    // constant-ownership property below and the content-determinism
+    // the commitment scale checks assert (identical per-block content
+    // must produce identical roots)
+    val keyIdx = expr(s"(id div $nContracts) % ${keysPerBlock.toLong}")
     spark.range(nBlocks.toLong * keysPerBlock * nContracts)
       .select(
-        (lit(100L) + (col("id") / (keysPerBlock.toLong * nContracts)).cast("long")).as("block_number"),
+        (lit(100L) + expr(s"id div ${keysPerBlock.toLong * nContracts}")).as("block_number"),
         element_at(addrs, (pmod(col("id"), lit(nContracts.toLong)) + 1).cast("int")).as("contract"),
         lit(3).as("mapping_slot"),
         lit(4).as("length_slot"),
-        longToBytes32(pmod(col("id") / nContracts, lit(keysPerBlock.toLong)) + 1).as("mapping_key"),
+        longToBytes32(keyIdx + 1).as("mapping_key"),
         // owner is a function of the KEY (constant across blocks):
         // ownership is consistent over the whole range, so the scaled
         // table exercises Query2's all-blocks qualification for real
-        longToBytes32(pmod(xxhash64(pmod(col("id") / nContracts, lit(keysPerBlock.toLong))), lit(20L)) + 1).as("value"))
+        longToBytes32(pmod(xxhash64(keyIdx), lit(20L)) + 1).as("value"))
   }
 
   def headers(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {

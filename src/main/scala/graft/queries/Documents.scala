@@ -329,9 +329,12 @@ object Documents {
     ),
 
     // d4b — Rabin-Karp rolling-hash fingerprint (incremental O(n)
-    // sliding window over the raw bytes; winnowing min-hash). Not
-    // SQL-expressible → rows-only; the kernel is golden-tested in
-    // PackingSpec/RollingHashSpec.
+    // sliding window over the raw bytes; winnowing min-hash). The
+    // kernel is incremental, but its VALUE is a plain polynomial mod
+    // 1e9+7 — so the oracle recomputes every window hash positionally
+    // (16 inlined ord() terms with precomputed 257^k coefficients)
+    // and must land on the same per-doc minimum: a genuine cross-check
+    // of the O(n) rolling recurrence against direct evaluation.
     QueryDef(
       "d4b_rolling_fingerprint",
       (s, d) => {
@@ -340,7 +343,22 @@ object Documents {
           .select(col("doc_id"), rollUdf(col("text")).as("min_rolling_hash"))
           .orderBy("doc_id")
       },
-      None,
+      Some {
+        val M = 1000000007L
+        val terms = (0 until 16).map { j =>
+          val coeff = java.math.BigInteger.valueOf(257L).modPow(
+            java.math.BigInteger.valueOf(15L - j), java.math.BigInteger.valueOf(M))
+          s"CAST(ord(substring(text, p + $j, 1)) AS BIGINT) * $coeff"
+        }.mkString(" + ")
+        s"""WITH pos AS (
+           |  SELECT doc_id, text, unnest(range(1, length(text) - 16 + 2)) AS p
+           |  FROM documents WHERE length(text) >= 16),
+           |h AS (SELECT doc_id, ($terms) % $M AS hash FROM pos)
+           |SELECT d.doc_id, CAST(COALESCE(mn.mh, -1) AS BIGINT) AS min_rolling_hash
+           |FROM documents d LEFT JOIN (SELECT doc_id, min(hash) AS mh FROM h GROUP BY doc_id) mn
+           |  ON mn.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
     ),
 
     // d5 — deterministic train/validation/test split: the assignment

@@ -957,16 +957,25 @@ object Relational {
     ),
 
     // HLL sketch cardinality (approx_count_distinct) next to the exact
-    // count — engines disagree on sketch internals, so this is a
-    // rows-only check; the exact twin (a8_count_distinct) is the
-    // oracle-checked one.
+    // count — engines disagree on sketch internals, so the sketch
+    // VALUE can't cross engines; what CAN is the error contract:
+    // emit the exact count plus a within-5%-of-exact verdict (the
+    // sketch is configured at rsd 2%), and the oracle recomputes the
+    // exact count and expects the verdict to hold. A broken sketch
+    // (or a silently widened rsd) now fails the driver hash instead
+    // of hiding in a rows-only row.
     QueryDef(
       "a8_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .agg(
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts")),
-      None,
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double") <= 0.05).as("within_5pct")),
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
+             |FROM lineitem""".stripMargin),
     ),
 
     // Z-order (Morton) layout key (operators.ZOrder): the interleaved-

@@ -92,6 +92,14 @@ object Zk {
         .agg(count(lit(1)).as("n_groups"), sum("n").as("n_entries"),
           countDistinct(col("storage_root")).as("n_distinct_roots"),
           countDistinct(col("digest")).as("n_distinct_digests")),
+      // fixture arithmetic + CONTENT DETERMINISM: every block carries
+      // the identical (key, value) set, so all 1000 groups must land
+      // on ONE digest and ONE root — any order/partition sensitivity
+      // in the EcGFp5 sum or the Merkle fold fails this hash
+      Some("""WITH ids AS (SELECT unnest(range(1000000)) AS id)
+             |SELECT count(DISTINCT id // 1000) AS n_groups, count(*) AS n_entries,
+             |  CAST(1 AS BIGINT) AS n_distinct_roots, CAST(1 AS BIGINT) AS n_distinct_digests
+             |FROM ids""".stripMargin),
       headline = true,
     ),
 
@@ -143,6 +151,15 @@ object Zk {
         Fixtures.entriesScaled(s, nBlocks = 1000, keysPerBlock = 10, nContracts = 100)))
         .agg(count(lit(1)).as("n_blocks"), sum("n_contracts").as("n_leaves"),
           countDistinct(hex(col("state_root"))).as("n_distinct_roots")),
+      // same determinism assertion one level up: 1000 blocks of
+      // identical 100-contract content must fold to ONE state root
+      // (this check caught a real fixture bug: double division made
+      // "the same key" hash block-dependently — 21 roots, not 1)
+      Some("""WITH ids AS (SELECT unnest(range(1000000)) AS id)
+             |SELECT count(DISTINCT id // 1000) AS n_blocks,
+             |  count(DISTINCT id // 10) AS n_leaves,
+             |  CAST(1 AS BIGINT) AS n_distinct_roots
+             |FROM ids""".stripMargin),
       headline = true,
     ),
 
