@@ -107,6 +107,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.phash == f"$pa%016x")
   }
 
+  test("pixel decode edges: tiny and non-square rasters hash; non-images decode to None") {
+    // 1×1 and non-square images exercise the resampler's overlap path
+    // (source smaller than the 8×8 / 32×32 grids)
+    for ((w, h) <- Seq((1, 1), (3, 5), (40, 9))) {
+      val px = Multimodal.patternPixels(11L, w, h)
+      val im = Multimodal.decodePixels(Multimodal.encodeGray(w, h, px, "png")).get
+      assert(im.width == w && im.height == h && im.px.toSeq == px.toSeq)
+      // both hashes must be computable and deterministic
+      assert(ImageHash.pHash64(im.px, w, h) == ImageHash.pHash64(px, w, h))
+      assert(ImageHash.aHash64(im.px, w, h) == ImageHash.aHash64(px, w, h))
+    }
+    // a WAV container and raw text are not decodable images
+    assert(Multimodal.decodePixels(MediaParsers.makeWav(1, 8000, 100L)).isEmpty)
+    assert(Multimodal.decodePixels("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
   test("audio windows derive from the real WAV header math") {
     val s2 = spark
     import s2.implicits._

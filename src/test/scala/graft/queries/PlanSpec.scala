@@ -119,6 +119,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d14: term selection is TakeOrderedAndProject, never a vocabulary-wide rank sort") {
+    val p = plan("d14_inverted_index")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the only Window may be the ≤30-row rank pick above the limit —
+    // never a row_number over the full term-frequency table, which
+    // would show as a Window directly over the aggregated vocabulary
+    // without a preceding limit
+    assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("d17: per-source window input is bounded by the two-level top-K pre-filter") {
+    val p = plan("d17_token_budget")
+    // first window partitions by (source, pid) — the distributed local
+    // rank cut — before the per-source running total
+    assert(p.contains("windowspecdefinition(source"), p.take(3000))
+    assert(p.contains("pid"), p.take(3000))
+  }
+
   test("d9/d18: packing prefix sum is a chunk-partitioned window, never a single-partition running sum") {
     for (name <- Seq("d9_sequence_packing", "d18_pipeline_e2e")) {
       val p = plan(name)
