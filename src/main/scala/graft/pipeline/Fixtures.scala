@@ -280,6 +280,19 @@ object Fixtures {
     spark.createDataset(accountProofsSeq(cfg)).toDF()
   }
 
+  /** owner 1..20 for key index `k` (a SQL expression string) as a
+    * quadratic-Lehmer mix — plain BIGINT `*`/`%` both Spark and DuckDB
+    * evaluate identically with no overflow (every intermediate
+    * < 2^62), so the scale fixtures' ownership is oracle-derivable. */
+  def scaledOwnerSql(k: String): String = {
+    val M = 2147483647L
+    // CAST keeps a literal k in BIGINT — DuckDB would otherwise stay
+    // in INT32 and overflow at the second Lehmer step
+    val h1 = s"((CAST($k AS BIGINT) * 1299709 + 104729) % $M)"
+    val h2 = s"(($h1 * 48271) % $M)"
+    s"((($h2 * $h2 + $h1) % $M) % 20 + 1)"
+  }
+
   /** Distributed synthetic `storage_entries` at arbitrary scale (for
     * ingest-throughput benchmarking): generated from `spark.range`, so
     * the data is born partitioned on the executors — no driver-side
@@ -293,23 +306,24 @@ object Fixtures {
     val addrs = array((0 until nContracts).map(i => lit(contractAddr(i))): _*)
     // exact integer arithmetic throughout (`div`, not `/`): double
     // division wobbles in the last bits as the block number grows, so
-    // a double-typed key index fed to xxhash64 silently made "the same
-    // key" hash differently in different blocks — breaking both the
-    // constant-ownership property below and the content-determinism
-    // the commitment scale checks assert (identical per-block content
-    // must produce identical roots)
-    val keyIdx = expr(s"(id div $nContracts) % ${keysPerBlock.toLong}")
+    // a double-typed key index fed to the owner hash silently made
+    // "the same key" hash differently in different blocks — breaking
+    // both the constant-ownership property below and the content-
+    // determinism the commitment scale checks assert (identical
+    // per-block content must produce identical roots)
+    val keyIdxSql = s"((id div $nContracts) % ${keysPerBlock.toLong})"
     spark.range(nBlocks.toLong * keysPerBlock * nContracts)
       .select(
         (lit(100L) + expr(s"id div ${keysPerBlock.toLong * nContracts}")).as("block_number"),
         element_at(addrs, (pmod(col("id"), lit(nContracts.toLong)) + 1).cast("int")).as("contract"),
         lit(3).as("mapping_slot"),
         lit(4).as("length_slot"),
-        longToBytes32(keyIdx + 1).as("mapping_key"),
-        // owner is a function of the KEY (constant across blocks):
-        // ownership is consistent over the whole range, so the scaled
-        // table exercises Query2's all-blocks qualification for real
-        longToBytes32(pmod(xxhash64(keyIdx), lit(20L)) + 1).as("value"))
+        longToBytes32(expr(keyIdxSql) + 1).as("mapping_key"),
+        // owner is a PORTABLE function of the KEY (constant across
+        // blocks): ownership is consistent over the whole range, so
+        // the scaled table exercises Query2's all-blocks qualification
+        // for real — and the DuckDB oracle re-derives it exactly
+        longToBytes32(expr(scaledOwnerSql(keyIdxSql))).as("value"))
   }
 
   def headers(spark: SparkSession, cfg: Cfg = Cfg()): DataFrame = {

@@ -117,9 +117,36 @@ object Zk {
         val (ids, checks) = ZkPipeline.query2(
           entries, contract, cfg.nftSlot, owner, minB = 100L, maxB = 1099L, limit = 5)
         ids.agg(count(lit(1)).as("n_ids"), min("nft_id").as("min_id"), max("nft_id").as("max_id"))
-          .crossJoin(checks.select(col("n_qualified"), hex(col("range_digest")).as("range_digest")))
+          .crossJoin(checks.select(col("n_qualified")))
       },
+      // ownership is the portable key function [[Fixtures.scaledOwnerSql]],
+      // so DuckDB re-derives the whole qualification spine over the
+      // regenerated 1000-key universe (every key appears in every
+      // block, so owner = 8 qualifies across the full range); the
+      // EcGFp5 digest lives in zk_query2_scale_digest (rows-only)
+      Some(s"""WITH ks AS (SELECT unnest(range(1000)) AS k),
+              |own AS (SELECT k + 1 AS nft_id, ${Fixtures.scaledOwnerSql("k")} AS owner FROM ks),
+              |q AS (SELECT nft_id FROM own WHERE owner = 8),
+              |top AS (SELECT nft_id FROM q ORDER BY nft_id LIMIT 5)
+              |SELECT (SELECT count(*) FROM top) AS n_ids,
+              |  (SELECT min(nft_id) FROM top) AS min_id,
+              |  (SELECT max(nft_id) FROM top) AS max_id,
+              |  (SELECT count(*) FROM q) AS n_qualified""".stripMargin),
       headline = true,
+    ),
+
+    // the scale run's re-derived key digest, split out rows-only (the
+    // EcGFp5 curve sum is not SQL-expressible; the qualification spine
+    // it binds to is oracled in zk_query2_scale).
+    QueryDef(
+      "zk_query2_scale_digest",
+      (s, _) => {
+        val entries = Fixtures.entriesScaled(s, nBlocks = 1000, keysPerBlock = 1000)
+        val (_, checks) = ZkPipeline.query2(
+          entries, Fixtures.contractAddr(0), cfg.nftSlot,
+          graft.core.Bytes.beBytes(8L, 8), minB = 100L, maxB = 1099L, limit = 5)
+        checks.select(col("n_qualified"), hex(col("range_digest")).as("range_digest"))
+      },
     ),
 
     // ERC20 at scale: the reward-share plan (per-row codegen'd U256
@@ -133,11 +160,23 @@ object Zk {
         ZkPipeline.queryErc20(
           entries, Fixtures.contractAddr(0), slot = 3,
           user = graft.core.Bytes.beBytes(42L, 8),
-          rate = BigInteger.valueOf(7L), totalSupply = BigInteger.valueOf(1000L),
+          // rate 700: balances are 1..20, so the per-block floor-div
+          // reward is nonzero — a 0-sum would no longer pass silently
+          rate = BigInteger.valueOf(700L), totalSupply = BigInteger.valueOf(1000L),
           minB = 100L, maxB = 1099L)
           .select(col("n_blocks"), col("range_min"), col("range_max"), col("gap_free"),
-            u256ToDecimal(col("result")).as("result"))
+            u256ToDecimal(col("result")).cast("double").as("result"))
       },
+      // user key 42 ⇒ key index 41; its balance is the portable owner
+      // value, constant across blocks — the oracle replays the clamped
+      // gap-free floor-div sum over the regenerated range
+      Some(s"""WITH b AS (SELECT unnest(range(100, 1100)) AS block_number),
+              |u AS (SELECT ${Fixtures.scaledOwnerSql("41")} AS bal)
+              |SELECT count(*) AS n_blocks,
+              |  min(block_number) AS range_min, max(block_number) AS range_max,
+              |  (count(*) = max(block_number) - min(block_number) + 1) AS gap_free,
+              |  CAST(sum((700 * (SELECT bal FROM u)) // 1000) AS DOUBLE) AS result
+              |FROM b""".stripMargin),
       headline = true,
     ),
 
