@@ -280,18 +280,22 @@ object Fixtures {
     spark.createDataset(accountProofsSeq(cfg)).toDF()
   }
 
-  /** owner 1..20 for key index `k` (a SQL expression string) as a
-    * quadratic-Lehmer mix — plain BIGINT `*`/`%` both Spark and DuckDB
-    * evaluate identically with no overflow (every intermediate
-    * < 2^62), so the scale fixtures' ownership is oracle-derivable. */
-  def scaledOwnerSql(k: String): String = {
+  /** quadratic-Lehmer mix of `k` (a SQL expression string) into
+    * [0, mod) — plain BIGINT `*`/`%` both Spark and DuckDB evaluate
+    * identically with no overflow (every intermediate < 2^62), so
+    * fixture-derived pseudo-randomness is oracle-derivable. */
+  def portableMixSql(k: String, mod: Long): String = {
     val M = 2147483647L
     // CAST keeps a literal k in BIGINT — DuckDB would otherwise stay
     // in INT32 and overflow at the second Lehmer step
     val h1 = s"((CAST($k AS BIGINT) * 1299709 + 104729) % $M)"
     val h2 = s"(($h1 * 48271) % $M)"
-    s"((($h2 * $h2 + $h1) % $M) % 20 + 1)"
+    s"((($h2 * $h2 + $h1) % $M) % $mod)"
   }
+
+  /** owner 1..20 for key index `k` via [[portableMixSql]]. */
+  def scaledOwnerSql(k: String): String =
+    s"(${portableMixSql(k, 20)} + 1)"
 
   /** Distributed synthetic `storage_entries` at arbitrary scale (for
     * ingest-throughput benchmarking): generated from `spark.range`, so

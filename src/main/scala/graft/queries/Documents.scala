@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.operators.ConnectedComponents
+import graft.pipeline.Fixtures
 
 /** Text-analysis + deduplication operators over the `documents` table —
   * the training-data-pipeline side of the engine (builder brief: exact
@@ -1045,16 +1046,50 @@ object Documents {
           .filter(col("hm") <= 3)
           .select("a", "b").distinct()
           .persist()
-        val nPairs = pairs.count()
+        // decompose every found pair against the planted structure:
+        // uid(x) recovers the exact-dup group, seed(uid) the near-dup
+        // group — a pair is EXACT iff uids match, NEAR iff seeds match,
+        // SPURIOUS otherwise. At 64-bit signatures the deterministic
+        // truth is 10309 exact + 1621 near + 0 spurious (one changed
+        // word in 20 flips ~11 bits on average, so hamming≤3 catches a
+        // minority of planted near copies but NOTHING unplanted).
+        val cls = pairs.select(
+          expr("CASE WHEN a % 97 = 96 THEN a - 1 ELSE a END").as("ua"),
+          expr("CASE WHEN b % 97 = 96 THEN b - 1 ELSE b END").as("ub"))
+          .select(col("ua"), col("ub"),
+            expr("CASE WHEN ua % 101 <= 1 THEN ua - ua % 101 ELSE ua END").as("sa"),
+            expr("CASE WHEN ub % 101 <= 1 THEN ub - ub % 101 ELSE ub END").as("sb"))
+          .agg(
+            sum(when(col("ua") === col("ub"), 1L).otherwise(0L)).as("ex"),
+            sum(when(col("ua") =!= col("ub") && col("sa") === col("sb"), 1L).otherwise(0L)).as("nr"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("sp"))
+          .head()
+        val (nExactFound, nNearFound, nSpurious) =
+          (cls.getLong(0), cls.getLong(1), cls.getLong(2))
+        val nPairs = nExactFound + nNearFound + nSpurious
         val nClusters = graft.operators.ConnectedComponents.run(s, pairs)
           .select("component").distinct().count()
         sig.unpersist(); pairs.unpersist()
+        val nExactPlanted = (n - 97) / 97 + 1 // ids ≡ 96 (mod 97)
 
         import s.implicits._
-        Seq((n, nExact, nPairs, nClusters))
-          .toDF("n_docs", "n_exact_dup_docs", "n_near_pairs", "n_clusters")
+        Seq((n, nExact,
+          nExactFound == nExactPlanted, // banding recall at hamming 0 is total
+          nSpurious == 0L,              // precision 1.0: nothing unplanted
+          nClusters >= nExactPlanted && nClusters <= nPairs))
+          .toDF("n_docs", "n_exact_dup_docs",
+            "exact_recall_ok", "no_false_positives", "clusters_ok")
       },
-      None,
+      // DuckDB recomputes the exact-dup count from the PLANTED
+      // arithmetic (ids ≡ 96 mod 97) — an independent cross-check of
+      // the md5 groupBy — and asserts the recall/precision/cluster
+      // contracts, which are deterministic under the fixed signature
+      // seeds (same shape as a8_approx_distinct's error contract).
+      Some("""SELECT CAST(1000000 AS BIGINT) AS n_docs,
+             |  (SELECT count(*) FROM (SELECT unnest(range(1000000)) AS id)
+             |   WHERE id % 97 = 96) AS n_exact_dup_docs,
+             |  TRUE AS exact_recall_ok, TRUE AS no_false_positives,
+             |  TRUE AS clusters_ok""".stripMargin),
     ),
 
     // dd2_scale_banded — the MinHash banding KNOB proven at 200k docs:
@@ -1065,7 +1100,12 @@ object Documents {
     // band-collide with ≥95% design recall. The oracled dd2 is this
     // rule's r=2,b=4 output at fixture scale. Output pins the planted
     // recovery AND the band-bucket occupancy bound, so a regression to
-    // degenerate banding fails the row, not just a timer.
+    // degenerate banding fails the row, not just a timer. The fixture
+    // words come from the portable Lehmer mix ([[Fixtures.portableMixSql]]),
+    // so DuckDB regenerates the corpus and replays the ENTIRE banding
+    // pipeline — shingles, md5 minhash, band buckets, Jaccard gate —
+    // making every output column (found counts AND occupancy) a full
+    // cross-engine recomputation, not a pinned constant.
     QueryDef(
       "dd2_scale_banded",
       (s, _) => {
@@ -1074,7 +1114,8 @@ object Documents {
         val docs = s.range(n).select(col("id").as("doc_id"),
           expr("CASE WHEN id % 101 <= 1 THEN id - id % 101 ELSE id END").as("seed"))
         val text = concat_ws(" ",
-          (1 to 19).map(j => concat(lit("w"), pmod(xxhash64(col("seed"), lit(j)), lit(50000L)))) :+
+          (1 to 19).map(j =>
+            concat(lit("w"), expr(Fixtures.portableMixSql(s"(seed * 32 + $j)", 50000L)))) :+
             concat(lit("u"), col("doc_id")): _*)
         val st = minhashStage(shingles(docs.select(col("doc_id"), text.as("text"))), r, b)
         val occ = st.bands.groupBy("band", "sig").agg(count(lit(1)).as("bn"))
@@ -1090,7 +1131,7 @@ object Documents {
             col("max_band_bucket"),
             (col("max_band_bucket") <= BandSkewThreshold).as("occupancy_ok"))
       },
-      None,
+      Some(dd2ScaleBandedOracle),
     ),
 
     // d12 — BPE ENCODE with the learned merge table: the apply side of
@@ -1261,11 +1302,16 @@ object Documents {
     ),
 
     // d15 — heavy hitters via count-min sketch (operators.CountMin):
-    // exact top-10 words side by side with their CMS estimates. The
-    // sketch buffer is depth×width longs REGARDLESS of vocabulary
+    // exact top-10 words with the sketch's ERROR CONTRACT asserted per
+    // row — estimate ≥ exact (the one-sided guarantee) and estimate ≤
+    // exact + ⌈e/width · N⌉ (the Cormode-Muthukrishnan bound, which
+    // holds deterministically here because the hash seeds are fixed).
+    // The sketch buffer is depth×width longs REGARDLESS of vocabulary
     // size — the fixed-memory path when the exact groupBy's shuffle
-    // (O(distinct)) is the bottleneck. Rows-only; the error bound and
-    // merge-commutativity are asserted in CountMinSpec.
+    // (O(distinct)) is the bottleneck. DuckDB recomputes the exact
+    // spine and asserts both contract booleans TRUE — the same
+    // error-contract oracle shape as a8_approx_distinct; merge-
+    // commutativity stays in CountMinSpec.
     QueryDef(
       "d15_cms_heavy_hitters",
       (s, d) => {
@@ -1276,9 +1322,23 @@ object Documents {
         val est = udf((word: String) => bc.value.estimate(word))
         w.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
           .orderBy(col("exact_cnt").desc, col("w")).limit(10)
-          .withColumn("cms_estimate", est(col("w")))
+          .withColumn("cms_est", est(col("w")))
+          .crossJoin(w.agg(count(lit(1)).as("n_tokens")))
+          .select(
+            col("w"), col("exact_cnt"),
+            (col("cms_est") >= col("exact_cnt")).as("est_ge_exact"),
+            (col("cms_est") <= col("exact_cnt") +
+              ceil(lit(math.E / 1024.0) * col("n_tokens")).cast("long")).as("est_within_eps"))
+          .orderBy(col("exact_cnt").desc, col("w"))
       },
-      None,
+      Some("""WITH tok AS (
+             |  SELECT w FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+             |  WHERE w <> '')
+             |SELECT w, count(*) AS exact_cnt,
+             |  TRUE AS est_ge_exact, TRUE AS est_within_eps
+             |FROM tok GROUP BY w
+             |ORDER BY exact_cnt DESC, w LIMIT 10""".stripMargin),
     ),
 
     // d11 — WEIGHTED sampling without replacement (Efraimidis-
@@ -1550,6 +1610,56 @@ object Documents {
         col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= jaccardMin)
+  }
+
+  /** Full DuckDB replay of dd2_scale_banded: regenerate the portable
+    * Lehmer-mix corpus at 200k docs, shingle it, md5-minhash all r·b
+    * slots, band-bucket, self-join, Jaccard-verify — then emit the
+    * same summary row. Every column (planted recovery, max bucket
+    * occupancy) is an independent cross-engine recomputation. */
+  private lazy val dd2ScaleBandedOracle: String = {
+    val n = 200000L
+    val (r, b) = bandsFor(n)
+    val nSlots = r * b
+    val words = (1 to 19).map(j => s"'w' || ${Fixtures.portableMixSql(s"(seed * 32 + $j)", 50000L)}")
+    val textSql = (words :+ "'u' || doc_id").mkString(" || ' ' || ")
+    val slotMins = (0 until nSlots).map(j => s"min(${mhSlot(j, "hb")}) AS mh$j").mkString(", ")
+    val bandSig = (0 until b).map { k =>
+      val cols = (0 until r).map(i => s"mh${r * k + i}").mkString(", ")
+      s"WHEN $k THEN array_to_string(list_sort([$cols]), '#')"
+    }.mkString(" ")
+    s"""WITH ids AS (SELECT unnest(range($n)) AS doc_id),
+       |docs AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 101 <= 1 THEN doc_id - doc_id % 101 ELSE doc_id END AS seed FROM ids),
+       |corpus AS (SELECT doc_id, $textSql AS text FROM docs),
+       |arrs AS (SELECT doc_id, string_split(text,' ') AS arr FROM corpus),
+       |shpos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr)-2,0)+1)) AS i FROM arrs),
+       |sh AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS sh FROM shpos),
+       |shb AS (SELECT doc_id, sh, ${MhDuckParse("md5(sh)")} AS hb FROM sh),
+       |mh AS (SELECT doc_id, $slotMins, count(*) AS n FROM shb GROUP BY doc_id),
+       |bands AS (SELECT doc_id, bd.band, CASE bd.band $bandSig END AS sig
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $b)) AS band) bd),
+       |occ AS (SELECT max(bn) AS max_band_bucket FROM (
+       |  SELECT band, sig, count(*) AS bn FROM bands GROUP BY band, sig)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN mh ca ON ca.doc_id = i.doc_a
+       |  JOIN mh cb ON cb.doc_id = i.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / CAST(ca.n + cb.n - i.inter AS DOUBLE) >= 0.5),
+       |planted AS (SELECT count(*) AS n_planted_found FROM pairs
+       |  WHERE doc_a % 101 = 0 AND doc_b = doc_a + 1)
+       |SELECT CAST($n AS BIGINT) AS n_docs, $r AS rows_per_band, $b AS n_bands,
+       |  CAST(${n / 101 + 1} AS BIGINT) AS n_planted_pairs,
+       |  n_planted_found,
+       |  (n_planted_found >= ${(n / 101) * 9 / 10}) AS recall_ok,
+       |  max_band_bucket,
+       |  (max_band_bucket <= $BandSkewThreshold) AS occupancy_ok
+       |FROM planted CROSS JOIN occ""".stripMargin
   }
 
   /** SimHash hamming≤3 near-dup pairs (doc_a < doc_b) — the shared

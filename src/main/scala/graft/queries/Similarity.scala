@@ -649,15 +649,26 @@ object Similarity {
     // mm2 — the typed-Dataset twin of mm1: binary payloads through a
     // mapPartitions decoder (ImageIO pixels for decodable payloads,
     // deterministic synthetic metadata otherwise — the shape a JNI/FFI
-    // media decoder). Rows-only check (keccak-derived metadata is not
-    // SQL-expressible); golden-tested in MultimodalSpec.
+    // media decoder). The keccak-derived metadata itself is not
+    // SQL-expressible (goldens live in MultimodalSpec), but the
+    // PLUMBING is oracled: per-row byte counts recomputed by DuckDB
+    // (octet_length of the same UTF-8 payload — proves every document
+    // flowed through the decoder exactly once with the right bytes),
+    // plus domain contracts on the synthetic fallback's ranges.
     QueryDef(
       "mm2_decode_partitions",
       (s, d) => graft.multimodal.Multimodal
         .extractMeta(graft.multimodal.Multimodal.fromDocuments(s, d))
         .toDF()
+        .select(
+          col("doc_id"), col("n_bytes"),
+          (col("width").between(64, 1087) && col("height").between(64, 1087)).as("dims_ok"),
+          col("format").isin("jpeg", "png", "webp").as("format_ok"),
+          (length(col("phash")) === 16).as("phash_ok"))
         .orderBy("doc_id"),
-      None,
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |  TRUE AS dims_ok, TRUE AS format_ok, TRUE AS phash_ok
+             |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 
     // mm3 — REAL container-header extraction: forged-but-valid
