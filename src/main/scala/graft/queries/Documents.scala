@@ -1223,6 +1223,86 @@ object Documents {
              |ORDER BY doc_id""".stripMargin),
     ),
 
+    // d19 — BM25-RANKED text search: the retrieval-shaped sibling of
+    // d14's boolean AND, and the access path a contamination / quality
+    // retrieval job actually runs. Query terms are the same
+    // deterministic frequency-rank picks (10/20/30); each (doc, term)
+    // hit scores idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)) with
+    // k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)); top 20 docs
+    // by summed score. Plan shape at scale: the 3-term list and the
+    // per-term df are broadcast, so only the probed terms' postings
+    // survive the scan; corpus stats (N, avgdl) are a one-row
+    // broadcast crossjoin; the final top-k is TakeOrderedAndProject.
+    // Parity: per-term scores are one deterministic IEEE-double
+    // expression mirrored verbatim; the per-doc sum goes through
+    // DECIMAL(28,12) (order-independent, like dsum) and the output is
+    // a 1e4 fixed-point BIGINT, absorbing libm last-bit differences.
+    QueryDef(
+      "d19_bm25",
+      (s, d) => {
+        val tok = tokens(Tables.documents(s, d))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(
+          count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+        val top = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("w")).limit(30)
+        val w = Window.orderBy(col("freq").desc, col("w")) // ≤ 30 rows
+        val terms = top
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk").isin(10, 20, 30))
+          .select("w")
+        val tf = tok.join(broadcast(terms), Seq("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), Seq("w"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("ts",
+            log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(sum(col("ts").cast("decimal(28,12)")).cast("double").as("score"))
+          .select(col("doc_id"),
+            expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("score_fp"))
+          .orderBy(col("score_fp").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, w FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+             |  WHERE w <> ''),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+             |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+             |freqs AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+             |terms AS (
+             |  SELECT w FROM (
+             |    SELECT w, row_number() OVER (ORDER BY freq DESC, w) AS rk FROM freqs) r
+             |  WHERE rk IN (10, 20, 30)),
+             |tf AS (
+             |  SELECT t.doc_id, t.w, count(*) AS tf
+             |  FROM tok t JOIN terms x ON x.w = t.w GROUP BY t.doc_id, t.w),
+             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |    CAST(sum(CAST(
+             |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             |        * (tf.tf * 2.2)
+             |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+             |      AS DECIMAL(28,12))) AS DOUBLE) AS score
+             |  FROM tf
+             |  JOIN df ON df.w = tf.w
+             |  JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN stats s
+             |  GROUP BY tf.doc_id)
+             |SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_fp
+             |FROM scored
+             |ORDER BY score_fp DESC, doc_id
+             |LIMIT 20""".stripMargin),
+    ),
+
     // dd11 — MULTI-SIGNAL dedup clusters: one cluster assignment over
     // the UNION of all near-dup evidence — exact content hash, MinHash
     // Jaccard ≥ 0.5 (dd2's pairs), and SimHash hamming ≤ 3 (dd4's

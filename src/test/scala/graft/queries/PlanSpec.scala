@@ -137,6 +137,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("pid"), p.take(3000))
   }
 
+  test("d19: BM25 broadcasts terms/df/stats and takes top-k without a global sort") {
+    val p = plan("d19_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("d9/d18: packing prefix sum is a chunk-partitioned window, never a single-partition running sum") {
     for (name <- Seq("d9_sequence_packing", "d18_pipeline_e2e")) {
       val p = plan(name)
