@@ -1303,6 +1303,206 @@ object Documents {
              |LIMIT 20""".stripMargin),
     ),
 
+    // d20 — REPETITION filter (Gopher-style quality signals, adapted
+    // to word-stream docs): per doc, the modal-2-gram fraction and the
+    // duplicated-3-gram fraction; a doc is flagged when the top 2-gram
+    // covers > 20% of its 2-grams or > 18% of its 3-gram occurrences
+    // are repeats — the "looping text" degeneracy gate every crawl
+    // pipeline runs. Entirely per-doc groupBy (no corpus-wide state,
+    // no shuffle beyond the doc-keyed aggregations) and all-integer
+    // output: thresholds compare via cross-multiplication, so the row
+    // is hash-exact with no float in sight. Spark `sequence` is
+    // inclusive and descends when start > stop, so n-gram index
+    // ranges are guarded by size; DuckDB `range` is half-open and
+    // empty in that case — the guards keep the two aligned.
+    QueryDef(
+      "d20_repetition_filter",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        def grams(n: Int): DataFrame = {
+          val idx = when(size(col("arr")) >= n,
+            sequence(lit(1), size(col("arr")) - (n - 1)))
+            .otherwise(array().cast("array<int>"))
+          val parts = (0 until n)
+            .map(j => "element_at(arr, i + " + j + ")")
+            .mkString("concat_ws(' ', ", ", ", ")")
+          base.select(col("doc_id"), explode(idx).as("i"), col("arr"))
+            .select(col("doc_id"), expr(parts).as("g"))
+        }
+        val s2 = grams(2).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum("c").as("n2"), max("c").as("top2_cnt"))
+        val s3 = grams(3).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum("c").as("n3"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("n3_dup"))
+        s2.join(s3, Seq("doc_id"))
+          .select(col("doc_id"), col("n2"), col("top2_cnt"),
+            col("n3"), col("n3_dup"),
+            (col("top2_cnt") * 5 > col("n2") ||
+              col("n3_dup") * 50 > col("n3") * 9).as("flagged"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+             |g2 AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(arr)),
+             |      i -> arr[i] || ' ' || arr[i+1])) AS g
+             |  FROM base),
+             |g3 AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(arr) - 1),
+             |      i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+             |  FROM base),
+             |s2 AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS top2_cnt FROM (
+             |    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g) t
+             |  GROUP BY doc_id),
+             |s3 AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+             |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n3_dup FROM (
+             |    SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g) t
+             |  GROUP BY doc_id)
+             |SELECT s2.doc_id, n2, top2_cnt, n3, n3_dup,
+             |  (top2_cnt * 5 > n2 OR n3_dup * 50 > n3 * 9) AS flagged
+             |FROM s2 JOIN s3 ON s3.doc_id = s2.doc_id
+             |ORDER BY s2.doc_id""".stripMargin),
+    ),
+
+    // d21 — BIGRAM-LM perplexity gate (the CCNet/CC-style "train a
+    // small LM on the corpus, drop what it finds surprising" filter):
+    // an add-one-smoothed bigram model is fit on the WHOLE corpus —
+    // c(w1,w2) and c(w1·) by shuffle groupBy with map-side combine,
+    // V = corpus vocab — then every doc is scored by its mean
+    // negative log-likelihood sum(-ln((c12+1)/(c1+V)))/n. The score
+    // join is bigram-keyed equi-join of the doc stream against the
+    // model — the real 100-TB shape (model >> memory, so it is NOT
+    // broadcast; co-partitioned by bigram on both sides of one
+    // shuffle). Output is the 20 most-surprising docs as 1e4
+    // fixed-point NLL: every ln() argument is a ratio of exact
+    // integers, summed through DECIMAL(28,12), so the fixed-point
+    // output absorbs libm last-bit drift (same recipe as d19).
+    QueryDef(
+      "d21_bigram_lm",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        val bi = base.select(col("doc_id"),
+          explode(when(size(col("arr")) >= 2,
+            sequence(lit(1), size(col("arr")) - 1))
+            .otherwise(array().cast("array<int>"))).as("i"), col("arr"))
+          .select(col("doc_id"),
+            expr("element_at(arr, i)").as("w1"),
+            expr("concat_ws(' ', element_at(arr, i), element_at(arr, i+1))").as("g"))
+        val c12 = bi.groupBy("g").agg(count(lit(1)).as("c12"))
+        val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = base
+          .select(explode(col("arr")).as("w")).agg(countDistinct("w").as("v"))
+        bi.join(c12, Seq("g"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("nll",
+            -log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("nll").cast("decimal(28,12)")).cast("double").as("nll_sum"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("CAST(floor(nll_sum / n_bigrams * 10000 + 0.5) AS BIGINT)")
+              .as("mean_nll_fp"))
+          .orderBy(col("mean_nll_fp").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+             |bi AS (
+             |  SELECT doc_id, g[1] AS w1, g[1] || ' ' || g[2] AS g FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, len(arr)),
+             |        i -> [arr[i], arr[i+1]])) AS g
+             |    FROM base) t),
+             |c12 AS (SELECT g, count(*) AS c12 FROM bi GROUP BY g),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+             |vocab AS (
+             |  SELECT count(DISTINCT w) AS v FROM (
+             |    SELECT unnest(arr) AS w FROM base) t),
+             |scored AS (
+             |  SELECT bi.doc_id, count(*) AS n_bigrams,
+             |    CAST(sum(CAST(
+             |      -ln((c12.c12 + 1.0) / (c1.c1 + vocab.v))
+             |      AS DECIMAL(28,12))) AS DOUBLE) AS nll_sum
+             |  FROM bi
+             |  JOIN c12 ON c12.g = bi.g
+             |  JOIN c1 ON c1.w1 = bi.w1
+             |  CROSS JOIN vocab
+             |  GROUP BY bi.doc_id)
+             |SELECT doc_id, n_bigrams,
+             |  CAST(floor(nll_sum / n_bigrams * 10000 + 0.5) AS BIGINT) AS mean_nll_fp
+             |FROM scored
+             |ORDER BY mean_nll_fp DESC, doc_id
+             |LIMIT 20""".stripMargin),
+    ),
+
+    // d22 — CORPUS-WIDE chunk dedup with reassembly (the C4 recipe,
+    // adapted to word-stream docs: C4 drops every repeated three-
+    // sentence span corpus-wide and keeps the first occurrence; here
+    // the unit is the non-overlapping 10-word chunk). Every doc is
+    // chunked, each chunk occurrence keeps iff it is the GLOBAL first
+    // (min doc_id·1e6+idx over identical content — one window min
+    // partitioned by chunk, a single corpus-scale shuffle, no self-
+    // join re-scan), and each doc is reassembled from its surviving
+    // chunks in order. Output per doc: chunk counts and the md5 of
+    // the reassembled text — all discrete, hash-exact. This is the
+    // boilerplate-removal pass a crawl pipeline runs BEFORE doc-level
+    // dedup: it edits docs instead of dropping them.
+    QueryDef(
+      "d22_chunk_dedup",
+      (s, d) => {
+        val ch = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("arr"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, (size(arr) - 1) div 10),
+              |  i -> struct(CAST(i AS BIGINT) AS idx,
+              |              array_join(slice(arr, i * 10 + 1, 10), ' ') AS chunk))"""
+              .stripMargin)).as("g"))
+          .select(col("doc_id"), col("g.idx").as("idx"), col("g.chunk").as("chunk"))
+        val w = Window.partitionBy("chunk")
+        ch.withColumn("k", col("doc_id") * lit(1000000L) + col("idx"))
+          .withColumn("keep", col("k") === min("k").over(w))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(when(col("keep"),
+                  struct(col("idx"), col("chunk"))))),
+                x => x.getField("chunk")),
+              " ").cast("binary")).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, g['idx'] AS idx, g['chunk'] AS chunk FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(0, (len(arr) - 1) // 10 + 1),
+             |        i -> {'idx': i,
+             |              'chunk': array_to_string(arr[i*10+1 : i*10+10], ' ')})) AS g
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) b) t),
+             |kept AS (
+             |  SELECT doc_id, idx, chunk,
+             |    doc_id * 1000000 + idx =
+             |      min(doc_id * 1000000 + idx) OVER (PARTITION BY chunk) AS keep
+             |  FROM ch)
+             |SELECT doc_id,
+             |  count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  md5(coalesce(
+             |    string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx), ''))
+             |    AS kept_md5
+             |FROM kept
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
     // dd11 — MULTI-SIGNAL dedup clusters: one cluster assignment over
     // the UNION of all near-dup evidence — exact content hash, MinHash
     // Jaccard ≥ 0.5 (dd2's pairs), and SimHash hamming ≤ 3 (dd4's

@@ -144,6 +144,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("d20/d21/d22: repetition, bigram-LM, and chunk-dedup are equi-join/groupBy shaped") {
+    for (name <- Seq("d20_repetition_filter", "d21_bigram_lm", "d22_chunk_dedup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(3000)}")
+      // corpus-scale aggregations must combine map-side before the shuffle
+      assert(p.contains("partial_"), s"$name:\n${p.take(3000)}")
+    }
+    // d22's first-occurrence pick is one window over the chunk key,
+    // never a single-partition global window
+    val p22 = plan("d22_chunk_dedup")
+    assert(p22.contains("windowspecdefinition(chunk"), p22.take(3000))
+    assert(!p22.contains("SinglePartition"), p22.take(3000))
+  }
+
   test("d9/d18: packing prefix sum is a chunk-partitioned window, never a single-partition running sum") {
     for (name <- Seq("d9_sequence_packing", "d18_pipeline_e2e")) {
       val p = plan(name)
