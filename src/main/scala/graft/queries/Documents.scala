@@ -1301,6 +1301,7 @@ object Documents {
              |FROM scored
              |ORDER BY score_fp DESC, doc_id
              |LIMIT 20""".stripMargin),
+      headline = true,
     ),
 
     // d20 — REPETITION filter (Gopher-style quality signals, adapted
@@ -1501,6 +1502,7 @@ object Documents {
              |FROM kept
              |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin),
+      headline = true,
     ),
 
     // dd11 — MULTI-SIGNAL dedup clusters: one cluster assignment over
