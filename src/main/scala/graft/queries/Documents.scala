@@ -36,6 +36,26 @@ object Documents {
   private val BandSkewThreshold = 2000L
   private val BandSalts = 16
 
+  /** d22's chunk pipeline: split each doc into non-overlapping 10-word
+    * chunks and flag each occurrence keep iff it is the corpus-wide
+    * first (min doc_id·1e6+idx over identical content) — ONE window
+    * min partitioned by the chunk string, a single corpus-scale
+    * shuffle, never a self-join re-scan. Returns
+    * (doc_id, idx, chunk, keep). */
+  private def chunkKeepFlags(docs: DataFrame): DataFrame = {
+    val ch = docs
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, (size(arr) - 1) div 10),
+          |  i -> struct(CAST(i AS BIGINT) AS idx,
+          |              array_join(slice(arr, i * 10 + 1, 10), ' ') AS chunk))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.idx").as("idx"), col("g.chunk").as("chunk"))
+    val w = Window.partitionBy("chunk")
+    ch.withColumn("k", col("doc_id") * lit(1000000L) + col("idx"))
+      .withColumn("keep", col("k") === min("k").over(w))
+  }
+
   /** doc → one row per word (keeps empty tokens out). */
   private def tokens(docs: DataFrame): DataFrame =
     docs
@@ -1458,17 +1478,7 @@ object Documents {
     QueryDef(
       "d22_chunk_dedup",
       (s, d) => {
-        val ch = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("arr"))
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(0, (size(arr) - 1) div 10),
-              |  i -> struct(CAST(i AS BIGINT) AS idx,
-              |              array_join(slice(arr, i * 10 + 1, 10), ' ') AS chunk))"""
-              .stripMargin)).as("g"))
-          .select(col("doc_id"), col("g.idx").as("idx"), col("g.chunk").as("chunk"))
-        val w = Window.partitionBy("chunk")
-        ch.withColumn("k", col("doc_id") * lit(1000000L) + col("idx"))
-          .withColumn("keep", col("k") === min("k").over(w))
+        chunkKeepFlags(Tables.documents(s, d))
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_chunks"),
@@ -1502,6 +1512,64 @@ object Documents {
              |FROM kept
              |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin),
+      headline = true,
+    ),
+
+    // d22_scale — chunk dedup PROVED at a million docs / 5M chunks:
+    // executor-born corpus (s.range, no parquet) where chunk 0 of doc
+    // i is the boilerplate "b<i%1000>"×10 (each shared by exactly
+    // 1000 docs, so only doc i%1000 keeps it) and chunks 1–4 are
+    // unique. The FULL text→split→chunk→window pipeline runs — not a
+    // shortcut over pre-built chunk rows — and the largest window
+    // partition is the 1000-occurrence boilerplate group, the healthy
+    // shape (identical content at 100 TB means bounded partitions,
+    // not skew). Fully hash-oracled: DuckDB regenerates the corpus
+    // from range(1e6), replays first-occurrence semantics, and must
+    // land on the same planted counts AND the doc_id·n_kept checksum.
+    QueryDef(
+      "d22_scale",
+      (s, _) => {
+        val words =
+          Seq.fill(10)(concat(lit("b"), col("id") % 1000)) ++
+            (1 to 4).flatMap(j =>
+              concat(lit("u"), col("id"), lit("x"), lit(j)) +: Seq.fill(9)(lit("f")))
+        val docs = s.range(1000000L).select(
+          col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+        chunkKeepFlags(docs)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("nk"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("nc").as("n_chunks"),
+            sum("nk").as("n_kept"),
+            sum(when(col("nk") === 5L, 1L).otherwise(0L)).as("n_docs_keep5"),
+            sum(col("doc_id") * col("nk")).as("checksum"))
+      },
+      Some("""WITH ids AS (SELECT unnest(range(1000000)) AS doc_id),
+             |ch AS (
+             |  SELECT doc_id, j.j AS idx,
+             |    CASE WHEN j.j = 0
+             |      THEN array_to_string(list_transform(range(0, 10),
+             |             x -> 'b' || (doc_id % 1000)), ' ')
+             |      ELSE 'u' || doc_id || 'x' || j.j || repeat(' f', 9)
+             |    END AS chunk
+             |  FROM ids CROSS JOIN (SELECT unnest(range(0, 5)) AS j) j),
+             |kept AS (
+             |  SELECT doc_id,
+             |    doc_id * 1000000 + idx =
+             |      min(doc_id * 1000000 + idx) OVER (PARTITION BY chunk) AS keep
+             |  FROM ch),
+             |per AS (
+             |  SELECT doc_id, count(*) AS nc,
+             |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk
+             |  FROM kept GROUP BY doc_id)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(nc) AS BIGINT) AS n_chunks,
+             |  CAST(sum(nk) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN nk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_keep5,
+             |  CAST(sum(doc_id * nk) AS BIGINT) AS checksum
+             |FROM per""".stripMargin),
       headline = true,
     ),
 

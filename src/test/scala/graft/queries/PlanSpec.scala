@@ -156,6 +156,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p22 = plan("d22_chunk_dedup")
     assert(p22.contains("windowspecdefinition(chunk"), p22.take(3000))
     assert(!p22.contains("SinglePartition"), p22.take(3000))
+    // the 1M-doc proof keeps the same chunk-partitioned window (its
+    // only single-partition stage is the final 1-row summary reduce)
+    val ps = plan("d22_scale")
+    assert(ps.contains("windowspecdefinition(chunk"), ps.take(3000))
   }
 
   test("d9/d18: packing prefix sum is a chunk-partitioned window, never a single-partition running sum") {
