@@ -1829,6 +1829,87 @@ object Documents {
       },
       None,
     ),
+
+    // ------------------------------------------------------------------
+    // src_jsonl_ingest — JSONL ingestion round trip with corrupt-record
+    // quarantine: the documents table is written as JSON Lines by the
+    // DISTRIBUTED writer (to_json per row, text sink), two malformed
+    // lines are planted, and the directory is read back with an
+    // EXPLICIT schema in PERMISSIVE mode — no inference pass (at
+    // 100 TB, schema inference is a full extra scan) and bad input
+    // lands in a quarantine column instead of aborting the job. The
+    // oracle recomputes every aggregate from the parquet ground truth
+    // (+ the planted corrupt count), so agreement proves the
+    // writer/reader pair end to end — the mm3/mm4 pattern for text.
+    QueryDef(
+      "src_jsonl_ingest",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("jsonl_ingest").toString
+        Tables.documents(s, d)
+          .select(to_json(struct(
+            col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))))
+          .write.mode("overwrite").text(dir)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "planted_corrupt.txt"),
+          "this line is not json\n{\"doc_id\": 1,,}\n")
+        val schema = "doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "n_chars LONG, _corrupt STRING"
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(dir)
+          .agg(
+            sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(col("_corrupt").isNull, col("doc_id"))).as("sum_ids"),
+            sum(when(col("_corrupt").isNull, col("n_chars"))).as("sum_chars"),
+            countDistinct(when(col("_corrupt").isNull, col("lang"))).as("n_langs"))
+      },
+      Some("""SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM documents""".stripMargin),
+    ),
+
+    // src_csv_ingest — the same round trip through the CSV
+    // writer/reader (quoting handled by the writer, explicit schema,
+    // PERMISSIVE quarantine): one planted line with a wrong column
+    // count and one with an unparseable doc_id both land in the
+    // corrupt column, never abort the scan. PERMISSIVE keeps the
+    // fields of a malformed row that DID parse (only the broken ones
+    // null out), so every aggregate below is gated on the quarantine
+    // flag. Same oracle cross-check against the parquet ground truth.
+    QueryDef(
+      "src_csv_ingest",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("csv_ingest").toString
+        Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").option("header", "false").csv(dir)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "planted_corrupt.txt"),
+          "a,b,c,d,e,f,g,h\nnotanumber,hello,en,src0,12\n")
+        val schema = "doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "n_chars LONG, _corrupt STRING"
+        s.read.schema(schema)
+          .option("header", "false")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dir)
+          .agg(
+            sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(col("_corrupt").isNull, col("doc_id"))).as("sum_ids"),
+            sum(when(col("_corrupt").isNull, col("n_chars"))).as("sum_chars"),
+            countDistinct(when(col("_corrupt").isNull, col("lang"))).as("n_langs"))
+      },
+      Some("""SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM documents""".stripMargin),
+    ),
   )
 
   /** per-doc content hash — the shared derivation behind exact-dup

@@ -49,4 +49,25 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromCsv.filter(col("o_totalprice") > 100000).count() ==
       base.filter(col("o_totalprice") > 100000).count())
   }
+
+  test("PERMISSIVE quarantine preserves the raw malformed line and never drops good rows") {
+    val dir = Files.createTempDirectory("quarantine").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(to_json(struct(col("doc_id"), col("text")))).limit(50)
+      .write.mode("overwrite").text(dir)
+    Files.writeString(java.nio.file.Paths.get(dir, "bad.txt"),
+      "utterly not json\n{\"doc_id\": 9,,}\n")
+    val read = spark.read
+      .schema("doc_id LONG, text STRING, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .cache() // corrupt-column-only projections require materialization
+    try {
+      val bad = read.filter(col("_corrupt").isNotNull)
+        .select("_corrupt").collect().map(_.getString(0)).sorted
+      assert(bad.toSeq == Seq("utterly not json", "{\"doc_id\": 9,,}"))
+      assert(read.filter(col("_corrupt").isNull).count() == 50)
+    } finally read.unpersist()
+  }
 }
