@@ -196,5 +196,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("u256_mul_div"),
       new ExpressionInfo(classOf[U256MulDivExpr].getName, "u256_mul_div"),
       (args: Seq[Expression]) => U256MulDivExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args.head)))
   }
 }

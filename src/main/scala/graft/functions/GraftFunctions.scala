@@ -27,6 +27,11 @@ object GraftFunctions {
     * codegen expression, stays inside whole-stage codegen. */
   def keccak256(c: Column): Column = toCol(Keccak256Expr(toExpr(c)))
 
+  /** Unicode NFC normalization — codegen expression (see
+    * expressions.NfcNormalizeExpr); DuckDB parity via nfc_normalize. */
+  def nfcNormalize(c: Column): Column =
+    toCol(graft.expressions.NfcNormalizeExpr(toExpr(c)))
+
   private val keccakHexUdf = udf((b: Array[Byte]) => Bytes.toHex(Keccak.keccak256(b)))
   def keccak256Hex(c: Column): Column = keccakHexUdf(c)
 

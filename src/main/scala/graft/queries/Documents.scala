@@ -156,9 +156,14 @@ object Documents {
   /** DuckDB positional parse of the first 15 hex digits of an
     * arbitrary md5-hex SQL expression → BIGINT (the generic form of
     * [[mhBaseDuck]]). */
-  private def MhDuckParse(md5Expr: String): String =
-    (0 until 15).map { k =>
-      val pow = java.math.BigInteger.valueOf(16L).pow(14 - k)
+  private def MhDuckParse(md5Expr: String): String = MhDuckParseN(md5Expr, 15)
+
+  /** Same hex-digit fold over the first `n` md5 digits — narrower
+    * widths keep ANSI bigint sums over many rows overflow-free
+    * (48-bit × 10k rows stays under 2^63). */
+  private def MhDuckParseN(md5Expr: String, n: Int): String =
+    (0 until n).map { k =>
+      val pow = java.math.BigInteger.valueOf(16L).pow(n - 1 - k)
       s"(instr('0123456789abcdef', substring($md5Expr, ${k + 1}, 1)) - 1) * $pow"
     }.mkString("(", " + ", ")")
 
@@ -1828,6 +1833,52 @@ object Documents {
           .toDF("step", "left", "right", "merged", "cnt")
       },
       None,
+    ),
+
+    // d23 — Unicode NFC normalization as a native codegen expression
+    // (expressions.NfcNormalizeExpr): the canonical first step of text
+    // cleaning — decomposed sequences (e + U+0301) and precomposed
+    // forms (é) must hash/dedup/compare as ONE byte string, or every
+    // downstream dedup signal silently splits on encoding. The fixture
+    // plants both forms; the oracle replays it with DuckDB's own
+    // nfc_normalize — two independent implementations of the Unicode
+    // standard must agree on every byte (pinned via a summed 60-bit
+    // md5 checksum over the normalized text). Pure map work: codegen,
+    // no shuffle until the one summary aggregate.
+    QueryDef(
+      "d23_nfc_normalize",
+      (s, _) => {
+        val docs = s.range(10000L).select(
+          col("id").as("doc_id"),
+          concat(
+            // decomposed (e + combining acute) vs precomposed (\u00e9)
+            when(col("id") % 3 === 0, lit("cafe" + "\u0301"))
+              .when(col("id") % 3 === 1, lit("caf" + "\u00e9"))
+              .otherwise(lit("plain")),
+            lit(" doc "), col("id")).as("text"))
+        docs
+          .withColumn("nt", graft.functions.GraftFunctions.nfcNormalize(col("text")))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("nt") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+            sum(expr(
+              "CAST(conv(substring(md5(CAST(nt AS BINARY)), 1, 12), 16, 10) AS BIGINT)"))
+              .as("checksum"),
+            countDistinct(expr("substring(nt, 1, 4)")).as("n_prefixes"))
+      },
+      Some(s"""WITH ids AS (SELECT unnest(range(10000)) AS doc_id),
+              |docs AS (
+              |  SELECT doc_id,
+              |    CASE doc_id % 3 WHEN 0 THEN 'cafe' || chr(769)
+              |         WHEN 1 THEN 'caf' || chr(233)
+              |         ELSE 'plain' END || ' doc ' || doc_id AS text
+              |  FROM ids),
+              |norm AS (SELECT doc_id, text, nfc_normalize(text) AS nt FROM docs)
+              |SELECT count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+              |  CAST(sum(${MhDuckParseN("md5(nt)", 12)}) AS BIGINT) AS checksum,
+              |  CAST(count(DISTINCT substring(nt, 1, 4)) AS BIGINT) AS n_prefixes
+              |FROM norm""".stripMargin),
     ),
 
     // ------------------------------------------------------------------

@@ -105,4 +105,24 @@ class CryptoExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = spark.sql("SELECT keccak256(CAST('abc' AS BINARY))").queryExecution.analyzed.toString
     assert(plan.contains("keccak256"))
   }
+
+  test("nfc_normalize folds decomposed forms, codegen and interpreted agree, SQL surface works") {
+    val s2 = spark
+    import s2.implicits._
+    val decomposed = "café"
+    val precomposed = "caf" + "\u00e9"
+    val df = spark.createDataset(Seq(decomposed, precomposed, "plain", "")).toDF("t")
+    def run() = df.select(GraftFunctions.nfcNormalize(col("t"))).collect().map(_.getString(0)).toSeq
+    val on = run()
+    assert(on == Seq(precomposed, precomposed, "plain", ""))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == on)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(spark.sql(s"SELECT nfc_normalize('$decomposed') = '$precomposed'")
+      .collect()(0).getBoolean(0))
+  }
 }
