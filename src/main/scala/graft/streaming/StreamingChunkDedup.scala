@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming corpus-wide chunk dedup — the continuous-ingest twin of
+  * the batch `d22_chunk_dedup`: documents arrive as a stream, each is
+  * split into the same non-overlapping 10-word chunks, and a chunk
+  * occurrence is kept iff its content was never filed before —
+  * boilerplate scrubbed at ingest, without ever rescanning the corpus.
+  *
+  * Shape: state is keyed by the chunk string (`flatMapGroupsWithState`
+  * shards it exactly like the batch window's shuffle by chunk); per-
+  * chunk state is ONE long (the first filer's doc_id·1e6+idx), so
+  * resident state is O(distinct chunks) — the same cardinality the
+  * batch window's hash table holds, and the floor for exact global
+  * dedup. Within a micro-batch, occurrences are normalized to
+  * (doc_id, idx) order so replays are deterministic.
+  *
+  * Contract: FIRST ARRIVAL wins (the only decision an append-only
+  * stream can make — a keep already emitted cannot be retracted).
+  * When docs arrive in doc_id order — the St1 ingest contract — this
+  * is bit-equal to the batch min-key rule (`StreamingChunkDedupSpec`
+  * proves it against the registry query); under out-of-order arrival
+  * each distinct chunk is still kept exactly once globally.
+  */
+object StreamingChunkDedup {
+
+  final case class Doc(doc_id: Long, text: String)
+  final case class ChunkOcc(chunk: String, doc_id: Long, idx: Long)
+  final case class ChunkState(firstKey: Long)
+  final case class KeepRow(doc_id: Long, idx: Long, keep: Boolean)
+
+  /** the same chunking as the batch path: consecutive 10-word chunks,
+    * tail chunk short. */
+  def chunksOf(d: Doc): Seq[ChunkOcc] =
+    d.text.split(" ").grouped(10).zipWithIndex.map { case (ws, i) =>
+      ChunkOcc(ws.mkString(" "), d.doc_id, i.toLong)
+    }.toSeq
+
+  /** one row per chunk occurrence: (doc_id, idx, keep). */
+  def keeps(docs: Dataset[Doc]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(chunksOf _)
+      .groupByKey(_.chunk)
+      .flatMapGroupsWithState[ChunkState, KeepRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[ChunkOcc], state: GroupState[ChunkState]) =>
+          var first = state.getOption.map(_.firstKey)
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeepRow]
+          it.toSeq.sortBy(o => (o.doc_id, o.idx)).foreach { o =>
+            val kept = first.isEmpty
+            if (kept) {
+              first = Some(o.doc_id * 1000000L + o.idx)
+              state.update(ChunkState(first.get))
+            }
+            out += KeepRow(o.doc_id, o.idx, kept)
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+}
