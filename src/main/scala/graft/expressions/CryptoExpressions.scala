@@ -200,5 +200,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
       (args: Seq[Expression]) => NfcNormalizeExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => DeflateRatioExpr(args.head)))
   }
 }

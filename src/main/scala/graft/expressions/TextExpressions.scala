@@ -12,6 +12,23 @@ object TextKernels {
   def nfc(s: UTF8String): UTF8String =
     UTF8String.fromString(
       java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
+  /** deflate(level 6) size over raw size — the compression-ratio
+    * quality signal (repetitive/boilerplate text ≪ 1, random noise
+    * ≈ 1). One Deflater per call: cheap relative to the compression
+    * itself, and thread-safe without pooling. */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n.toDouble / raw.length
+    } finally d.end()
+  }
 }
 
 /** Unicode NFC normalization as a codegen expression — the first step
@@ -32,5 +49,24 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.nfc($c)")
   override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** Compression-ratio quality signal as a codegen expression (the
+  * Dolma/RedPajama-style gate: heavily repetitive text deflates far
+  * below 1, high-entropy noise sits near 1 — both ends are dropped by
+  * curation). Per-row deflate is CPU-bounded map work that stays
+  * inside whole-stage codegen; no UDF closure, no shuffle. */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def prettyName: String = "deflate_ratio"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.deflateRatio(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextKernels.deflateRatio($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
     copy(child = newChild)
 }

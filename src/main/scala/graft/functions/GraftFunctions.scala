@@ -32,6 +32,11 @@ object GraftFunctions {
   def nfcNormalize(c: Column): Column =
     toCol(graft.expressions.NfcNormalizeExpr(toExpr(c)))
 
+  /** deflate-size / raw-size compression-ratio quality signal —
+    * codegen expression (see expressions.DeflateRatioExpr). */
+  def deflateRatio(c: Column): Column =
+    toCol(graft.expressions.DeflateRatioExpr(toExpr(c)))
+
   private val keccakHexUdf = udf((b: Array[Byte]) => Bytes.toHex(Keccak.keccak256(b)))
   def keccak256Hex(c: Column): Column = keccakHexUdf(c)
 

@@ -1881,6 +1881,30 @@ object Documents {
               |FROM norm""".stripMargin),
     ),
 
+    // d24 — compression-ratio quality gate (deflate size over raw
+    // size, the Dolma/RedPajama signal): repetitive boilerplate
+    // deflates far below the corpus norm, random noise sits near 1 —
+    // both tails get dropped by curation. Pure codegen map work
+    // (expressions.DeflateRatioExpr) + one summary aggregate.
+    // Rows-only: DuckDB has no deflate, so the registry row pins band
+    // counts while DeflateRatioSpec pins the signal's ordering
+    // properties (repetitive < natural < noise) and codegen parity.
+    QueryDef(
+      "d24_compression_gate",
+      (s, d) => {
+        val r = graft.functions.GraftFunctions.deflateRatio(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), r.as("ratio"))
+          .select(col("doc_id"),
+            when(col("ratio") < 0.35, "too_repetitive")
+              .when(col("ratio") > 0.9, "too_random")
+              .otherwise("keep").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("n_docs"))
+          .orderBy("band")
+      },
+      None,
+    ),
+
     // ------------------------------------------------------------------
     // src_jsonl_ingest — JSONL ingestion round trip with corrupt-record
     // quarantine: the documents table is written as JSON Lines by the

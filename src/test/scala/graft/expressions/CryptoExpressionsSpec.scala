@@ -125,4 +125,33 @@ class CryptoExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT nfc_normalize('$decomposed') = '$precomposed'")
       .collect()(0).getBoolean(0))
   }
+
+  test("deflate_ratio orders repetitive < natural < noise; codegen and interpreted agree") {
+    val s2 = spark
+    import s2.implicits._
+    val repetitive = Seq.fill(200)("spam").mkString(" ")
+    val natural = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders far away to find a quiet place for an afternoon nap"
+    val noise = {
+      val r = new scala.util.Random(42)
+      (0 until 800).map(_ => (33 + r.nextInt(94)).toChar).mkString
+    }
+    val df = spark.createDataset(Seq(repetitive, natural, noise)).toDF("t")
+    def run() = df.select(GraftFunctions.deflateRatio(col("t"))).collect().map(_.getDouble(0)).toSeq
+    val Seq(rr, rn, rz) = run()
+    assert(rr < rn && rn < rz, s"$rr $rn $rz")
+    assert(rr < 0.2 && rz > 0.8, s"$rr $rz")
+    // kernel parity with the expression path
+    assert(rr == graft.expressions.TextKernels.deflateRatio(
+      org.apache.spark.unsafe.types.UTF8String.fromString(repetitive)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == Seq(rr, rn, rz))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // empty string is defined as 1.0 (nothing to judge)
+    assert(spark.sql("SELECT deflate_ratio('')").collect()(0).getDouble(0) == 1.0)
+  }
 }
