@@ -243,6 +243,42 @@ object Similarity {
               |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
     ),
 
+    // ss11 — TWO-STAGE truncated-dim retrieval: score EVERY vector on
+    // only its first 16 dims (the Matryoshka/PCA-prefix trick — at
+    // scale the truncated prefix is stored as its own narrow column,
+    // so stage 1 reads 16/64ths of the vector bytes), keep the top
+    // 100 by the cheap score via TakeOrderedAndProject, then rerank
+    // JUST those 100 with the exact full-dim inner product. The
+    // production serving shape: a cheap full-scan filter bounds the
+    // expensive exact work to a constant-size candidate set. All
+    // fixed-point integer arithmetic — hash-oracled end to end.
+    QueryDef(
+      "ss11_truncated_rerank",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol)
+        val q = e.filter(col("vec_id") === 0).select(col("f").as("qf"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("ip16", ip(slice(col("f"), 1, 16), slice(col("qf"), 1, 16)))
+          .orderBy(col("ip16").desc, col("vec_id")).limit(100)
+          .withColumn("ip", ip(col("f"), col("qf")))
+          .select(col("vec_id"), col("ip"))
+          .orderBy(col("ip").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $FxSql,
+              |q AS (SELECT f AS qf FROM fx WHERE vec_id = 0),
+              |pos16 AS (SELECT e.vec_id, unnest(range(1, 17)) AS i, e.f, q.qf
+              |          FROM fx e CROSS JOIN q WHERE e.vec_id <> 0),
+              |c16 AS (SELECT vec_id, sum(f[i] * qf[i]) AS ip16 FROM pos16 GROUP BY vec_id),
+              |cand AS (SELECT vec_id, ip16 FROM c16 ORDER BY ip16 DESC, vec_id LIMIT 100),
+              |pos AS (SELECT c.vec_id, unnest(range(1, len(e.f)+1)) AS i, e.f, q.qf
+              |        FROM cand c JOIN fx e ON e.vec_id = c.vec_id CROSS JOIN q),
+              |ips AS (SELECT vec_id, sum(f[i] * qf[i]) AS ip FROM pos GROUP BY vec_id)
+              |SELECT vec_id, CAST(ip AS BIGINT) AS ip FROM ips
+              |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin),
+    ),
+
     // ss7 — BATCHED ANN: a whole workload of query vectors answered in
     // ONE pass — queries join candidates on the shared LSH bucket (one
     // equi-join, not one probe per query), then a per-query top-5 via

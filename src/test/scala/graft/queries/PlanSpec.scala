@@ -144,6 +144,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("ss11: both stages are TakeOrderedAndProject and the rerank recalls most of the exact top-10") {
+    val p = plan("ss11_truncated_rerank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    val twoStage = SparkEntry.queries("ss11_truncated_rerank")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("ss1_topk_ip")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert((twoStage & exact).size >= 6, s"recall too low: ${(twoStage & exact).size}/10")
+  }
+
   test("d20/d21/d22: repetition, bigram-LM, and chunk-dedup are equi-join/groupBy shaped") {
     for (name <- Seq("d20_repetition_filter", "d21_bigram_lm", "d22_chunk_dedup")) {
       val p = plan(name)
