@@ -1196,7 +1196,10 @@ object Documents {
       "d13_quality_filter",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val thr = docs.agg(expr("percentile(n_chars, 0.5)")).head().getDouble(0)
+        // percentile of an empty corpus is NULL — nothing can beat the
+        // median of nothing, so the gate passes nothing through
+        val thrRow = docs.agg(expr("percentile(n_chars, 0.5)")).head()
+        val thr = if (thrRow.isNullAt(0)) Double.MaxValue else thrRow.getDouble(0)
         docs.filter(col("n_chars") > thr)
           .select("doc_id", "n_chars")
           .orderBy("doc_id")

@@ -972,8 +972,11 @@ object Relational {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(
           col("exact_parts"),
-          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
-            col("exact_parts").cast("double") <= 0.05).as("within_5pct")),
+          // empty scan ⇒ both counts 0 ⇒ vacuously within bound (and
+          // no ANSI divide-by-zero)
+          when(col("exact_parts") === 0, lit(true))
+            .otherwise(abs(col("approx_parts") - col("exact_parts")).cast("double") /
+              col("exact_parts").cast("double") <= 0.05).as("within_5pct")),
       Some("""SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
              |FROM lineitem""".stripMargin),
     ),
