@@ -38,10 +38,11 @@ object Documents {
 
   /** d22's chunk pipeline: split each doc into non-overlapping 10-word
     * chunks and flag each occurrence keep iff it is the corpus-wide
-    * first (min doc_id·1e6+idx over identical content) — ONE window
-    * min partitioned by the chunk string, a single corpus-scale
-    * shuffle, never a self-join re-scan. Returns
-    * (doc_id, idx, chunk, keep). */
+    * first (min (doc_id, idx) struct over identical content — struct
+    * ordering, no arithmetic packing, so a pathological ≥1e6-chunk doc
+    * can never alias into its neighbor) — ONE window min partitioned
+    * by the chunk string, a single corpus-scale shuffle, never a
+    * self-join re-scan. Returns (doc_id, idx, chunk, keep). */
   private def chunkKeepFlags(docs: DataFrame): DataFrame = {
     val ch = docs
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
@@ -52,8 +53,8 @@ object Documents {
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.idx").as("idx"), col("g.chunk").as("chunk"))
     val w = Window.partitionBy("chunk")
-    ch.withColumn("k", col("doc_id") * lit(1000000L) + col("idx"))
-      .withColumn("keep", col("k") === min("k").over(w))
+    val key = struct(col("doc_id"), col("idx"))
+    ch.withColumn("keep", key === min(key).over(w))
   }
 
   /** doc → one row per word (keeps empty tokens out). */
@@ -183,7 +184,12 @@ object Documents {
     * No Exchange SinglePartition anywhere; oracle-identical to the
     * global ORDER BY window it replaces. */
   private def packedStarts(toks: DataFrame, chunk: Long): DataFrame = {
-    val byChunk = toks.withColumn("_ck", expr(s"doc_id div $chunk"))
+    // persist the chunked input: it feeds BOTH the subtotal collect and
+    // the returned frame, so without the cache the whole upstream plan
+    // (in d18 the full dedup+gate+mix chain) would execute twice — and
+    // correctness would silently ride on that plan being deterministic
+    // across the two executions
+    val byChunk = toks.withColumn("_ck", expr(s"doc_id div $chunk")).persist()
     val subs = byChunk.groupBy("_ck").agg(sum("n_tokens").as("_sub"))
       .collect().sortBy(_.getLong(0))
     var acc = 0L
@@ -192,11 +198,17 @@ object Documents {
     }.toMap
     val localW = Window.partitionBy("_ck").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    byChunk
+    // checkpoint the placed frame (one narrow row per doc) off the
+    // cached input, then release the cache — single upstream execution,
+    // nothing pinned beyond the result the callers consume
+    val placed = byChunk
       .withColumn("start",
         coalesce(element_at(typedLit(offs), col("_ck")), lit(0L)) +
           coalesce(sum("n_tokens").over(localW), lit(0L)))
       .drop("_ck")
+      .localCheckpoint()
+    byChunk.unpersist()
+    placed
   }
 
   /** Shared packing tail of d9 / d18: explode each doc over the bins
@@ -361,6 +373,12 @@ object Documents {
     // (16 inlined ord() terms with precomputed 257^k coefficients)
     // and must land on the same per-doc minimum: a genuine cross-check
     // of the O(n) rolling recurrence against direct evaluation.
+    // ENCODING ASSUMPTION: the kernel hashes UTF-8 BYTES at byte
+    // offsets while the oracle's ord()/length()/substring are
+    // CHARACTER-based — they agree only because documents.text is
+    // pure ASCII (the fixture generator guarantees it). If non-ASCII
+    // fixtures ever land here, switch the oracle to octet-level
+    // access (encode(text) + octet positions) before trusting parity.
     QueryDef(
       "d4b_rolling_fingerprint",
       (s, d) => {
@@ -1149,12 +1167,18 @@ object Documents {
         val planted = pairs
           .filter(col("doc_a") % 101 === 0 && col("doc_b") === col("doc_a") + 1)
           .agg(count(lit(1)).as("n_planted_found"))
-        planted.crossJoin(occ)
+        // materialize the 1-row contract eagerly so the 200k-doc
+        // shingle/minhash caches are released instead of living for
+        // the rest of the bench session
+        val res = planted.crossJoin(occ)
           .select(lit(n).as("n_docs"), lit(r).as("rows_per_band"), lit(b).as("n_bands"),
             lit(n / 101 + 1).as("n_planted_pairs"), col("n_planted_found"),
             (col("n_planted_found") >= (n / 101) * 9 / 10).as("recall_ok"),
             col("max_band_bucket"),
             (col("max_band_bucket") <= BandSkewThreshold).as("occupancy_ok"))
+          .localCheckpoint()
+        st.sh.unpersist(); st.mh.unpersist()
+        res
       },
       Some(dd2ScaleBandedOracle),
     ),
@@ -1508,8 +1532,8 @@ object Documents {
              |    FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) b) t),
              |kept AS (
              |  SELECT doc_id, idx, chunk,
-             |    doc_id * 1000000 + idx =
-             |      min(doc_id * 1000000 + idx) OVER (PARTITION BY chunk) AS keep
+             |    {'d': doc_id, 'i': idx} =
+             |      min({'d': doc_id, 'i': idx}) OVER (PARTITION BY chunk) AS keep
              |  FROM ch)
              |SELECT doc_id,
              |  count(*) AS n_chunks,
@@ -1565,8 +1589,8 @@ object Documents {
              |  FROM ids CROSS JOIN (SELECT unnest(range(0, 5)) AS j) j),
              |kept AS (
              |  SELECT doc_id,
-             |    doc_id * 1000000 + idx =
-             |      min(doc_id * 1000000 + idx) OVER (PARTITION BY chunk) AS keep
+             |    {'d': doc_id, 'i': idx} =
+             |      min({'d': doc_id, 'i': idx}) OVER (PARTITION BY chunk) AS keep
              |  FROM ch),
              |per AS (
              |  SELECT doc_id, count(*) AS nc,
@@ -2048,7 +2072,13 @@ object Documents {
   private def minhashPairsBanded(shingleFrame: DataFrame, rows: Int, bands: Int,
                                  jaccardMin: Double): DataFrame = {
     val st = minhashStage(shingleFrame, rows, bands)
-    minhashTail(st.sh, st.mh, st.bands, jaccardMin)
+    // localCheckpoint is EAGER: the pair tail materializes here, so the
+    // multi-million-row shingle/minhash caches can be released at once
+    // instead of pinning executor storage for the session (callers get
+    // a live distributed frame of just the surviving pairs)
+    val out = minhashTail(st.sh, st.mh, st.bands, jaccardMin).localCheckpoint()
+    st.sh.unpersist(); st.mh.unpersist()
+    out
   }
 
   private def minhashStage(shingleFrame: DataFrame, rows: Int, bands: Int): MinhashStage = {

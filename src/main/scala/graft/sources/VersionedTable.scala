@@ -110,15 +110,23 @@ class VersionedTable(spark: SparkSession, baseDir: String, nBuckets: Int = 16) {
     * after an evolving merge. */
   private val schemaCache = scala.collection.concurrent.TrieMap.empty[Int, org.apache.spark.sql.types.StructType]
 
-  /** widest of two column types under the standard numeric ladder
-    * (byte→short→int→long, float→double); None if neither widens to
-    * the other. */
+  /** widest of two column types under the standard numeric ladder,
+    * kept WITHIN a domain (byte→short→int→long, or float→double);
+    * None if neither widens to the other. Integral↔floating is NOT a
+    * widening: long/int values above 2^24 lose precision as float
+    * (2^53 as double), so cross-domain re-types are rejected rather
+    * than silently accepted. */
   private def widest(a: org.apache.spark.sql.types.DataType,
                      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     if (a == b) Some(a)
     else {
-      val ladder: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+      val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+      val floating: Seq[DataType] = Seq(FloatType, DoubleType)
+      val ladder =
+        if (integral.contains(a) && integral.contains(b)) integral
+        else if (floating.contains(a) && floating.contains(b)) floating
+        else Seq.empty[DataType]
       val (ia, ib) = (ladder.indexOf(a), ladder.indexOf(b))
       if (ia >= 0 && ib >= 0) Some(ladder(math.max(ia, ib))) else None
     }

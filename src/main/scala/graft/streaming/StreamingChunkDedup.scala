@@ -11,11 +11,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Shape: state is keyed by the chunk string (`flatMapGroupsWithState`
   * shards it exactly like the batch window's shuffle by chunk); per-
-  * chunk state is ONE long (the first filer's doc_id·1e6+idx), so
-  * resident state is O(distinct chunks) — the same cardinality the
-  * batch window's hash table holds, and the floor for exact global
-  * dedup. Within a micro-batch, occurrences are normalized to
-  * (doc_id, idx) order so replays are deterministic.
+  * chunk state is the first filer's (doc_id, idx) pair, so resident
+  * state is O(distinct chunks) — the same cardinality the batch
+  * window's hash table holds, and the floor for exact global dedup.
+  * Within a micro-batch, occurrences are normalized to (doc_id, idx)
+  * order so replays are deterministic.
   *
   * Contract: FIRST ARRIVAL wins (the only decision an append-only
   * stream can make — a keep already emitted cannot be retracted).
@@ -28,7 +28,7 @@ object StreamingChunkDedup {
 
   final case class Doc(doc_id: Long, text: String)
   final case class ChunkOcc(chunk: String, doc_id: Long, idx: Long)
-  final case class ChunkState(firstKey: Long)
+  final case class ChunkState(firstDoc: Long, firstIdx: Long)
   final case class KeepRow(doc_id: Long, idx: Long, keep: Boolean)
 
   /** the same chunking as the batch path: consecutive 10-word chunks,
@@ -47,13 +47,13 @@ object StreamingChunkDedup {
       .flatMapGroupsWithState[ChunkState, KeepRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[ChunkOcc], state: GroupState[ChunkState]) =>
-          var first = state.getOption.map(_.firstKey)
+          var first = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[KeepRow]
           it.toSeq.sortBy(o => (o.doc_id, o.idx)).foreach { o =>
             val kept = first.isEmpty
             if (kept) {
-              first = Some(o.doc_id * 1000000L + o.idx)
-              state.update(ChunkState(first.get))
+              first = Some(ChunkState(o.doc_id, o.idx))
+              state.update(first.get)
             }
             out += KeepRow(o.doc_id, o.idx, kept)
           }

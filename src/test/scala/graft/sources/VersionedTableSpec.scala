@@ -288,6 +288,13 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(retyped.getMessage.contains("re-types"))
 
+    // cross-domain re-type (long → float) is NOT a widening either:
+    // long values above 2^24 silently lose precision as float
+    val crossed = intercept[IllegalArgumentException] {
+      t.merge(Seq((3L, "X", 3.0f, "t")).toDF("k", "name", "v", "tag"), Seq("k"), Some(1))
+    }
+    assert(crossed.getMessage.contains("re-types"))
+
     // compaction heals every bucket to the widened schema
     t.compact(Seq("k"), Some(1))
     val v2 = t.read(Some(2)).get
