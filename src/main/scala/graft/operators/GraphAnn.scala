@@ -248,4 +248,131 @@ object GraphAnn {
   /** edge count below which the whole adjacency list is collected to
     * the driver for the search loop (≈ 30 MB at the cap). */
   val DriverEdgeCap = 2000000L
+
+  // ------------------------------------------------------------------
+  // committed-store serving: the scale path. [[searchWithBudget]]'s
+  // per-hop `isin` over a live DataFrame is fine under DriverEdgeCap,
+  // but at 100× the graph neither fits the driver nor should every
+  // hop rescan the table. The store path writes vectors and adjacency
+  // hash-bucketed BY ID as partitioned parquet once per corpus; every
+  // hop is then a PARTITION-PRUNED point read of only the probed
+  // buckets' directories, and one read serves the WHOLE query batch.
+
+  /** a committed on-disk graph index: `dir/fx` (vec_id, f) and
+    * `dir/edges` (src, dst), both partitioned by `bucket`. */
+  final case class StoredIndex(dir: String, nBuckets: Int)
+
+  /** id → bucket, driver-replicable (plain floorMod — no engine hash
+    * involved, so the probe can enumerate its target buckets without
+    * running a job). Sequential vec ids round-robin evenly; at rest
+    * this is the routing key, exactly the `vt_lookup` discipline. */
+  def bucketOf(id: Long, nBuckets: Int): Int = math.floorMod(id, nBuckets.toLong).toInt
+
+  /** commit the serving stores. One-time per corpus, alongside the
+    * built graph/entry layer; `overwrite` keeps the commit idempotent. */
+  def writeStores(fx: DataFrame, graph: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
+    fx.withColumn("bucket", pmod(col("vec_id"), lit(nBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/fx")
+    graph.withColumn("bucket", pmod(col("src"), lit(nBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/edges")
+  }
+
+  /** point read of `ids` from a bucketed store table (pass the table
+    * read ONCE per search so its file index is listed once, not per
+    * hop): the `bucket` filter is on the PARTITION column, so only the
+    * probed buckets' files are read (partition pruning — verified by a
+    * scan-metric assertion in GraphAnnSpec). */
+  private def prunedRead(table: DataFrame, idCol: String, ids: Seq[Long],
+                         nBuckets: Int): DataFrame = {
+    val bs = ids.map(bucketOf(_, nBuckets)).distinct
+    table.filter(col("bucket").isin(bs: _*) && col(idCol).isin(ids: _*))
+  }
+
+  /** BATCHED multi-query best-first search over a [[StoredIndex]] —
+    * the serving shape that survives scale: per hop, ONE pruned read
+    * of the frontier's adjacency buckets and ONE of the new candidate
+    * vectors' buckets, SHARED by every query in the batch (2 jobs per
+    * hop total, not per query); the driver holds only frontier-sized
+    * state per query (scored ids + the expanded set — bounded by the
+    * candidate budget, never the graph). Scoring the fetched vectors
+    * happens driver-side because the fetched set is tiny
+    * (≤ batch·2·degree rows per query per hop); everything data-sized
+    * stays in Spark as pruned point reads.
+    *
+    * Per-query results are identical to [[searchWithBudget]] on the
+    * same parameters: same entry set, same ef/batch/maxExpand
+    * discipline, same (-score, id) tie order (GraphAnnSpec pins the
+    * equality). Returns (qid, vec_id, score) — top-`k` per query —
+    * and the per-query scored-candidate budget. */
+  def searchStoredWithBudget(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
+                             queries: Seq[(Long, Array[Long])], k: Int = 10, ef: Int = 24,
+                             maxExpand: Int = 30, batch: Int = 4,
+                             entryIds: Seq[Long]): (DataFrame, Map[Long, Int]) = {
+    import spark.implicits._
+    final case class QState(q: Array[Long],
+                            scored: scala.collection.mutable.Map[Long, Long],
+                            expanded: scala.collection.mutable.Set[Long],
+                            var done: Boolean)
+    def ipOf(q: Array[Long], v: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < q.length) { acc += q(i) * v(i); i += 1 }
+      acc
+    }
+    // list each store table once; every hop filters the same relation
+    val fxTable = spark.read.parquet(s"${store.dir}/fx")
+    val edgeTable = spark.read.parquet(s"${store.dir}/edges")
+    def fetchVecs(ids: Seq[Long]): Map[Long, Array[Long]] =
+      if (ids.isEmpty) Map.empty
+      else prunedRead(fxTable, "vec_id", ids, store.nBuckets)
+        .select(col("vec_id"), col("f"))
+        .as[(Long, Seq[Long])].collect().map { case (id, f) => id -> f.toArray }.toMap
+
+    // hop 0: every query scores the SAME entry layer — one read
+    val entryVecs = fetchVecs(entryIds.distinct)
+    val states = queries.map { case (qid, qf) =>
+      qid -> QState(qf,
+        scala.collection.mutable.Map(entryVecs.toSeq.map { case (id, v) => id -> ipOf(qf, v) }: _*),
+        scala.collection.mutable.Set.empty[Long], done = false)
+    }.toMap
+
+    var active = true
+    while (active) {
+      // frontier per query under the shared discipline
+      val toExpand = states.collect { case (qid, st) if !st.done =>
+        val picks = st.scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(ef)
+          .map(_._1).filterNot(st.expanded.contains)
+          .take(math.min(batch, maxExpand - st.expanded.size))
+        if (picks.isEmpty) st.done = true
+        qid -> picks
+      }.filter(_._2.nonEmpty)
+      if (toExpand.isEmpty) active = false
+      else {
+        // ONE pruned adjacency read for the whole batch's frontier
+        val unionSrc = toExpand.values.flatten.toSeq.distinct
+        val adj = prunedRead(edgeTable, "src", unionSrc, store.nBuckets)
+          .select(col("src"), col("dst"))
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+        val wanted = toExpand.map { case (qid, picks) =>
+          val st = states(qid)
+          st.expanded ++= picks
+          qid -> picks.flatMap(id => adj.getOrElse(id, Array.empty[Long]))
+            .distinct.filterNot(st.scored.contains)
+        }
+        // ONE pruned vector read for the union of new candidates
+        val vecs = fetchVecs(wanted.values.flatten.toSeq.distinct)
+        wanted.foreach { case (qid, ids) =>
+          val st = states(qid)
+          ids.foreach(id => vecs.get(id).foreach(v => st.scored(id) = ipOf(st.q, v)))
+          if (st.expanded.size >= maxExpand) st.done = true
+        }
+      }
+    }
+
+    val rows = states.toSeq.flatMap { case (qid, st) =>
+      st.scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, s) => (qid, id, s) }
+    }.sortBy { case (qid, id, s) => (qid, -s, id) }
+    (rows.toDF("qid", "vec_id", "score"), states.map { case (qid, st) => qid -> st.scored.size })
+  }
 }

@@ -175,6 +175,53 @@ object Similarity {
     (ctes, summary)
   }
 
+  // ------------------------------------------------------- ANN contracts
+  // The trained-index family (IVF/PQ/IVF-PQ/graph) is not SQL-
+  // expressible — k-means and graph traversal have no DuckDB twin. But
+  // their CONTRACT is: the exact top-10 spine over the same fixed-point
+  // corpus is plain SQL, and recall-vs-exact under the committed
+  // deterministic index is a fixed truth. So each query emits ONE row:
+  // counts the oracle recomputes from the parquet table, the exact
+  // top-10 checksum the oracle recomputes by brute force, and recall
+  // booleans whose bounds the operator specs already pin — the
+  // dd2_scale_banded / ss_scale discipline applied to serving.
+
+  /** exact fixed-point top-10 for query vec 0 over the rest of the
+    * corpus — the DuckDB-recomputable spine of the ANN contracts. */
+  private def exactTop10(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") === 0).select(col("f").as("qf"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** oracle CTEs recomputing [[exactTop10]] and its checksum (append
+    * after the fx CTE). */
+  private val ExactTop10Sql =
+    """q AS (SELECT f AS qf FROM fx WHERE vec_id = 0),
+      |pos AS (SELECT e.vec_id, unnest(range(1, len(e.f)+1)) AS i, e.f AS f, q.qf AS qf
+      |        FROM fx e CROSS JOIN q WHERE e.vec_id <> 0),
+      |ips AS (SELECT vec_id, sum(f[i] * qf[i]) AS ip FROM pos GROUP BY vec_id),
+      |top10 AS (SELECT vec_id, CAST(ip AS BIGINT) AS ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10),
+      |xc AS (SELECT CAST(COALESCE(bit_xor(vec_id * 97 + ip), 0) AS BIGINT) AS exact_checksum FROM top10)""".stripMargin
+
+  /** 1-row contract over an ANN result: result count, recall@10 vs the
+    * exact spine (boolean, bound per index family), and the exact
+    * checksum. `ann` needs only a `vec_id` column; stays fully lazy so
+    * the bench times the real serving plan. */
+  private def annContract(ann: DataFrame, e: DataFrame, recallMin: Int): DataFrame = {
+    val ex = exactTop10(e)
+    val nRes = ann.agg(count(lit(1)).as("n_results"))
+    val rec = ann.select("vec_id").join(ex.select("vec_id"), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("recall10"))
+    val xc = ex.agg(coalesce(expr("bit_xor(vec_id * 97 + ip)"), lit(0L)).as("exact_checksum"))
+    nRes.crossJoin(rec).crossJoin(xc)
+      .select(col("n_results"), (col("recall10") >= recallMin).as("recall_ok"),
+        col("exact_checksum"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -434,9 +481,10 @@ object Similarity {
 
     // ss5 — IVF ANN (operators.IvfIndex): k-means coarse quantizer,
     // posting-list assignment (the at-rest bucketing key), probe the 8
-    // nearest of 16 lists with exact rerank. Rows-only check (k-means
-    // is not SQL-expressible); recall vs brute force is asserted in
-    // IvfIndexSpec.
+    // nearest of 16 lists with exact rerank. Contract-oracled: DuckDB
+    // recomputes the assignment count and the exact top-10 checksum
+    // from the parquet corpus; recall@10 ≥ 5 is IvfIndexSpec's bound,
+    // deterministic under the committed seed-42 quantizer.
     QueryDef(
       "ss5_ann_ivf",
       (s, d) => {
@@ -445,10 +493,19 @@ object Similarity {
         val model = QuantizerCache.ivf(s, d, emb, nlist = 16)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
-        IvfIndex.probe(IvfIndex.assign(emb, model).filter(col("vec_id") =!= 0), model, q, nprobe = 8, k = 10)
-          .select("vec_id", "list_id")
+        val assigned = IvfIndex.assign(emb, model).filter(col("vec_id") =!= 0)
+        val ann = IvfIndex.probe(assigned, model, q, nprobe = 8, k = 10)
+        val nAss = assigned.agg(count(lit(1)).as("n_assigned"))
+        annContract(ann, emb.withColumn("f", fxCol), recallMin = 5)
+          .crossJoin(nAss)
+          .select(col("n_results"), col("n_assigned"), col("recall_ok"), col("exact_checksum"))
       },
-      None,
+      Some(s"""WITH $FxSql,
+              |$ExactTop10Sql
+              |SELECT CAST(10 AS BIGINT) AS n_results,
+              |  (SELECT count(*) FROM fx WHERE vec_id <> 0) AS n_assigned,
+              |  TRUE AS recall_ok,
+              |  (SELECT exact_checksum FROM xc) AS exact_checksum""".stripMargin),
     ),
 
     // ss4 — cosine top-k. Free-order float summation is not portable,
@@ -487,9 +544,9 @@ object Similarity {
 
     // ss6 — product-quantization ANN (operators.PqIndex): 32×-
     // compressed codes, ADC lookup-table scan for the shortlist, exact
-    // fixed-point rerank on the shortlist only. Rows-only check
-    // (k-means codebooks are not SQL-expressible); recall and
-    // compression are asserted in PqIndexSpec.
+    // fixed-point rerank on the shortlist only. Contract-oracled:
+    // encode count + code well-formedness + exact top-10 checksum
+    // recomputed by DuckDB; recall@10 ≥ 6 is PqIndexSpec's bound.
     QueryDef(
       "ss6_ann_pq",
       (s, d) => {
@@ -498,17 +555,30 @@ object Similarity {
         val model = QuantizerCache.pq(s, d, emb, m = 8, ksub = 16)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
-        PqIndex.search(PqIndex.encode(emb.filter(col("vec_id") =!= 0), model), model, q,
-            shortlist = 50, k = 10)
-          .select("vec_id", "score")
+        val enc = PqIndex.encode(emb.filter(col("vec_id") =!= 0), model)
+        val ann = PqIndex.search(enc, model, q, shortlist = 50, k = 10)
+        val encStats = enc.agg(
+          count(lit(1)).as("n_encoded"),
+          min(size(col("code")) === 8 &&
+            forall(col("code"), c => c >= 0 && c < 16)).as("codes_ok"))
+        annContract(ann, emb.withColumn("f", fxCol), recallMin = 6)
+          .crossJoin(encStats)
+          .select(col("n_results"), col("n_encoded"), col("codes_ok"),
+            col("recall_ok"), col("exact_checksum"))
       },
-      None,
+      Some(s"""WITH $FxSql,
+              |$ExactTop10Sql
+              |SELECT CAST(10 AS BIGINT) AS n_results,
+              |  (SELECT count(*) FROM fx WHERE vec_id <> 0) AS n_encoded,
+              |  TRUE AS codes_ok, TRUE AS recall_ok,
+              |  (SELECT exact_checksum FROM xc) AS exact_checksum""".stripMargin),
     ),
 
     // ss10 — IVF-PQ composed ANN (operators.IvfPq): coarse routing +
     // PQ over residuals, per-list ⟨q,c⟩ bias + residual ADC lookups,
-    // exact rerank of the shortlist only. Rows-only check; recall vs
-    // brute force asserted in IvfPqSpec.
+    // exact rerank of the shortlist only. Contract-oracled like ss5/
+    // ss6; recall@10 ≥ 8 is IvfPqSpec's bound (the composed index is
+    // the accurate one).
     QueryDef(
       "ss10_ann_ivfpq",
       (s, d) => {
@@ -517,50 +587,103 @@ object Similarity {
         val model = QuantizerCache.ivfPq(s, d, emb, nlist = 16, m = 8, ksub = 16)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
-        IvfPq.search(IvfPq.encode(emb.filter(col("vec_id") =!= 0), model), model, q,
-            nprobe = 8, shortlist = 50, k = 10)
-          .select("vec_id", "score")
+        val enc = IvfPq.encode(emb.filter(col("vec_id") =!= 0), model)
+        val ann = IvfPq.search(enc, model, q, nprobe = 8, shortlist = 50, k = 10)
+        val encStats = enc.agg(
+          count(lit(1)).as("n_encoded"),
+          min(col("list_id") >= 0 && col("list_id") < 16 &&
+            size(col("code")) === 8 &&
+            forall(col("code"), c => c >= 0 && c < 16)).as("codes_ok"))
+        annContract(ann, emb.withColumn("f", fxCol), recallMin = 8)
+          .crossJoin(encStats)
+          .select(col("n_results"), col("n_encoded"), col("codes_ok"),
+            col("recall_ok"), col("exact_checksum"))
       },
-      None,
+      Some(s"""WITH $FxSql,
+              |$ExactTop10Sql
+              |SELECT CAST(10 AS BIGINT) AS n_results,
+              |  (SELECT count(*) FROM fx WHERE vec_id <> 0) AS n_encoded,
+              |  TRUE AS codes_ok, TRUE AS recall_ok,
+              |  (SELECT exact_checksum FROM xc) AS exact_checksum""".stripMargin),
     ),
 
-    // ss12 — GRAPH ANN (operators.GraphAnn): greedy beam search over
-    // a symmetrized kNN graph (the HNSW/NSG family, single layer) —
-    // the quantizer-free high-recall serving path on top of the ss9
-    // construction. Rows-only; recall vs brute force and vs multi-
-    // probe LSH at comparable candidate budget asserted in
-    // GraphAnnSpec.
+    // ss12 — GRAPH ANN (operators.GraphAnn): batched best-first search
+    // over a symmetrized kNN graph (the HNSW/NSG family, single
+    // layer), served from the COMMITTED id-bucketed stores — every hop
+    // is one partition-pruned point read of the frontier's adjacency
+    // buckets + one of the new candidates' vector buckets, shared by
+    // all 4 queries in the batch; the driver never holds the graph.
+    // Contract-oracled: DuckDB recomputes the 4-query exact top-10
+    // checksum from the parquet corpus; recall ≥ 8/10 per query
+    // (measured min 9/10 at every sf dir) and the structural
+    // candidate-budget bound are deterministic under the committed
+    // graph.
     QueryDef(
       "ss12_graph_ann",
       (s, d) => {
         import graft.operators.GraphAnn
         val e = Tables.embeddings(s, d).withColumn("f", fxCol).select("vec_id", "f")
-        val qf = e.filter(col("vec_id") === 0).select("f").head().getSeq[Long](0).toArray
-        // search expands the graph iteratively (eager driver loop), so
-        // pin the vector side for its lifetime and release it after —
-        // the returned frame is the collected top-k, no live lineage.
-        val base = e.filter(col("vec_id") =!= 0).persist()
-        // The BUILT graph + coarse entry layer are the index: like the
-        // trained quantizers they are committed once per corpus and
-        // the serving path loads them (write-once, content keyed by
-        // the sf dir; deterministic). The entry layer's spread seeds
-        // let the search run at a reduced expansion budget
-        // (GraphAnnSpec pins recall >= the flat search's at fewer
-        // scored candidates).
+        val qs = e.filter(col("vec_id") < 4).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
+        val base = e.filter(col("vec_id") >= 4)
+        // The committed index: graph + coarse entry layer + the
+        // id-bucketed serving stores (write-once, keyed by sf dir;
+        // deterministic build).
         val store = new java.io.File(
-          s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}").getAbsolutePath
-        val gdir = s"$store/knn"
-        val edir = s"$store/entry"
-        if (!new java.io.File(gdir, "_SUCCESS").exists())
-          GraphAnn.buildGraph(base).write.mode("overwrite").parquet(gdir)
-        if (!new java.io.File(edir, "_SUCCESS").exists())
-          GraphAnn.buildEntryLayer(base).write.mode("overwrite").parquet(edir)
-        val entry = s.read.parquet(edir).collect().map(_.getLong(0)).toSeq
-        try GraphAnn.search(s.read.parquet(gdir), base, qf,
-          maxExpand = 22, entryIds = Some(entry))
-        finally base.unpersist()
+          s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/b4").getAbsolutePath
+        // degree 16 (HNSW's typical M): on near-random fixed-point
+        // vectors degree 8 leaves the graph too sparse to navigate —
+        // measured min recall@10 across the 4 queries: 2/10 at deg 8
+        // vs 9/10 at deg 16 on the 2000-vector corpus
+        if (!new java.io.File(s"$store/entry", "_SUCCESS").exists()) {
+          val cached = base.persist()
+          GraphAnn.writeStores(cached, GraphAnn.buildGraph(cached, degree = 16), store, nBuckets = 64)
+          GraphAnn.buildEntryLayer(cached).write.mode("overwrite").parquet(s"$store/entry")
+          cached.unpersist()
+        }
+        val entry = s.read.parquet(s"$store/entry").collect().map(_.getLong(0)).toSeq
+        val (ann, budgets) = GraphAnn.searchStoredWithBudget(
+          s, GraphAnn.StoredIndex(store, 64), qs, k = 10, ef = 48, maxExpand = 80,
+          batch = 8, entryIds = entry)
+        // exact 4-query spine for the contract (one batched pass)
+        val qdf = e.filter(col("vec_id") < 4).select(col("vec_id").as("qid"), col("f").as("qf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)
+        val ex = base.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        val exIds = ex.select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+        val annRows = ann.select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val allRecallOk = annRows.groupBy(_._1).forall { case (q, xs) =>
+          xs.map(_._2).toSet.intersect(exIds.getOrElse(q, Set.empty)).size >= 8
+        }
+        // the budget bound is STRUCTURAL — entries + maxExpand·2·degree
+        // scored vectors per query, independent of corpus size. That
+        // absolute constant is the scale property (at 1M vectors it is
+        // 0.3% of the table; a per-corpus fraction would be the wrong
+        // claim at fixture size, where high recall on random data
+        // necessarily touches a large share of 500 vectors).
+        val budgetOk = budgets.values.forall(_ <= entry.size + 80L * 2 * 16)
+        ex.agg(coalesce(expr("bit_xor(qid * 1000003 + vec_id * 97 + ip)"), lit(0L))
+            .as("exact_checksum"))
+          .select(lit(annRows.length.toLong).as("n_results"),
+            lit(allRecallOk).as("all_recall_ok"), lit(budgetOk).as("budget_ok"),
+            col("exact_checksum"))
       },
-      None,
+      Some(s"""WITH $FxSql,
+              |q AS (SELECT vec_id AS qid, f AS qf FROM fx WHERE vec_id < 4),
+              |pos AS (SELECT b.qid, a.vec_id, unnest(range(1, len(a.f)+1)) AS i,
+              |               a.f AS f, b.qf AS qf
+              |        FROM fx a CROSS JOIN q b WHERE a.vec_id >= 4),
+              |ips AS (SELECT qid, vec_id, sum(f[i] * qf[i]) AS ip FROM pos GROUP BY qid, vec_id),
+              |top AS (SELECT qid, vec_id, CAST(ip AS BIGINT) AS ip,
+              |        row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rk FROM ips)
+              |SELECT CAST(40 AS BIGINT) AS n_results, TRUE AS all_recall_ok, TRUE AS budget_ok,
+              |  (SELECT CAST(COALESCE(bit_xor(qid * 1000003 + vec_id * 97 + ip), 0) AS BIGINT)
+              |   FROM top WHERE rk <= 10) AS exact_checksum""".stripMargin),
     ),
 
     // ss_scale — similarity search at 200k vectors, executor-born: the
@@ -660,8 +783,13 @@ object Similarity {
     // the third member of the sampling family (d6 balanced-by-class,
     // d11 weighted-by-quality, ss11 diverse-by-embedding): guarantees
     // every region of the space is represented instead of letting a
-    // dense mode dominate. Rows-only (k-means is not SQL-expressible);
-    // deterministic under the fixed seed.
+    // dense mode dominate.
+    // Contract-oracled via an invariant that holds under ANY
+    // clustering: each global top-i-by-norm vector (i ≤ 3) has at most
+    // i−1 higher-norm vectors in its own cluster, so the global top-3
+    // are ALWAYS selected — DuckDB recomputes their identity + norm
+    // checksum from the parquet corpus, and the checksum is taken over
+    // the SELECTED rows, so a selection that misses one fails the hash.
     QueryDef(
       "ss11_diverse_sample",
       (s, d) => {
@@ -669,17 +797,39 @@ object Similarity {
         val emb = Tables.embeddings(s, d)
         val model = QuantizerCache.ivf(s, d, emb, nlist = 16)
         val assigned = IvfIndex.assign(emb, model).withColumn("f", fxCol)
-        val norm2 = ip(col("f"), col("f"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("list_id").orderBy(col("norm2").desc, col("vec_id").asc)
-        assigned
-          .withColumn("norm2", norm2)
+        val sel = assigned
+          .withColumn("norm2", ip(col("f"), col("f")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select("list_id", "rk", "vec_id", "norm2")
-          .orderBy("list_id", "rk")
+        val top3 = emb.withColumn("f", fxCol)
+          .select(col("vec_id"), ip(col("f"), col("f")).as("norm2"))
+          .orderBy(col("norm2").desc, col("vec_id").asc).limit(3)
+        val nVec = emb.agg(count(lit(1)).as("n_vectors"))
+        val selStats = sel.agg(count(lit(1)).as("n_selected"))
+        val perList = sel.groupBy("list_id").agg(count(lit(1)).as("c"))
+          .agg(max("c").as("max_per_list"))
+        val hit = sel.join(top3.select("vec_id"), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_top3_found"),
+            coalesce(expr("bit_xor(vec_id * 97 + norm2)"), lit(0L)).as("top3_checksum"))
+        nVec.crossJoin(selStats).crossJoin(perList).crossJoin(hit)
+          .select(col("n_vectors"),
+            (col("n_selected") >= 3 && col("n_selected") <= 48).as("n_selected_ok"),
+            (col("max_per_list") <= 3).as("per_list_ok"),
+            (col("n_top3_found") === 3).as("top3_ok"),
+            col("top3_checksum"))
       },
-      None,
+      Some(s"""WITH $FxSql,
+              |pos AS (SELECT vec_id, unnest(range(1, len(f)+1)) AS i, f FROM fx),
+              |n2 AS (SELECT vec_id, sum(f[i] * f[i]) AS norm2 FROM pos GROUP BY vec_id),
+              |top3 AS (SELECT vec_id, CAST(norm2 AS BIGINT) AS norm2 FROM n2
+              |         ORDER BY norm2 DESC, vec_id LIMIT 3)
+              |SELECT (SELECT count(*) FROM fx) AS n_vectors,
+              |  TRUE AS n_selected_ok, TRUE AS per_list_ok, TRUE AS top3_ok,
+              |  (SELECT CAST(COALESCE(bit_xor(vec_id * 97 + norm2), 0) AS BIGINT) FROM top3)
+              |    AS top3_checksum""".stripMargin),
     ),
 
     // mm2 — the typed-Dataset twin of mm1: binary payloads through a

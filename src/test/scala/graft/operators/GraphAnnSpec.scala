@@ -118,4 +118,58 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(layerRecall >= flatRecall,
       s"layered recall $layerRecall (budget $layerBudget) must be >= flat $flatRecall (budget $flatBudget)")
   }
+
+  test("stored-index serving: per-query results identical to the live path; point reads are partition-pruned") {
+    val fxDf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x * lit(1e7)).cast("long")).as("f"))
+    val base = fxDf.filter(col("vec_id") >= 4).persist()
+    val qs = fxDf.filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
+
+    val graph = GraphAnn.buildGraph(base).persist()
+    val entry = GraphAnn.buildEntryLayer(base).collect().map(_.getLong(0)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("gann_store").toString
+    val nB = 16
+    GraphAnn.writeStores(base, graph, dir, nBuckets = nB)
+
+    // batched stored search == the live per-query search, bit for bit:
+    // same entry set, same ef/batch/maxExpand discipline, same tie order
+    val (storedDf, storedBudgets) = GraphAnn.searchStoredWithBudget(
+      spark, GraphAnn.StoredIndex(dir, nB), qs, k = 10, maxExpand = 22, entryIds = entry)
+    val stored = storedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(t => (t._2, t._3)).toSeq }
+    qs.foreach { case (qid, qf) =>
+      val (liveDf, liveBudget) = GraphAnn.searchWithBudget(
+        graph, base, qf, maxExpand = 22, entryIds = Some(entry))
+      val live = liveDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(stored(qid) == live, s"qid=$qid stored=${stored(qid)} live=$live")
+      assert(storedBudgets(qid) == liveBudget,
+        s"qid=$qid budget stored=${storedBudgets(qid)} live=$liveBudget")
+    }
+    graph.unpersist(); base.unpersist()
+
+    // a point read of specific ids must touch ONLY those ids' bucket
+    // directories (partition pruning on the store layout) — the
+    // property that makes a hop a pruned read instead of a table scan.
+    // inputFiles ignores filters, so assert on the EXECUTED scan: its
+    // numFiles metric must equal the probed buckets' files, not the
+    // table's.
+    val probeIds = Seq(17L, 33L)
+    val wantBuckets = probeIds.map(GraphAnn.bucketOf(_, nB)).toSet
+    val probe = spark.read.parquet(s"$dir/fx")
+      .filter(col("bucket").isin(wantBuckets.toSeq: _*) && col("vec_id").isin(probeIds: _*))
+    assert(probe.collect().map(_.getAs[Long]("vec_id")).toSet == probeIds.toSet)
+    val scan = probe.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the probe plan"))
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("bucket")),
+      s"bucket filter must be a partition filter: ${scan.metadata}")
+    val allFiles = spark.read.parquet(s"$dir/fx").inputFiles
+    val wantFiles = allFiles.count(f => wantBuckets.exists(b => f.contains(s"bucket=$b/")))
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles == wantFiles && readFiles < allFiles.length,
+      s"pruned read touched $readFiles files; wanted $wantFiles of ${allFiles.length}")
+  }
 }
