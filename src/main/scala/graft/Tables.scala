@@ -32,6 +32,11 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros-encoded parquet reads as NTZ; sessions run UTC, so
+        // the LTZ cast is instant-preserving — and unlike NTZ the
+        // session type supports the numeric casts the queries use
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

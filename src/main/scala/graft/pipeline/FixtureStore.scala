@@ -4,7 +4,7 @@ import java.math.BigInteger
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{Bytes, Keccak}
+import graft.core.{Bytes, Commitments, Keccak}
 
 /** Driver-oracle ground truth for the zk fixture queries.
   *
@@ -75,6 +75,88 @@ object FixtureStore {
   // SQL literals the oracle filters need (driver-side pure Scala).
   def contractHex(i: Int): String = hx(Fixtures.contractAddr(i))
   def userPad32Hex(i: Int): String = hx(Bytes.leftPad32(Fixtures.userAddr(i)))
+
+  // ------------------------------------------------- golden hex literals
+  // The commitment columns (EcGFp5 digests, Poseidon Merkle roots,
+  // keccak hashes) are not SQL-expressible, but they ARE deterministic
+  // functions of the fixture — so the oracle SQL carries them as
+  // literals computed here by the SEQUENTIAL pure-kernel golden path
+  // (the same functions ZkPipelineSpec pins the distributed plans to;
+  // reference strategy `storage/lpn/mod.rs:30-88`). The driver's DuckDB
+  // gate then hash-checks the distributed pipeline's digest bytes
+  // against an independently-folded recomputation: any order/partition
+  // sensitivity in the udaf combine, or any kernel regression, fails
+  // the CORRECTNESS row — not just the local spec.
+
+  /** Query2's qualified keys (sorted) with their nft ids — the
+    * sequential ground truth the digest and manifest goldens fold
+    * over. */
+  lazy val goldenQuery2Qualified: Seq[(Long, Array[Byte])] = {
+    val owner = Bytes.leftPad32(Fixtures.userAddr(0))
+    Fixtures.entriesSeq(cfg)
+      .filter(e => java.util.Arrays.equals(e.contract, Fixtures.contractAddr(0)) &&
+        e.mapping_slot == cfg.nftSlot && java.util.Arrays.equals(e.value, owner))
+      .groupBy(e => Bytes.toHex(e.mapping_key))
+      .filter(_._2.map(_.block_number).distinct.size == cfg.nBlocks)
+      .toSeq.sortBy(_._1)
+      .map { case (_, es) =>
+        (new BigInteger(1, es.head.mapping_key.takeRight(4)).longValueExact(),
+          es.head.mapping_key)
+      }
+  }
+
+  /** Query2's range digest (Σ key-only EcGFp5 digests over qualified
+    * keys), folded sequentially over the fixture seq. */
+  lazy val goldenQuery2DigestBytes: Array[Byte] =
+    goldenQuery2Qualified
+      .map { case (_, key) => Commitments.keyOnlyDigest(key) }
+      .foldLeft(Commitments.DigestIdentity)(Commitments.digestCombine)
+
+  lazy val goldenQuery2DigestHex: String = hx(goldenQuery2DigestBytes)
+
+  /** the sealed Query2 result-manifest hash, recomputed entirely from
+    * pure-kernel golden components through the same canonical
+    * [[ZkPipeline.manifestPreimage]] layout. */
+  def goldenManifestHashHex(limit: Int = 5): String = {
+    val ids = goldenQuery2Qualified.map(_._1).sorted.take(limit)
+    val padded = ids ++ Seq.fill(limit - ids.size)(0L)
+    val b0 = cfg.firstBlock
+    val b1 = cfg.firstBlock + cfg.nBlocks - 1
+    hx(Keccak.keccak256(ZkPipeline.manifestPreimage(
+      67, b0, b1, goldenQuery2Qualified.size.toLong, padded,
+      goldenQuery2DigestBytes,
+      goldenProvingBlockHashBytes(b0, b1),
+      Fixtures.goldenBlockDb(cfg)._2)))
+  }
+
+  /** the scaled fixture's qualified-key digest (owner 8, 1000 keys —
+    * ownership is constant across blocks, so qualification = the
+    * owner predicate; [[Fixtures.scaledOwner]] is the portable twin
+    * the oracle SQL re-derives the COUNT with). */
+  lazy val goldenScaleDigestHex: String =
+    hx((0L until 1000L).filter(Fixtures.scaledOwner(_) == 8L)
+      .map(k => Commitments.keyOnlyDigest(Bytes.leftPad32(Bytes.beBytes(k + 1, 8))))
+      .foldLeft(Commitments.DigestIdentity)(Commitments.digestCombine))
+
+  /** block-DB Merkle root + per-block (state_root, leaf_hash) goldens. */
+  lazy val goldenBlockDbRootHex: String = hx(Fixtures.goldenBlockDb(cfg)._2)
+
+  lazy val goldenCommitRows: Seq[(Long, String, String)] = {
+    val sr = Fixtures.goldenStateDb(cfg)
+    val leaves = Fixtures.goldenBlockDb(cfg)._1
+    Fixtures.headersSeq(cfg).zip(leaves).map { case (h, leaf) =>
+      (h.block_number, hx(sr(h.block_number)), hx(leaf))
+    }
+  }
+
+  /** keccak hash of the latest in-range header (the proving block). */
+  def goldenProvingBlockHashBytes(minB: Long, maxB: Long): Array[Byte] =
+    Fixtures.headersSeq(cfg)
+      .filter(h => h.block_number >= minB && h.block_number <= maxB)
+      .maxBy(_.block_number).block_hash
+
+  def goldenProvingBlockHashHex(minB: Long, maxB: Long): String =
+    hx(goldenProvingBlockHashBytes(minB, maxB))
 
   /** idempotent write-once (marker-gated; synchronized — Verify runs
     * queries sequentially, but Bench may share the JVM). */

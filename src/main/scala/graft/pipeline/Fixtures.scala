@@ -297,6 +297,17 @@ object Fixtures {
   def scaledOwnerSql(k: String): String =
     s"(${portableMixSql(k, 20)} + 1)"
 
+  /** driver-side Scala twin of [[scaledOwnerSql]] (same Lehmer mix,
+    * same no-overflow bound: every intermediate < 2^62) — lets the
+    * pure-kernel golden path re-derive scaled-fixture ownership
+    * without Spark. FixturesSpec pins it equal to the SQL form. */
+  def scaledOwner(k: Long): Long = {
+    val M = 2147483647L
+    val h1 = (k * 1299709L + 104729L) % M
+    val h2 = (h1 * 48271L) % M
+    ((h2 * h2 + h1) % M) % 20L + 1L
+  }
+
   /** Distributed synthetic `storage_entries` at arbitrary scale (for
     * ingest-throughput benchmarking): generated from `spark.range`, so
     * the data is born partitioned on the executors — no driver-side

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{Bytes, U256}
+import graft.core.{Bytes, Commitments, Keccak, U256}
 import graft.functions.GraftFunctions._
 import graft.operators.Aggregators
 
@@ -295,6 +295,59 @@ object ZkPipeline {
         col("result"),
         col("proving_block_hash"),
         col("root").as("block_db_root"))
+  }
+
+  /** Canonical serialization of the Query2 result manifest — the
+    * public-inputs analog of the reference's final attestation wrap
+    * (groth16-framework/src/lib.rs:1-100 packages exactly these
+    * fields as the on-chain-verified public inputs;
+    * groth16-framework/tests/queries.rs:30-110 checks them field by
+    * field). A versioned, delimiter-separated byte layout — text, not
+    * bespoke packing, so the fixture golden can recompute it from the
+    * pure-kernel components alone. */
+  def manifestPreimage(queryId: Int, minB: Long, maxB: Long, numEntries: Long,
+      ids: Seq[Long], digest: Array[Byte], provingHash: Array[Byte],
+      root: Array[Byte]): Array[Byte] =
+    (s"graft-manifest|v1|$queryId|$minB|$maxB|$numEntries|${ids.mkString(",")}|" +
+      s"${Bytes.toHex(digest)}|${Bytes.toHex(provingHash)}|${Bytes.toHex(root)}")
+      .getBytes("UTF-8")
+
+  /** §3.2 step 5 — the result-attestation record (S6 analog): binds
+    * the revelation to its commitments and seals it under a result
+    * hash.
+    *
+    *  - `digest_rederived`: Σ key-only digests recomputed FROM THE
+    *    REVEALED IDS themselves (query2/revelation/circuit.rs:120-150
+    *    — the circuit re-derives the aggregate digest from the L
+    *    public result slots and constrains it equal to the proven
+    *    one). An INDEPENDENT path from the distributed udaf that
+    *    produced `range_digest`: map over ≤ L ids vs curve-sum over
+    *    the whole entries relation.
+    *  - `complete`: re-derivation can only cover what was revealed,
+    *    so the check binds iff num_entries ≤ L (the reference aborts
+    *    revelation on overflow for the same reason).
+    *  - `result_hash`: keccak over [[manifestPreimage]] — tamper with
+    *    any revealed field and the hash moves (negative-tested).
+    *  - `verified`: the one-bit verdict a downstream consumer gates
+    *    on. */
+  def attestQuery2(revelation: DataFrame, limit: Int = 5): DataFrame = {
+    val rederive = udf((ids: Seq[Long]) =>
+      ids.filter(_ != 0L)
+        .map(id => Commitments.keyOnlyDigest(Bytes.leftPad32(Bytes.beBytes(id, 4))))
+        .foldLeft(Commitments.DigestIdentity)(Commitments.digestCombine))
+    val seal = udf((qid: Int, minB: Long, maxB: Long, n: Long, ids: Seq[Long],
+        dg: Array[Byte], ph: Array[Byte], rt: Array[Byte]) =>
+      Keccak.keccak256(manifestPreimage(qid, minB, maxB, n, ids, dg, ph, rt)))
+    revelation
+      .withColumn("digest_rederived", rederive(col("nft_ids")))
+      .withColumn("complete", col("num_entries") <= limit)
+      .withColumn("digest_ok",
+        col("complete") && col("digest_rederived") === col("range_digest"))
+      .withColumn("result_hash", seal(
+        col("query_id"), col("min_block"), col("max_block"), col("num_entries"),
+        col("nft_ids"), col("range_digest"), col("proving_block_hash"),
+        col("block_db_root")))
+      .withColumn("verified", col("digest_ok") && col("min_block") <= col("max_block"))
   }
 
   // ------------------------------------------------------------ §3.3 QueryERC20

@@ -36,6 +36,18 @@ object Documents {
   private val BandSkewThreshold = 2000L
   private val BandSalts = 16
 
+  /** planted BPE vocabulary shared by d10/d12's contract oracles:
+    * 8 disjoint letter-pair words with strictly decreasing power-of-
+    * two frequencies (each contributes exactly ONE candidate pair and
+    * vanishes once merged → rounds 1..8 forced, tie-free) plus one
+    * chain word whose internal pairs all tie at 2 (rounds 9..11
+    * decided purely by the (count desc, left, right) tie-break). */
+  private[queries] object BpeFixture {
+    val vocab: Seq[(String, Long)] = Seq(
+      "ab" -> 512L, "cd" -> 256L, "ef" -> 128L, "gh" -> 64L,
+      "ij" -> 32L, "kl" -> 16L, "mn" -> 8L, "op" -> 4L, "xyzw" -> 2L)
+  }
+
   /** d22's chunk pipeline: split each doc into non-overlapping 10-word
     * chunks and flag each occurrence keep iff it is the corpus-wide
     * first (min (doc_id, idx) struct over identical content — struct
@@ -190,6 +202,19 @@ object Documents {
     // correctness would silently ride on that plan being deterministic
     // across the two executions
     val byChunk = toks.withColumn("_ck", expr(s"doc_id div $chunk")).persist()
+    // checkpoint the placed frame (one narrow row per doc) off the
+    // cached input, then release the cache — single upstream execution,
+    // nothing pinned beyond the result the callers consume
+    val placed = placedFrame(byChunk, chunk).localCheckpoint()
+    byChunk.unpersist()
+    placed
+  }
+
+  /** the lazy placement plan (chunk-partitioned window + broadcast
+    * offset map) packedStarts checkpoints; split out so PlanSpec can
+    * assert the window shape that the checkpoint's lineage truncation
+    * hides from downstream plans. Input must carry `_ck`. */
+  private[queries] def placedFrame(byChunk: DataFrame, chunk: Long): DataFrame = {
     val subs = byChunk.groupBy("_ck").agg(sum("n_tokens").as("_sub"))
       .collect().sortBy(_.getLong(0))
     var acc = 0L
@@ -198,18 +223,20 @@ object Documents {
     }.toMap
     val localW = Window.partitionBy("_ck").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // checkpoint the placed frame (one narrow row per doc) off the
-    // cached input, then release the cache — single upstream execution,
-    // nothing pinned beyond the result the callers consume
-    val placed = byChunk
+    byChunk
       .withColumn("start",
         coalesce(element_at(typedLit(offs), col("_ck")), lit(0L)) +
           coalesce(sum("n_tokens").over(localW), lit(0L)))
       .drop("_ck")
-      .localCheckpoint()
-    byChunk.unpersist()
-    placed
   }
+
+  /** PlanSpec hook: the pre-checkpoint placement plan for a docs
+    * frame, built exactly as d9/d18 build it. */
+  private[queries] def placedPlanForSpec(docs: DataFrame, chunk: Long = 8192L): DataFrame =
+    placedFrame(
+      tokens(docs).groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+        .withColumn("_ck", expr(s"doc_id div $chunk")),
+      chunk)
 
   /** Shared packing tail of d9 / d18: explode each doc over the bins
     * its [start, start + n_tokens) span touches and sum the clipped
@@ -1187,29 +1214,46 @@ object Documents {
     // d10 — every doc tokenized by the trained merges, per-doc BPE
     // token count out. The merge table is trained once (driver) and
     // broadcast into a per-word kernel; encode cost is a map over the
-    // corpus. Rows-only (iterative merge application is not SQL-
-    // expressible); the apply kernel is spec-pinned in BpeTrainerSpec.
+    // corpus. PLANTED-CONTRACT oracle: train on [[BpeFixture.vocab]]
+    // with 8 merges (exactly the 8 forced disjoint-pair merges — see
+    // d10's uniqueness argument), then encode 500 planted docs where
+    // doc i holds (i%5)+1 copies of planted word i%9. Post-merge cost
+    // is closed-form — 1 token for the 8 merged pair-words, 4 for the
+    // un-merged chain word — so DuckDB recomputes every per-doc count
+    // from the same generation formula the docs are built from. A
+    // wrong merge table or a wrong apply kernel shifts counts and
+    // fails the hash. BpeTrainerSpec still pins train/apply on real
+    // corpus text.
     QueryDef(
       "d12_bpe_encode",
-      (s, d) => {
+      (s, _) => {
         import graft.operators.BpeTrainer
-        val words = tokens(Tables.documents(s, d))
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-          .orderBy(col("freq").desc, col("w")).limit(2000)
-          .withColumnRenamed("w", "word")
-        val rules = BpeTrainer.train(words, merges = 8)
+        import s.implicits._
+        val rules = BpeTrainer.train(BpeFixture.vocab.toDF("word", "freq"), merges = 8)
         val bc = s.sparkContext.broadcast(rules)
         val nTok = udf((w: String) => BpeTrainer.applyMerges(w, bc.value).length)
+        val wordArr = typedLit(BpeFixture.vocab.map(_._1))
+        val docs = s.range(500L).select(
+          col("id").as("doc_id"),
+          array_join(
+            array_repeat(
+              element_at(wordArr, (col("id") % 9 + 1).cast("int")),
+              (col("id") % 5 + 1).cast("int")),
+            " ").as("text"))
         // run the iterative merge kernel once per distinct (doc, word),
         // then weight by occurrence count — near-vocabulary-scale work
         // instead of corpus-scale
-        tokens(Tables.documents(s, d))
+        tokens(docs)
           .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
           .select(col("doc_id"), (nTok(col("w")) * col("cnt")).as("n"))
           .groupBy("doc_id").agg(sum("n").as("n_bpe_tokens"))
           .orderBy("doc_id")
       },
-      None,
+      Some("""WITH ids AS (SELECT unnest(range(500)) AS doc_id)
+             |SELECT doc_id,
+             |  CAST(((doc_id % 5) + 1) *
+             |       (CASE WHEN doc_id % 9 = 8 THEN 4 ELSE 1 END) AS BIGINT) AS n_bpe_tokens
+             |FROM ids ORDER BY doc_id""".stripMargin),
     ),
 
     // d13 — quality-percentile gate: keep docs above the exact corpus
@@ -1843,23 +1887,45 @@ object Documents {
     ),
 
     // d10 — real BPE merge-table training (not the regex
-    // approximation d1b uses for counting): 8 merge rounds over the
-    // top-2000 word-frequency table. Rows-only registry check — the
-    // iterative argmax-and-merge loop is not SQL-expressible — with
-    // the pure-Scala golden twin asserted in BpeTrainerSpec.
+    // approximation d1b uses for counting): the iterative
+    // argmax-and-merge loop over a word-frequency table.
+    // PLANTED-CONTRACT oracle — the planted vocabulary
+    // ([[BpeFixture.vocab]]) makes all 11 merge rounds PROVABLY
+    // unique, so DuckDB recomputes the full merge table from the
+    // generation formula:
+    //   · 8 disjoint letter-pair words ("ab".."op") with strictly
+    //     decreasing powers-of-two frequencies 512..4 — each
+    //     contributes exactly one candidate pair, no two counts tie,
+    //     and a merged pair-word has no remaining pairs, so rounds
+    //     1..8 are forced in frequency order;
+    //   · one chain word "xyzw" at freq 2 whose pairs ALL tie at 2 —
+    //     rounds 9..11 are then decided solely by the documented
+    //     (count desc, left, right) tie-break: (x,y) → (xy,z) →
+    //     (xyz,w). A trainer with a different (or nondeterministic)
+    //     tie order fails the hash.
+    // BpeTrainerSpec still pins training on real corpus text and the
+    // driver/distributed path equivalence.
     QueryDef(
       "d10_bpe_merges",
-      (s, d) => {
+      (s, _) => {
         import s.implicits._
-        val words = tokens(Tables.documents(s, d))
-          .groupBy("w").agg(count(lit(1)).as("freq"))
-          .orderBy(col("freq").desc, col("w")).limit(2000)
-          .withColumnRenamed("w", "word")
-        graft.operators.BpeTrainer.train(words, merges = 8)
+        // lhs/rhs, not left/right: the driver gate re-selects columns
+        // by bare name, and left/right are SQL keywords
+        graft.operators.BpeTrainer.train(BpeFixture.vocab.toDF("word", "freq"), merges = 11)
           .map(r => (r.step, r.left, r.right, r.left + r.right, r.count))
-          .toDF("step", "left", "right", "merged", "cnt")
+          .toDF("step", "lhs", "rhs", "merged", "cnt")
       },
-      None,
+      Some("""SELECT CAST(step AS INTEGER) AS step,
+             |  chr(CAST(97 + (step-1)*2 AS INTEGER)) AS lhs,
+             |  chr(CAST(98 + (step-1)*2 AS INTEGER)) AS rhs,
+             |  chr(CAST(97 + (step-1)*2 AS INTEGER))
+             |    || chr(CAST(98 + (step-1)*2 AS INTEGER)) AS merged,
+             |  CAST(pow(2, 10 - step) AS BIGINT) AS cnt
+             |FROM (SELECT unnest(range(1, 9)) AS step)
+             |UNION ALL SELECT 9, 'x', 'y', 'xy', 2
+             |UNION ALL SELECT 10, 'xy', 'z', 'xyz', 2
+             |UNION ALL SELECT 11, 'xyz', 'w', 'xyzw', 2
+             |ORDER BY step""".stripMargin),
     ),
 
     // d23 — Unicode NFC normalization as a native codegen expression
@@ -1913,14 +1979,33 @@ object Documents {
     // deflates far below the corpus norm, random noise sits near 1 —
     // both tails get dropped by curation. Pure codegen map work
     // (expressions.DeflateRatioExpr) + one summary aggregate.
-    // Rows-only: DuckDB has no deflate, so the registry row pins band
-    // counts while DeflateRatioSpec pins the signal's ordering
-    // properties (repetitive < natural < noise) and codegen parity.
+    // PLANTED-CONTRACT oracle (DuckDB has no deflate): three planted
+    // classes sit far from both thresholds — measured over all 10k
+    // docs incl. the varying id suffix: repetitive ≤ 0.043 (threshold
+    // 0.35), md5-hex noise ≥ 1.09 (threshold 0.9), natural ≈ 0.64 —
+    // so the oracle recomputes the gate DECISIONS from the planted
+    // class alone while Spark derives them through the real deflate
+    // kernel. A mis-banding of any single doc breaks the counts.
+    // DeflateRatioSpec still pins the signal's ordering properties
+    // and codegen parity on real corpus text.
     QueryDef(
       "d24_compression_gate",
-      (s, d) => {
+      (s, _) => {
+        val boiler = "the quick brown fox jumps over the lazy dog " * 40
+        val natural = "Curating a balanced training corpus means scoring every " +
+          "document for quality, language, and length before it enters the mix. " +
+          "Quality scoring keeps the corpus healthy: documents with strong " +
+          "structure and varied vocabulary pass the gate, while documents that " +
+          "repeat the same template are removed."
+        val docs = s.range(10000L).select(
+          col("id").as("doc_id"),
+          concat(
+            when(col("id") % 3 === 0, lit(boiler))
+              .when(col("id") % 3 === 1, md5(concat(lit("noise "), col("id"))))
+              .otherwise(lit(natural)),
+            lit(" doc "), col("id")).as("text"))
         val r = graft.functions.GraftFunctions.deflateRatio(col("text"))
-        Tables.documents(s, d)
+        docs
           .select(col("doc_id"), r.as("ratio"))
           .select(col("doc_id"),
             when(col("ratio") < 0.35, "too_repetitive")
@@ -1929,7 +2014,12 @@ object Documents {
           .groupBy("band").agg(count(lit(1)).as("n_docs"))
           .orderBy("band")
       },
-      None,
+      Some("""WITH ids AS (SELECT unnest(range(10000)) AS id)
+             |SELECT CASE WHEN id % 3 = 0 THEN 'too_repetitive'
+             |            WHEN id % 3 = 1 THEN 'too_random'
+             |            ELSE 'keep' END AS band,
+             |  count(*) AS n_docs
+             |FROM ids GROUP BY band ORDER BY band""".stripMargin),
     ),
 
     // ------------------------------------------------------------------

@@ -1046,6 +1046,60 @@ object Relational {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     ),
 
+    // The SCALE-SHAPED profiling twin of dq2: dq2's four exact
+    // countDistincts compile to a 4-way Expand — the scan is replayed
+    // once per distinct column, which a 100 TB profiler cannot afford.
+    // This twin UNPIVOTS to (col_name, value) first (ONE scan), then
+    // two ordinary hash aggregations: groupBy(col_name, value) with
+    // map-side combine collapses to the distinct-value universe, and
+    // groupBy(col_name) derives every statistic exactly from it —
+    // n_distinct = surviving rows, counts/sums reweighted by the group
+    // multiplicity (decimal-exact, so the mean is bit-stable). The
+    // HLL sketch (rsd 2%, the a8_approx_distinct error contract) rides
+    // the same deduped frame, and its within-5%-of-exact verdict goes
+    // through the driver hash. No Expand, no second scan — PlanSpec
+    // pins both.
+    QueryDef(
+      "dq2b_profile_approx",
+      (s, d) => {
+        val u = Tables.lineitem(s, d).selectExpr(
+          "stack(4, " +
+            "'l_quantity', CAST(l_quantity AS DECIMAL(18,2)), " +
+            "'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)), " +
+            "'l_discount', CAST(l_discount AS DECIMAL(18,2)), " +
+            "'l_tax', CAST(l_tax AS DECIMAL(18,2))) AS (col_name, value)")
+        u.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+          .groupBy("col_name")
+          .agg(
+            sum("cnt").as("n_rows"),
+            sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+            count(col("value")).as("n_distinct"),
+            approx_count_distinct(col("value"), 0.02).as("approx_nd"),
+            min(col("value")).cast("double").as("min_v"),
+            max(col("value")).cast("double").as("max_v"),
+            // exact decimal sum, then ONE double division (the dq2
+            // parity recipe — decimal division scale rules differ
+            // across engines, double division does not)
+            (sum(col("value") * col("cnt")).cast("double") /
+              sum("cnt").cast("double")).as("mean_v"))
+          .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+            col("min_v"), col("max_v"), col("mean_v"),
+            when(col("n_distinct") === 0, lit(true))
+              .otherwise(abs(col("approx_nd") - col("n_distinct")).cast("double") /
+                col("n_distinct").cast("double") <= 0.05).as("within_5pct"))
+          .orderBy("col_name")
+      },
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v,
+           |  TRUE AS within_5pct
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    ),
+
     // Histogram profiling: fixed-width value-distribution buckets over
     // o_totalprice (plain floor arithmetic — portable across engines,
     // unlike width_bucket which DuckDB lacks). One groupBy with

@@ -23,6 +23,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is bit-equal to the batch min-key rule (`StreamingChunkDedupSpec`
   * proves it against the registry query); under out-of-order arrival
   * each distinct chunk is still kept exactly once globally.
+  *
+  * Retention: unbounded state is right for a bounded corpus, but a
+  * continuous-ingest deployment must cap it — `stateTtl` expires a
+  * chunk's state after it goes unseen for the given duration
+  * (ProcessingTimeTimeout; re-observing a chunk renews its lease).
+  * Semantics under TTL become "first arrival within the retention
+  * window" — the sliding-window contract every production dedup
+  * stream settles on (same trade as StreamingDedup's `maxPerBucket`),
+  * and resident state becomes O(distinct chunks seen in a window)
+  * instead of O(all history). StreamingChunkDedupSpec proves both
+  * the eviction (numRowsRemoved > 0) and the re-keep after expiry.
   */
 object StreamingChunkDedup {
 
@@ -39,25 +50,37 @@ object StreamingChunkDedup {
     }.toSeq
 
   /** one row per chunk occurrence: (doc_id, idx, keep). */
-  def keeps(docs: Dataset[Doc]): DataFrame = {
+  def keeps(docs: Dataset[Doc], stateTtl: Option[java.time.Duration] = None): DataFrame = {
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     docs
       .flatMap(chunksOf _)
       .groupByKey(_.chunk)
       .flatMapGroupsWithState[ChunkState, KeepRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: String, it: Iterator[ChunkOcc], state: GroupState[ChunkState]) =>
-          var first = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[KeepRow]
-          it.toSeq.sortBy(o => (o.doc_id, o.idx)).foreach { o =>
-            val kept = first.isEmpty
-            if (kept) {
-              first = Some(ChunkState(o.doc_id, o.idx))
-              state.update(first.get)
+          if (state.hasTimedOut) {
+            // lease expired: forget the chunk — the next occurrence
+            // is "first in window" again
+            state.remove()
+            Iterator.empty
+          } else {
+            var first = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[KeepRow]
+            it.toSeq.sortBy(o => (o.doc_id, o.idx)).foreach { o =>
+              val kept = first.isEmpty
+              if (kept) {
+                first = Some(ChunkState(o.doc_id, o.idx))
+                state.update(first.get)
+              }
+              out += KeepRow(o.doc_id, o.idx, kept)
             }
-            out += KeepRow(o.doc_id, o.idx, kept)
+            // renew the retention lease on every observation
+            stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            out.iterator
           }
-          out.iterator
       }
       .toDF()
   }

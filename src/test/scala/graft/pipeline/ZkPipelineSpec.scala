@@ -302,4 +302,61 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(U256.fromBytes32(got.getAs[Array[Byte]]("result")).signum == 0)
     assert(got.getAs[Long]("n_blocks") == cfg.nBlocks.toLong)
   }
+
+  test("manifest attestation: verified seal matches golden; a tampered id flips the verdict and moves the hash") {
+    val rev = ZkPipeline.query2Revelation(
+      Fixtures.entries(spark, cfg), Fixtures.headers(spark, cfg),
+      Fixtures.contractAddr(0), cfg.nftSlot, Fixtures.userAddr(0),
+      cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+    val good = ZkPipeline.attestQuery2(rev).collect()(0)
+    assert(good.getAs[Boolean]("complete"))
+    assert(good.getAs[Boolean]("digest_ok"))
+    assert(good.getAs[Boolean]("verified"))
+    val goodHash = Bytes.toHex(good.getAs[Array[Byte]]("result_hash")).toUpperCase
+    assert(goodHash == FixtureStore.goldenManifestHashHex())
+
+    // tamper: shift the first revealed id — the re-derived digest no
+    // longer matches the proven aggregate, and the seal moves
+    val tampered = rev.withColumn("nft_ids",
+      expr("transform(nft_ids, (x, i) -> CASE WHEN i = 0 THEN x + 1 ELSE x END)"))
+    val bad = ZkPipeline.attestQuery2(tampered).collect()(0)
+    assert(!bad.getAs[Boolean]("digest_ok"))
+    assert(!bad.getAs[Boolean]("verified"))
+    assert(Bytes.toHex(bad.getAs[Array[Byte]]("result_hash")).toUpperCase != goodHash)
+
+    // tamper: swap in a foreign block-DB root — the seal moves even
+    // though the relational spine is untouched
+    val badRoot = rev.withColumn("block_db_root",
+      expr("CAST(concat(CAST('x' AS BINARY), substring(block_db_root, 2)) AS BINARY)"))
+    val sealMoved = ZkPipeline.attestQuery2(badRoot).collect()(0)
+    assert(Bytes.toHex(sealMoved.getAs[Array[Byte]]("result_hash")).toUpperCase != goodHash)
+  }
+
+  test("scaledOwner Scala twin equals the portable SQL form on every key index") {
+    // the golden digest literals the zk oracle SQL carries re-derive
+    // scaled-fixture ownership through the Scala twin — pin it to the
+    // SQL expression the Spark plans (and DuckDB) evaluate
+    val sql = spark.range(5000)
+      .select(col("id"), expr(Fixtures.scaledOwnerSql("id")).as("o"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5000L).foreach { k =>
+      assert(sql(k) == Fixtures.scaledOwner(k), s"k=$k")
+    }
+  }
+
+  test("oracle golden literals match the distributed commitment bytes") {
+    // the same cross-check the driver gate now performs, kept local so
+    // a kernel/udaf regression is caught before the round artifact
+    val (_, checks) = ZkPipeline.query2(
+      Fixtures.entries(spark, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
+      Fixtures.userAddr(0), cfg.firstBlock, cfg.firstBlock + cfg.nBlocks - 1)
+    val digest = Bytes.toHex(checks.collect()(0).getAs[Array[Byte]]("range_digest"))
+    assert(digest.toUpperCase == FixtureStore.goldenQuery2DigestHex)
+
+    val sdb = ZkPipeline.stateDb(ZkPipeline.storageDb(Fixtures.entries(spark, cfg)))
+    val head = ZkPipeline.blockDbHead(ZkPipeline.blockDb(sdb, Fixtures.headers(spark, cfg)))
+      .collect()(0)
+    assert(Bytes.toHex(head.getAs[Array[Byte]]("root")).toUpperCase
+      == FixtureStore.goldenBlockDbRootHex)
+  }
 }

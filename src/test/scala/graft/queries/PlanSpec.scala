@@ -172,12 +172,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps.contains("windowspecdefinition(chunk"), ps.take(3000))
   }
 
+  test("dq2b: sketch profiler is one scan with no Expand replay") {
+    val p = plan("dq2b_profile_approx")
+    // dq2's four exact countDistincts compile to a 4-way Expand (the
+    // scan replayed per column); the unpivot twin must never regress
+    // to that shape
+    assert(!p.contains("Expand"), p.take(3000))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${p.take(3000)}")
+    // both aggregations combine map-side before their shuffle
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
   test("d9/d18: packing prefix sum is a chunk-partitioned window, never a single-partition running sum") {
+    // the placement stage localCheckpoints (single upstream execution),
+    // which truncates lineage — so the window shape is asserted on the
+    // pre-checkpoint plan the packing queries build
+    val placed = graft.queries.Documents.placedPlanForSpec(
+      graft.Tables.documents(spark, sf), chunk = 64L)
+    val pp = placed.queryExecution.executedPlan.toString
+    // the running sum must be windowed over the chunk key …
+    assert(pp.contains("windowspecdefinition(_ck"), pp.take(3000))
+    assert(!pp.contains("SinglePartition"), pp.take(3000))
     for (name <- Seq("d9_sequence_packing", "d18_pipeline_e2e")) {
       val p = plan(name)
-      // the running sum must be windowed over the chunk key …
-      assert(p.contains("windowspecdefinition(_ck"), s"$name:\n${p.take(3000)}")
-      // … and nothing in the plan may collapse to one partition (d9/d18
+      // … and nothing downstream may collapse to one partition (d9/d18
       // end in orderBy → range partitioning, so any SinglePartition
       // exchange would be the old global-window shape leaking back)
       assert(!p.contains("SinglePartition"), s"$name:\n${p.take(3000)}")

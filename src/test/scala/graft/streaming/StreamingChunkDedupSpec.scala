@@ -66,6 +66,47 @@ class StreamingChunkDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(got) == snap(want))
   }
 
+  test("stateTtl evicts unseen chunks (numRowsRemoved > 0) and an expired chunk is kept again") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val es = MemoryStream[StreamingChunkDedup.Doc]
+    val q = StreamingChunkDedup.keeps(es.toDS(), stateTtl = Some(java.time.Duration.ofMillis(200)))
+      .writeStream.format("memory").queryName("scd_ttl")
+      .outputMode("append").start()
+    // ProcessingTimeTimeout makes the engine run no-data batches to
+    // fire expirations, so processAllAvailable never settles — poll
+    // the memory sink instead
+    def waitFor(what: String)(pred: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!pred && System.currentTimeMillis - t0 < 30000) Thread.sleep(100)
+      assert(pred, s"timed out waiting for $what")
+    }
+    def docRows(id: Long): Long =
+      spark.table("scd_ttl").filter(col("doc_id") === id).count()
+    try {
+      es.addData(Seq(StreamingChunkDedup.Doc(1L, "a b c d e f g h i j")))
+      waitFor("doc 1 verdict")(docRows(1L) > 0)
+      // age past the lease; the engine's timeout batches fire eviction
+      Thread.sleep(600)
+      es.addData(Seq(StreamingChunkDedup.Doc(2L, "k l m n o p q r s t")))
+      waitFor("doc 2 verdict")(docRows(2L) > 0)
+      waitFor("state eviction (numRowsRemoved > 0)") {
+        q.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsRemoved).sum > 0
+      }
+      // the same content arrives again after expiry: first-in-window ⇒ kept again
+      es.addData(Seq(StreamingChunkDedup.Doc(3L, "a b c d e f g h i j")))
+      waitFor("doc 3 verdict")(docRows(3L) > 0)
+      val keeps = spark.table("scd_ttl")
+        .filter(col("keep") && col("idx") === 0).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(keeps.contains(1L) && keeps.contains(3L),
+        s"expected doc 1 and doc 3 both kept after TTL expiry, got $keeps")
+    } finally q.stop()
+  }
+
   test("out-of-order arrival still keeps each distinct chunk exactly once") {
     val all = docs(60)
     val shuffled = all.reverse
