@@ -56,6 +56,19 @@ object Graft {
       rate: BigInteger, totalSupply: BigInteger, minBlock: Long, maxBlock: Long): DataFrame =
     ZkPipeline.queryErc20(entries, contract, slot, user, rate, totalSupply, minBlock, maxBlock)
 
+  /** fixed-width Query2 revelation record (range, L zero-padded ids,
+    * re-derived digest, proving header hash, block-DB root). */
+  def query2Revelation(entries: DataFrame, headers: DataFrame, contract: Array[Byte],
+      slot: Int, owner: Array[Byte], minBlock: Long, maxBlock: Long, limit: Int = 5): DataFrame =
+    ZkPipeline.query2Revelation(entries, headers, contract, slot, owner, minBlock, maxBlock, limit)
+
+  /** result-attestation manifest (S6 analog): re-verifies the
+    * revelation's digest from the revealed ids and seals every public
+    * field under a keccak result hash — gate downstream consumers on
+    * the `verified` column. */
+  def attestQuery2(revelation: DataFrame, limit: Int = 5): DataFrame =
+    ZkPipeline.attestQuery2(revelation, limit)
+
   // ------------------------------------------------------------ sources
   /** EIP-1186 `eth_getProof` dump directory → verified proof rows
     * (S1 live-shaped ingest; `proof_ok`/`key_ok` flags per row). */

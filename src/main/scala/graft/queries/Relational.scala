@@ -1008,32 +1008,36 @@ object Relational {
     ),
 
     // Data profiling: per-column summary statistics (nulls, distinct
-    // cardinality, min/max, exact-decimal mean) in one pass per
-    // column — the "what is in this table" report a pipeline runs
-    // before trusting a new source. Mean goes through an exact
-    // DECIMAL sum then one double division, so it is bit-stable
-    // across engines and partitionings.
+    // cardinality, min/max, exact-decimal mean) — the "what is in
+    // this table" report a pipeline runs before trusting a new
+    // source. UNPIVOT-EXACT shape: multiple countDistincts in one agg
+    // would compile to an Expand that replays the scan per column
+    // (the original formulation here — a 4× scan at 100 TB); instead
+    // unpivot to (col_name, value), collapse to the distinct-value
+    // universe with one map-side-combined agg, and derive every
+    // statistic exactly from it, reweighted by group multiplicity.
+    // ONE scan, no Expand (PlanSpec pins it), bit-identical output.
+    // Mean goes through an exact DECIMAL sum then one double
+    // division, so it is bit-stable across engines and partitionings.
     QueryDef(
       "dq2_profile",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        // ONE scan computes all 24 measures; the per-column unpivot is
-        // a driver-side reshape of a single collected row
-        val aggs = cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"),
-          min(col(c)).cast("double").as(s"mn_$c"),
-          max(col(c)).cast("double").as(s"mx_$c"),
-          sum(col(c).cast(DecimalType(18, 2))).cast("double").as(s"sm_$c")))
-        val r = li.agg(count(lit(1)).as("n_rows"), aggs: _*).head()
-        val nRows = r.getAs[Long]("n_rows")
-        import s.implicits._
-        cols.map { c =>
-          (c, nRows, r.getAs[Long](s"nn_$c"), r.getAs[Long](s"nd_$c"),
-            r.getAs[Double](s"mn_$c"), r.getAs[Double](s"mx_$c"),
-            r.getAs[Double](s"sm_$c") / nRows)
-        }.toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v")
+        val u = Tables.lineitem(s, d).selectExpr(
+          "stack(4, " +
+            "'l_quantity', CAST(l_quantity AS DECIMAL(18,2)), " +
+            "'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)), " +
+            "'l_discount', CAST(l_discount AS DECIMAL(18,2)), " +
+            "'l_tax', CAST(l_tax AS DECIMAL(18,2))) AS (col_name, value)")
+        u.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+          .groupBy("col_name")
+          .agg(
+            sum("cnt").as("n_rows"),
+            sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+            count(col("value")).as("n_distinct"),
+            min(col("value")).cast("double").as("min_v"),
+            max(col("value")).cast("double").as("max_v"),
+            (sum(col("value") * col("cnt")).cast("double") /
+              sum("cnt").cast("double")).as("mean_v"))
           .orderBy("col_name")
       },
       Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
@@ -1046,19 +1050,13 @@ object Relational {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
     ),
 
-    // The SCALE-SHAPED profiling twin of dq2: dq2's four exact
-    // countDistincts compile to a 4-way Expand — the scan is replayed
-    // once per distinct column, which a 100 TB profiler cannot afford.
-    // This twin UNPIVOTS to (col_name, value) first (ONE scan), then
-    // two ordinary hash aggregations: groupBy(col_name, value) with
-    // map-side combine collapses to the distinct-value universe, and
-    // groupBy(col_name) derives every statistic exactly from it —
-    // n_distinct = surviving rows, counts/sums reweighted by the group
-    // multiplicity (decimal-exact, so the mean is bit-stable). The
-    // HLL sketch (rsd 2%, the a8_approx_distinct error contract) rides
-    // the same deduped frame, and its within-5%-of-exact verdict goes
-    // through the driver hash. No Expand, no second scan — PlanSpec
-    // pins both.
+    // The sketch-profiling twin of dq2: same unpivot shape, plus the
+    // HLL cardinality sketch (rsd 2%, the a8_approx_distinct error
+    // contract) riding the deduped frame — at 100 TB the exact
+    // distinct-value universe of a high-cardinality column is itself
+    // a heavy shuffle, and the sketch path is what a profiler
+    // actually ships; its within-5%-of-exact verdict goes through the
+    // driver hash. No Expand, no second scan — PlanSpec pins both.
     QueryDef(
       "dq2b_profile_approx",
       (s, d) => {
@@ -1116,6 +1114,41 @@ object Relational {
       Some("""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
              |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
+    // Approximate-quantile error contract: percentile_approx (the
+    // Greenwald-Khanna sketch — what a 100 TB profiler ships, since
+    // exact per-group percentiles need a sort) carries a RANK
+    // guarantee: the returned value's rank is within ε·n of q·n. That
+    // guarantee is verified IN-PLAN: the sketch runs at accuracy 10⁴
+    // (ε = 10⁻⁴), the 1-row result broadcasts back over the column,
+    // and count(v ≤ approx_q) must land within n/100 of q·n — a 100×
+    // slack over the sketch's own bound, robust to duplicate values.
+    // The quantile VALUES stay engine-local (sketch internals differ);
+    // the rank verdicts + exact row count go through the driver hash
+    // (the a8/dq2b error-contract pattern applied to quantiles).
+    QueryDef(
+      "dq4_approx_quantile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_extendedprice").cast("double").as("v"))
+        val sk = li.agg(
+          count(lit(1)).as("n_rows"),
+          percentile_approx(col("v"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+        li.crossJoin(broadcast(sk))
+          .agg(
+            first("n_rows").as("n_rows"),
+            sum(when(col("v") <= element_at(col("qs"), 1), 1L).otherwise(0L)).as("r50"),
+            sum(when(col("v") <= element_at(col("qs"), 2), 1L).otherwise(0L)).as("r90"),
+            sum(when(col("v") <= element_at(col("qs"), 3), 1L).otherwise(0L)).as("r99"))
+          .select(col("n_rows"),
+            (abs(col("r50") - col("n_rows") * 0.5) <= col("n_rows") / lit(100.0)).as("rank_ok_50"),
+            (abs(col("r90") - col("n_rows") * 0.9) <= col("n_rows") / lit(100.0)).as("rank_ok_90"),
+            (abs(col("r99") - col("n_rows") * 0.99) <= col("n_rows") / lit(100.0)).as("rank_ok_99"))
+      },
+      Some("""SELECT count(*) AS n_rows, TRUE AS rank_ok_50,
+             |  TRUE AS rank_ok_90, TRUE AS rank_ok_99
+             |FROM lineitem""".stripMargin),
     ),
 
     // Time travel: snapshot read of the PRE-merge version of the

@@ -172,16 +172,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ps.contains("windowspecdefinition(chunk"), ps.take(3000))
   }
 
-  test("dq2b: sketch profiler is one scan with no Expand replay") {
-    val p = plan("dq2b_profile_approx")
-    // dq2's four exact countDistincts compile to a 4-way Expand (the
-    // scan replayed per column); the unpivot twin must never regress
-    // to that shape
-    assert(!p.contains("Expand"), p.take(3000))
-    val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected 1 scan, got $scans:\n${p.take(3000)}")
-    // both aggregations combine map-side before their shuffle
-    assert(p.contains("partial_"), p.take(3000))
+  test("dq2/dq2b: profilers are one scan with no Expand replay") {
+    // four countDistincts in one agg would compile to a 4-way Expand
+    // (the scan replayed per column); the unpivot shape must never
+    // regress to that
+    for (name <- Seq("dq2_profile", "dq2b_profile_approx")) {
+      val p = plan(name)
+      assert(!p.contains("Expand"), s"$name:\n${p.take(3000)}")
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$name: expected 1 scan, got $scans:\n${p.take(3000)}")
+      // both aggregations combine map-side before their shuffle
+      assert(p.contains("partial_"), s"$name:\n${p.take(3000)}")
+    }
   }
 
   test("d9/d18: packing prefix sum is a chunk-partitioned window, never a single-partition running sum") {
