@@ -29,6 +29,22 @@ object Similarity {
 
   private val Dims = 64
 
+  /** planted cluster corpus for ss13/dd12: 16-dim integer vectors,
+    * center coordinate = class-keyed grid value × 1000 (inter-class
+    * gap ≥ 1000 on every differing dim), jitter = portable Lehmer mix
+    * in [0, 100) — separation ≫ jitter, so the clustering fixed point
+    * is the planted partition and all values stay exact in FLOAT
+    * (≤ 10⁶ < 2²⁴). Executor-born via spark.range; the oracle
+    * re-derives class sizes from the same formula. */
+  private def plantedClusters(s: SparkSession, n: Long, nClasses: Int): DataFrame = {
+    val coords = (0 until 16).map { j =>
+      expr(s"CAST((((vec_id % $nClasses) * 1299709 + $j * 104729) % 1000) * 1000 + " +
+        graft.pipeline.Fixtures.portableMixSql(s"vec_id * 16 + $j", 100) + " AS FLOAT)")
+    }
+    s.range(n).select(col("id").as("vec_id"), (col("id") % nClasses).as("class"))
+      .withColumn("embedding", array(coords: _*))
+  }
+
   /** signature width of the ORACLED fixed-SF queries: 8 planes = 256
     * buckets, right-sized for the test corpora (the planes are inlined
     * into static DuckDB oracle SQL, so these queries fix the width).
@@ -1076,6 +1092,114 @@ object Similarity {
              |  FROM g, m a, m b WHERE a.i < b.i)
              |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b
              |FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+
+    // ss13 — k-means corpus clustering (the cluster step of
+    // SemDeDup-style semantic curation: partition the embedding space
+    // so downstream work — dedup, diversity sampling, per-topic
+    // mixing — runs within clusters instead of corpus-wide).
+    // PLANTED-CONTRACT oracle: 8 classes on a coordinate grid with
+    // inter-class gaps ≥ 1000 per differing dim vs jitter < 100, so
+    // the k-means fixed point is the planted partition regardless of
+    // init/partitioning (label permutation doesn't matter — the
+    // contract checks purity and balance, not label identity). The
+    // fit samples at most [[IvfIndex.TrainCap]] rows — the 100 TB
+    // shape — and assignment is a broadcast-model map.
+    QueryDef(
+      "ss13_kmeans_clusters",
+      (s, _) => {
+        import graft.operators.IvfIndex
+        val n = 20000L
+        val emb = plantedClusters(s, n, nClasses = 8)
+        val assigned = IvfIndex.assign(emb, IvfIndex.train(emb, nlist = 8))
+        val lists = assigned.agg(countDistinct("list_id").as("n_clusters"))
+        assigned.groupBy("class")
+          .agg(countDistinct("list_id").as("nl"), count(lit(1)).as("cnt"))
+          .agg(
+            sum("cnt").as("n_vectors"),
+            count(lit(1)).as("n_classes"),
+            expr("bool_and(nl = 1)").as("purity_ok"),
+            expr(s"bool_and(cnt = ${n / 8})").as("balanced_ok"))
+          .crossJoin(broadcast(lists))
+          .select(col("n_vectors"), col("n_classes"), col("n_clusters"),
+            col("purity_ok"), col("balanced_ok"))
+      },
+      Some("""SELECT CAST(20000 AS BIGINT) AS n_vectors, CAST(8 AS BIGINT) AS n_classes,
+             |  CAST(8 AS BIGINT) AS n_clusters, TRUE AS purity_ok, TRUE AS balanced_ok""".stripMargin),
+    ),
+
+    // dd12 — semantic (embedding-space) near-dup removal, SemDeDup
+    // shape: cluster first, then exact pairwise distance ONLY within
+    // a cluster — the candidate set is Σ cluster² instead of corpus²,
+    // and each cluster's pair work is an independent task (at 100 TB:
+    // one shuffle on the cluster id, per-cluster capping/salting is
+    // the known knob). FULLY RECOMPUTED oracle (the ss_scale
+    // discipline): 80 planted twins (every 100th vector nudged ≤ 1
+    // per dim, d² ≤ 16) PLUS whatever other near-dups the portable
+    // corpus truly contains — the quadratic-Lehmer jitter has an
+    // arithmetic resonance (Δvec_id ∈ {3672, 7344} repeats the
+    // jitter vector) that plants 16 structural near-dup pairs, and
+    // DuckDB regenerates the corpus and must find the SAME pair set
+    // (96 at these parameters) with the twin subset separated out.
+    // Distances run in exact integer arithmetic (grid coordinates
+    // are integers ≤ 10⁶, exact in FLOAT, cast back to LONG).
+    QueryDef(
+      "dd12_semantic_dedup",
+      (s, _) => {
+        import graft.operators.IvfIndex
+        val nBase = 8000L
+        val base = plantedClusters(s, nBase, nClasses = 8)
+        val twins = base.filter(col("vec_id") % 100 === 0)
+          .select((col("vec_id") + nBase).as("vec_id"), col("class"),
+            transform(col("embedding"),
+              (x, j) => x + (pmod(col("vec_id") + j, lit(3)) - 1).cast("float")).as("embedding"))
+        val all = base.unionByName(twins)
+        val assigned = IvfIndex.assign(all, IvfIndex.train(all, nlist = 8))
+          .select("vec_id", "list_id", "embedding")
+        val a = assigned.select(col("vec_id").as("va"), col("list_id"), col("embedding").as("ea"))
+        val b = assigned.select(col("vec_id").as("vb"), col("list_id"), col("embedding").as("eb"))
+        val d2 = aggregate(
+          zip_with(col("ea"), col("eb"),
+            (x, y) => (x.cast("long") - y.cast("long")) * (x.cast("long") - y.cast("long"))),
+          lit(0L), (acc, v) => acc + v)
+        a.join(b, Seq("list_id"))
+          .filter(col("va") < col("vb"))
+          // the same sound prefilter the oracle uses: d² ≤ 100 needs
+          // per-dim |Δ| ≤ 10 — two cheap dims drop ~96% of candidate
+          // pairs before the full 16-dim distance
+          .filter(
+            abs(element_at(col("ea"), 1) - element_at(col("eb"), 1)) <= 10 &&
+              abs(element_at(col("ea"), 2) - element_at(col("eb"), 2)) <= 10)
+          .filter(d2 <= 100L)
+          .agg(
+            count(lit(1)).as("n_dup_pairs"),
+            coalesce(sum(when(col("vb") === col("va") + nBase && col("va") % 100 === 0, 1L)
+              .otherwise(0L)), lit(0L)).as("n_twin_pairs"))
+      },
+      Some {
+        val center = "((((vid % 8) * 1299709 + j * 104729) % 1000) * 1000)"
+        val jit = graft.pipeline.Fixtures.portableMixSql("(vid * 16 + j)", 100)
+        s"""WITH ids AS (SELECT unnest(range(8000)) AS vid),
+           |base AS (SELECT vid, vid % 8 AS cls,
+           |  list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
+           |twins AS (SELECT vid + 8000 AS vid, cls,
+           |  list_transform(range(0, 16), j -> e[j + 1] + ((vid + j) % 3) - 1) AS e
+           |  FROM base WHERE vid % 100 = 0),
+           |allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+           |cand AS (
+           |  SELECT a.vid AS va, b.vid AS vb, a.e AS ea, b.e AS eb
+           |  FROM allv a JOIN allv b ON a.cls = b.cls AND a.vid < b.vid
+           |  -- sound prefilter: d² ≤ 100 needs per-dim |Δ| ≤ 10
+           |  WHERE abs(a.e[1] - b.e[1]) <= 10 AND abs(a.e[2] - b.e[2]) <= 10),
+           |pos AS (SELECT va, vb, unnest(range(1, 17)) AS i, ea, eb FROM cand),
+           |d AS (SELECT va, vb, sum((ea[i] - eb[i]) * (ea[i] - eb[i])) AS d2
+           |      FROM pos GROUP BY va, vb),
+           |close AS (SELECT va, vb FROM d WHERE d2 <= 100)
+           |SELECT count(*) AS n_dup_pairs,
+           |  CAST(COALESCE(sum(CASE WHEN vb = va + 8000 AND va % 100 = 0
+           |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_twin_pairs
+           |FROM close""".stripMargin
+      },
     ),
   )
 }
