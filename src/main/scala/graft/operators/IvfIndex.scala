@@ -79,6 +79,65 @@ object IvfIndex {
     assigned.select(avg(dUdf(col("embedding"), col("list_id")))).head().getDouble(0)
   }
 
+  // ---------------------------------------------------- at-rest store
+  /** Write the assigned corpus as the at-rest serving layout: parquet
+    * partitioned BY THE POSTING LIST, so a probe's `list_id IN (…)`
+    * filter becomes directory-level partition pruning — the probe
+    * reads nprobe/nlist of the data from disk, which is the entire
+    * point of IVF at 100 TB. */
+  def writeStore(assigned: DataFrame, dir: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(dir)
+
+  /** Incremental maintenance: assign a delta under the EXISTING model
+    * and append it into the per-list directories — no rebuild, no
+    * touch of resident data. Assignment is a pure function of the
+    * model, so probe(append-store) ≡ probe(full rebuild) exactly
+    * (IvfIndexSpec pins it); model drift is watched separately via
+    * [[distortion]] and a retrain swaps the store wholesale. */
+  def appendStore(delta: DataFrame, model: Model, dir: String): Unit =
+    writeAppend(assign(delta, model), dir)
+
+  private def writeAppend(assigned: DataFrame, dir: String): Unit =
+    assigned.write.mode("append").partitionBy("list_id").parquet(dir)
+
+  /** read the at-rest layout back (list_id is the partition column). */
+  def readStore(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Persist the quantizer next to its store (`_model` is invisible
+    * to the parquet reader), so probes are served by the EXACT model
+    * the store was assigned under — k-means re-trained in a different
+    * session (other partitioning/parallelism) may place centroids
+    * differently, and a model/store mismatch silently breaks the
+    * pruning contract. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    model.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_model")
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): Model =
+    Model(spark.read.parquet(s"$dir/_model").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1))
+
+  /** top-k by L2 distance (IVF-Flat's native metric) over the probed
+    * lists, in EXACT integer arithmetic: requires integer-valued
+    * embedding coordinates with |x| < 3.7e8 (16-dim Σdiff² must stay
+    * under 2⁶³) — the fixed-point planted corpora qualify, and the
+    * integer form is what makes the result oracle-portable. */
+  def probeL2(assigned: DataFrame, model: Model, query: Array[Float], nprobe: Int, k: Int): DataFrame = {
+    val lists = model.nearest(query, nprobe)
+    val qArr = array(query.map(x => lit(math.round(x.toDouble))): _*)
+    val fx = transform(col("embedding"), x => x.cast("long"))
+    assigned
+      .filter(col("list_id").isin(lists: _*)) // partition-pruned at rest
+      .withColumn("d2", aggregate(zip_with(fx, qArr, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** top-k by inner product probing the query's nprobe nearest lists.
     * Scoring is the same codegen'd fixed-point `aggregate(zip_with)`
     * form as the exact-MIPS path (`queries/Similarity.scala`) — the

@@ -1201,5 +1201,87 @@ object Similarity {
            |FROM close""".stripMargin
       },
     ),
+
+    // ss14 — IVF index MAINTENANCE: the at-rest serving store (parquet
+    // partitioned by posting list) with incremental delta APPEND under
+    // the persisted model — the upsert path a continuously-ingesting
+    // ANN deployment runs, where rebuilding the index per batch is the
+    // thing you cannot afford. Probes read the store with directory-
+    // level partition pruning (nprobe/nlist of the data touches disk —
+    // IvfIndexSpec pins PartitionFilters in the plan), and assignment
+    // is a pure function of the persisted model, so probe(append-
+    // store) must EQUAL probe(full rebuild) — emitted as a verdict.
+    // Contract-oracled like ss5: DuckDB regenerates the portable
+    // corpus and recomputes the exact L2 top-10 checksum; recall ≥ 8
+    // holds structurally (the query's class-0 cluster is L2-dominant
+    // and its lists are always probed).
+    QueryDef(
+      "ss14_ivf_upsert",
+      (s, _) => {
+        import graft.operators.IvfIndex
+        val nBase = 20000L
+        val nAll = 22000L
+        val all = plantedClusters(s, nAll, nClasses = 8)
+        val corpus = all.filter(col("vec_id") =!= 0)
+        val store = new java.io.File("target/ivfstore/planted22k_v1").getAbsolutePath
+        IvfStoreLock.synchronized {
+          if (!new java.io.File(store, "_OK").exists()) {
+            val base = corpus.filter(col("vec_id") < nBase)
+            val model = IvfIndex.train(base, nlist = 16)
+            IvfIndex.writeStore(IvfIndex.assign(base, model), store)
+            IvfIndex.saveModel(s, model, store)
+            IvfIndex.appendStore(corpus.filter(col("vec_id") >= nBase), model, store)
+            new java.io.File(store, "_OK").createNewFile()
+          }
+        }
+        val model = IvfIndex.loadModel(s, store)
+        val q = all.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        val stored = IvfIndex.readStore(s, store)
+        val fromStore = IvfIndex.probeL2(stored, model, q, nprobe = 8, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val rebuilt = IvfIndex.probeL2(IvfIndex.assign(corpus, model), model, q, nprobe = 8, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val nStore = stored.count()
+        // exact spine: integer L2 top-10 over the full corpus, the
+        // same portable arithmetic the oracle replays
+        val qArr = array(q.map(x => lit(math.round(x.toDouble))): _*)
+        val d2 = aggregate(
+          zip_with(transform(col("embedding"), x => x.cast("long")), qArr,
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+        val ex = corpus.select(col("vec_id"), d2.as("d2"))
+          .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+        val exIds = ex.select("vec_id").collect().map(_.getLong(0)).toSet
+        ex.agg(expr("bit_xor(vec_id * 1000003 + d2)").as("exact_checksum"))
+          .select(
+            lit(nStore).as("n_store_rows"),
+            lit(fromStore == rebuilt).as("append_equals_rebuild"),
+            lit(exIds.intersect(fromStore).size >= 8).as("recall_ok"),
+            col("exact_checksum"))
+      },
+      Some {
+        val center = "((((vid % 8) * 1299709 + j * 104729) % 1000) * 1000)"
+        val jit = graft.pipeline.Fixtures.portableMixSql("(vid * 16 + j)", 100)
+        s"""WITH ids AS (SELECT unnest(range(22000)) AS vid),
+           |v AS (SELECT vid, list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
+           |q AS (SELECT e AS qe FROM v WHERE vid = 0),
+           |pos AS (SELECT vid, unnest(range(1, 17)) AS i, e, qe
+           |        FROM v CROSS JOIN q WHERE vid <> 0),
+           |d AS (SELECT vid, sum((e[i] - qe[i]) * (e[i] - qe[i])) AS d2
+           |      FROM pos GROUP BY vid),
+           |top AS (SELECT vid, CAST(d2 AS BIGINT) AS d2,
+           |        row_number() OVER (ORDER BY d2, vid) AS rk FROM d)
+           |SELECT CAST(21999 AS BIGINT) AS n_store_rows,
+           |  TRUE AS append_equals_rebuild, TRUE AS recall_ok,
+           |  (SELECT CAST(bit_xor(vid * 1000003 + d2) AS BIGINT)
+           |   FROM top WHERE rk <= 10) AS exact_checksum
+           |FROM (SELECT 1)""".stripMargin
+      },
+    ),
   )
+
+  /** guards the ss14 store's build-once section (Bench and Verify can
+    * share a JVM). */
+  private object IvfStoreLock
 }

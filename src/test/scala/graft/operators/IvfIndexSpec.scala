@@ -59,4 +59,37 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.sum == emb.count())
     assert(sizes.forall(_ > 0), "no empty posting lists at this nlist")
   }
+
+  test("at-rest store: model roundtrips, delta append equals rebuild, probes prune partitions") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = IvfIndex.train(emb, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") =!= 0)
+    IvfIndex.writeStore(IvfIndex.assign(base, model), dir)
+    IvfIndex.saveModel(spark, model, dir)
+    IvfIndex.appendStore(delta, model, dir)
+
+    // the persisted quantizer is byte-identical to the trained one
+    val loaded = IvfIndex.loadModel(spark, dir)
+    assert(loaded.centroids.map(_._1).toSeq == model.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.zip(model.centroids).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+
+    // `_model` stays invisible to the data read; rows = base + delta
+    val stored = IvfIndex.readStore(spark, dir)
+    assert(stored.count() == base.count() + delta.count())
+
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val p = IvfIndex.probe(stored, loaded, q, nprobe = 4, k = 10)
+    // the probe's list filter must hit the partition layout, not a
+    // post-scan filter — that is the at-rest pruning contract
+    val plan = p.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan.take(2000))
+    val got = p.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val rebuilt = IvfIndex.probe(
+      IvfIndex.assign(base.unionByName(delta), model), model, q, nprobe = 4, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == rebuilt, s"store probe $got != rebuild probe $rebuilt")
+  }
 }
