@@ -1048,6 +1048,7 @@ object Relational {
            |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_v
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+      headline = true,
     ),
 
     // The sketch-profiling twin of dq2: same unpivot shape, plus the
@@ -1096,6 +1097,7 @@ object Relational {
            |  TRUE AS within_5pct
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+      headline = true,
     ),
 
     // Histogram profiling: fixed-width value-distribution buckets over
