@@ -26,6 +26,15 @@ import graft.sources.VersionedTable
   *     pinned to older versions keep the old posting lists (and, via
   *     the versioned [[QuantizerStore]], the old codebooks), and the
   *     serving pointer swaps only after the commit lands.
+  *
+  * Layout trade: this table buckets by vec_id (upsert-optimized —
+  * merges rewrite only dirty buckets), so probes scan all buckets and
+  * prune by list_id post-scan. The probe-optimized twin is
+  * [[graft.operators.IvfIndex.writeStore]]/`appendStore`: parquet
+  * partitioned BY POSTING LIST, where the probe's list filter becomes
+  * directory pruning but per-key upserts are not supported (append +
+  * wholesale retrain-swap only). A deployment periodically compacts
+  * this table into that layout for read-heavy serving.
   */
 class VectorIndexMaintainer(spark: SparkSession, baseDir: String,
                             initialModel: IvfIndex.Model, nBuckets: Int = 16) {
