@@ -326,6 +326,13 @@ object ZkPipeline {
     *  - `complete`: re-derivation can only cover what was revealed,
     *    so the check binds iff num_entries ≤ L (the reference aborts
     *    revelation on overflow for the same reason).
+    *  - id domain: the reference's result layout fixes nft ids as
+    *    NONZERO u32s (`query2/storage/leaf.rs` packs the id in the
+    *    key's last 4 bytes; 0 is the fixed-width pad value in the
+    *    result array, so a revealed 0 is indistinguishable from
+    *    padding by construction). The `filter(_ != 0L)` and the
+    *    4-byte key reconstruction below implement exactly that
+    *    layout; ids outside it are out of the query's spec.
     *  - `result_hash`: keccak over [[manifestPreimage]] — tamper with
     *    any revealed field and the hash moves (negative-tested).
     *  - `verified`: the one-bit verdict a downstream consumer gates

@@ -205,7 +205,7 @@ object Documents {
     // checkpoint the placed frame (one narrow row per doc) off the
     // cached input, then release the cache — single upstream execution,
     // nothing pinned beyond the result the callers consume
-    val placed = placedFrame(byChunk, chunk).localCheckpoint()
+    val placed = placedFrame(byChunk).localCheckpoint()
     byChunk.unpersist()
     placed
   }
@@ -213,8 +213,9 @@ object Documents {
   /** the lazy placement plan (chunk-partitioned window + broadcast
     * offset map) packedStarts checkpoints; split out so PlanSpec can
     * assert the window shape that the checkpoint's lineage truncation
-    * hides from downstream plans. Input must carry `_ck`. */
-  private[queries] def placedFrame(byChunk: DataFrame, chunk: Long): DataFrame = {
+    * hides from downstream plans. The `_ck` column the input must
+    * carry IS the contract — chunking happened upstream. */
+  private[queries] def placedFrame(byChunk: DataFrame): DataFrame = {
     val subs = byChunk.groupBy("_ck").agg(sum("n_tokens").as("_sub"))
       .collect().sortBy(_.getLong(0))
     var acc = 0L
@@ -235,8 +236,7 @@ object Documents {
   private[queries] def placedPlanForSpec(docs: DataFrame, chunk: Long = 8192L): DataFrame =
     placedFrame(
       tokens(docs).groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-        .withColumn("_ck", expr(s"doc_id div $chunk")),
-      chunk)
+        .withColumn("_ck", expr(s"doc_id div $chunk")))
 
   /** Shared packing tail of d9 / d18: explode each doc over the bins
     * its [start, start + n_tokens) span touches and sum the clipped

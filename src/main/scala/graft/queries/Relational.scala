@@ -29,6 +29,43 @@ object Relational {
   /** exact-sum helper: DOUBLE -> DECIMAL(18,2) -> SUM -> DOUBLE */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** the profiled lineitem measure columns (dq2/dq2b). */
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** shared unpivot-exact profiling core: ONE scan of the measure
+    * columns → the (col_name, value, cnt) distinct-value universe,
+    * from which both profilers derive everything. */
+  private def profileUniverse(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .selectExpr("stack(4, " +
+        ProfileCols.map(c => s"'$c', CAST($c AS DECIMAL(18,2))").mkString(", ") +
+        ") AS (col_name, value)")
+      .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+
+  /** the exact per-column aggregates over [[profileUniverse]]; mean =
+    * exact decimal sum then ONE double division (decimal division
+    * scale rules differ across engines, double division does not). */
+  private def profileExactAggs: Seq[Column] = Seq(
+    sum("cnt").as("n_rows"),
+    sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+    count(col("value")).as("n_distinct"),
+    min(col("value")).cast("double").as("min_v"),
+    max(col("value")).cast("double").as("max_v"),
+    (sum(col("value") * col("cnt")).cast("double") /
+      sum("cnt").cast("double")).as("mean_v"))
+
+  /** the matching DuckDB oracle (one UNION ALL branch per column);
+    * `extraCols` appends verdict columns for the sketch twin. */
+  private def profileOracleSql(extraCols: String): String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+         |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v$extraCols
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -1010,93 +1047,46 @@ object Relational {
     // Data profiling: per-column summary statistics (nulls, distinct
     // cardinality, min/max, exact-decimal mean) — the "what is in
     // this table" report a pipeline runs before trusting a new
-    // source. UNPIVOT-EXACT shape: multiple countDistincts in one agg
-    // would compile to an Expand that replays the scan per column
-    // (the original formulation here — a 4× scan at 100 TB); instead
-    // unpivot to (col_name, value), collapse to the distinct-value
-    // universe with one map-side-combined agg, and derive every
-    // statistic exactly from it, reweighted by group multiplicity.
-    // ONE scan, no Expand (PlanSpec pins it), bit-identical output.
-    // Mean goes through an exact DECIMAL sum then one double
-    // division, so it is bit-stable across engines and partitionings.
+    // source. UNPIVOT-EXACT shape ([[profileUniverse]]): multiple
+    // countDistincts in one agg would compile to an Expand that
+    // replays the scan per column (the original formulation here — a
+    // 4× scan at 100 TB); instead unpivot to (col_name, value),
+    // collapse to the distinct-value universe with one map-side-
+    // combined agg, and derive every statistic exactly from it,
+    // reweighted by group multiplicity. ONE scan, no Expand (PlanSpec
+    // pins it), bit-identical output. Mean goes through an exact
+    // DECIMAL sum then one double division, so it is bit-stable
+    // across engines and partitionings.
     QueryDef(
       "dq2_profile",
-      (s, d) => {
-        val u = Tables.lineitem(s, d).selectExpr(
-          "stack(4, " +
-            "'l_quantity', CAST(l_quantity AS DECIMAL(18,2)), " +
-            "'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)), " +
-            "'l_discount', CAST(l_discount AS DECIMAL(18,2)), " +
-            "'l_tax', CAST(l_tax AS DECIMAL(18,2))) AS (col_name, value)")
-        u.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
-          .groupBy("col_name")
-          .agg(
-            sum("cnt").as("n_rows"),
-            sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
-            count(col("value")).as("n_distinct"),
-            min(col("value")).cast("double").as("min_v"),
-            max(col("value")).cast("double").as("max_v"),
-            (sum(col("value") * col("cnt")).cast("double") /
-              sum("cnt").cast("double")).as("mean_v"))
-          .orderBy("col_name")
-      },
-      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
-           |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_v
-           |FROM lineitem""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+      (s, d) => profileUniverse(s, d)
+        .groupBy("col_name")
+        .agg(profileExactAggs.head, profileExactAggs.tail: _*)
+        .orderBy("col_name"),
+      Some(profileOracleSql(extraCols = "")),
       headline = true,
     ),
 
-    // The sketch-profiling twin of dq2: same unpivot shape, plus the
-    // HLL cardinality sketch (rsd 2%, the a8_approx_distinct error
-    // contract) riding the deduped frame — at 100 TB the exact
+    // The sketch-profiling twin of dq2: the SAME shared unpivot core,
+    // plus the HLL cardinality sketch (rsd 2%, the a8_approx_distinct
+    // error contract) riding the deduped frame — at 100 TB the exact
     // distinct-value universe of a high-cardinality column is itself
     // a heavy shuffle, and the sketch path is what a profiler
     // actually ships; its within-5%-of-exact verdict goes through the
     // driver hash. No Expand, no second scan — PlanSpec pins both.
     QueryDef(
       "dq2b_profile_approx",
-      (s, d) => {
-        val u = Tables.lineitem(s, d).selectExpr(
-          "stack(4, " +
-            "'l_quantity', CAST(l_quantity AS DECIMAL(18,2)), " +
-            "'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)), " +
-            "'l_discount', CAST(l_discount AS DECIMAL(18,2)), " +
-            "'l_tax', CAST(l_tax AS DECIMAL(18,2))) AS (col_name, value)")
-        u.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
-          .groupBy("col_name")
-          .agg(
-            sum("cnt").as("n_rows"),
-            sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
-            count(col("value")).as("n_distinct"),
-            approx_count_distinct(col("value"), 0.02).as("approx_nd"),
-            min(col("value")).cast("double").as("min_v"),
-            max(col("value")).cast("double").as("max_v"),
-            // exact decimal sum, then ONE double division (the dq2
-            // parity recipe — decimal division scale rules differ
-            // across engines, double division does not)
-            (sum(col("value") * col("cnt")).cast("double") /
-              sum("cnt").cast("double")).as("mean_v"))
-          .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
-            col("min_v"), col("max_v"), col("mean_v"),
-            when(col("n_distinct") === 0, lit(true))
-              .otherwise(abs(col("approx_nd") - col("n_distinct")).cast("double") /
-                col("n_distinct").cast("double") <= 0.05).as("within_5pct"))
-          .orderBy("col_name")
-      },
-      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
-           |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v,
-           |  TRUE AS within_5pct
-           |FROM lineitem""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+      (s, d) => profileUniverse(s, d)
+        .groupBy("col_name")
+        .agg(profileExactAggs.head,
+          (profileExactAggs.tail :+ approx_count_distinct(col("value"), 0.02).as("approx_nd")): _*)
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_v"), col("max_v"), col("mean_v"),
+          when(col("n_distinct") === 0, lit(true))
+            .otherwise(abs(col("approx_nd") - col("n_distinct")).cast("double") /
+              col("n_distinct").cast("double") <= 0.05).as("within_5pct"))
+        .orderBy("col_name"),
+      Some(profileOracleSql(extraCols = ",\n  TRUE AS within_5pct")),
       headline = true,
     ),
 

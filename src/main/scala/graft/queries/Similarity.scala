@@ -29,17 +29,27 @@ object Similarity {
 
   private val Dims = 64
 
-  /** planted cluster corpus for ss13/dd12: 16-dim integer vectors,
-    * center coordinate = class-keyed grid value × 1000 (inter-class
-    * gap ≥ 1000 on every differing dim), jitter = portable Lehmer mix
-    * in [0, 100) — separation ≫ jitter, so the clustering fixed point
-    * is the planted partition and all values stay exact in FLOAT
-    * (≤ 10⁶ < 2²⁴). Executor-born via spark.range; the oracle
-    * re-derives class sizes from the same formula. */
+  /** class-center grid and jitter SQL shared by the Spark corpus
+    * builder AND the dd12/ss14 DuckDB oracles — one definition keeps
+    * all three in lockstep (a constant tweak in one place used to be
+    * invisible at the other two call sites). */
+  private def plantedCenterSql(vid: String, j: String, nClasses: Int): String =
+    s"(((($vid % $nClasses) * 1299709 + $j * 104729) % 1000) * 1000)"
+  private def plantedJitterSql(vid: String, j: String): String =
+    graft.pipeline.Fixtures.portableMixSql(s"($vid * 16 + $j)", 100)
+
+  /** planted cluster corpus for ss13/dd12/ss14: 16-dim integer
+    * vectors, center coordinate = class-keyed grid value × 1000
+    * (inter-class gap ≥ 1000 on every differing dim), jitter =
+    * portable Lehmer mix in [0, 100) — separation ≫ jitter, so the
+    * clustering fixed point is the planted partition and all values
+    * stay exact in FLOAT (≤ 10⁶ < 2²⁴). Executor-born via
+    * spark.range; the oracles re-derive everything from the same
+    * formula. */
   private def plantedClusters(s: SparkSession, n: Long, nClasses: Int): DataFrame = {
     val coords = (0 until 16).map { j =>
-      expr(s"CAST((((vec_id % $nClasses) * 1299709 + $j * 104729) % 1000) * 1000 + " +
-        graft.pipeline.Fixtures.portableMixSql(s"vec_id * 16 + $j", 100) + " AS FLOAT)")
+      expr(s"CAST(${plantedCenterSql("vec_id", j.toString, nClasses)} + " +
+        plantedJitterSql("vec_id", j.toString) + " AS FLOAT)")
     }
     s.range(n).select(col("id").as("vec_id"), (col("id") % nClasses).as("class"))
       .withColumn("embedding", array(coords: _*))
@@ -1177,8 +1187,8 @@ object Similarity {
               .otherwise(0L)), lit(0L)).as("n_twin_pairs"))
       },
       Some {
-        val center = "((((vid % 8) * 1299709 + j * 104729) % 1000) * 1000)"
-        val jit = graft.pipeline.Fixtures.portableMixSql("(vid * 16 + j)", 100)
+        val center = plantedCenterSql("vid", "j", 8)
+        val jit = plantedJitterSql("vid", "j")
         s"""WITH ids AS (SELECT unnest(range(8000)) AS vid),
            |base AS (SELECT vid, vid % 8 AS cls,
            |  list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
@@ -1223,7 +1233,15 @@ object Similarity {
         val nAll = 22000L
         val all = plantedClusters(s, nAll, nClasses = 8)
         val corpus = all.filter(col("vec_id") =!= 0)
-        val store = new java.io.File("target/ivfstore/planted22k_v1").getAbsolutePath
+        // content-fingerprinted location (the FixtureStore.dir
+        // discipline): any change to the corpus formula, sizes, or
+        // list count re-keys the store — a stale cache can never be
+        // served as if it matched the current corpus
+        val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
+          s"|base=$nBase|all=$nAll|nlist=16"
+        val tag = graft.core.Bytes.toHex(
+          graft.core.Keccak.keccak256(canon.getBytes("UTF-8")).take(8))
+        val store = new java.io.File(s"target/ivfstore/planted_$tag").getAbsolutePath
         IvfStoreLock.synchronized {
           if (!new java.io.File(store, "_OK").exists()) {
             val base = corpus.filter(col("vec_id") < nBase)
@@ -1261,8 +1279,8 @@ object Similarity {
             col("exact_checksum"))
       },
       Some {
-        val center = "((((vid % 8) * 1299709 + j * 104729) % 1000) * 1000)"
-        val jit = graft.pipeline.Fixtures.portableMixSql("(vid * 16 + j)", 100)
+        val center = plantedCenterSql("vid", "j", 8)
+        val jit = plantedJitterSql("vid", "j")
         s"""WITH ids AS (SELECT unnest(range(22000)) AS vid),
            |v AS (SELECT vid, list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
            |q AS (SELECT e AS qe FROM v WHERE vid = 0),

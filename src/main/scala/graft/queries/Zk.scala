@@ -562,8 +562,10 @@ object Zk {
               |  greatest($b0, (SELECT min(block_number) FROM $H)) AS min_block,
               |  least($b1, (SELECT max(block_number) FROM $H)) AS max_block,
               |  (SELECT count(*) FROM q) AS num_entries,
-              |  (SELECT string_agg(CAST(nft_id AS VARCHAR), '/' ORDER BY nft_id)
-              |     || repeat('/0', 5 - (SELECT count(*) FROM top)) FROM top) AS nft_ids,
+              |  CASE WHEN (SELECT count(*) FROM top) = 0 THEN '0/0/0/0/0'
+              |       ELSE (SELECT string_agg(CAST(nft_id AS VARCHAR), '/' ORDER BY nft_id)
+              |               || repeat('/0', 5 - (SELECT count(*) FROM top)) FROM top)
+              |  END AS nft_ids,
               |  '${FixtureStore.goldenQuery2DigestHex}' AS range_digest,
               |  '${FixtureStore.goldenProvingBlockHashHex(b0, b1)}' AS proving_block_hash,
               |  '${FixtureStore.goldenBlockDbRootHex}' AS block_db_root""".stripMargin),
@@ -607,8 +609,10 @@ object Zk {
               |  greatest($b0, (SELECT min(block_number) FROM $H)) AS min_block,
               |  least($b1, (SELECT max(block_number) FROM $H)) AS max_block,
               |  (SELECT count(*) FROM q) AS num_entries,
-              |  (SELECT string_agg(CAST(nft_id AS VARCHAR), '/' ORDER BY nft_id)
-              |     || repeat('/0', 5 - (SELECT count(*) FROM top)) FROM top) AS nft_ids,
+              |  CASE WHEN (SELECT count(*) FROM top) = 0 THEN '0/0/0/0/0'
+              |       ELSE (SELECT string_agg(CAST(nft_id AS VARCHAR), '/' ORDER BY nft_id)
+              |               || repeat('/0', 5 - (SELECT count(*) FROM top)) FROM top)
+              |  END AS nft_ids,
               |  TRUE AS complete, TRUE AS digest_ok, TRUE AS verified,
               |  '${FixtureStore.goldenManifestHashHex()}' AS result_hash""".stripMargin),
     ),
