@@ -118,6 +118,43 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  // ---------------------------------------------------------------- St (MV coverage)
+  /** Striped block-coverage mask as a mergeable aggregate: input is a
+    * bit offset (`block_number - B_min`), the buffer a fixed
+    * `Array[Long]` of [[graft.core.StripedMask]] lanes, merge a
+    * lane-wise OR — commutative/associative, O(rangeWidth/64) state,
+    * map-side combined across the shuffle. This is the batch twin of
+    * the streaming MVs' keyed state, with no cap on the range width
+    * (the reference's block DB is unbounded append, block/mod.rs:1-6).
+    * Null offsets (e.g. a `when` guard) are skipped. */
+  class StripedMaskAgg(nStripes: Int)
+      extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](nStripes)
+    def reduce(buf: Array[Long], in: java.lang.Long): Array[Long] =
+      if (in == null) buf
+      else {
+        val off = in.longValue()
+        require(off >= 0 && (off >> 6) < nStripes,
+          s"bit offset $off outside the declared ${nStripes}-stripe range")
+        buf((off >> 6).toInt) |= 1L << (off & 63)
+        buf
+      }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** striped_mask(offset) over a declared range width — St MV state */
+  def stripedMask(offset: Column, nStripes: Int): Column =
+    udaf(new StripedMaskAgg(nStripes), Encoders.LONG).apply(offset)
+
   /** digest_agg(entryDigest) — A2 as a Column aggregate */
   def digestAgg(entryDigest: Column): Column = udaf(new DigestAgg).apply(entryDigest)
 

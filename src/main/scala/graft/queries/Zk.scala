@@ -737,21 +737,60 @@ object Zk {
     QueryDef(
       "zk_mv_snapshot",
       (s, _) => {
+        import s.implicits._
         FixtureStore.ensure(s)
         graft.streaming.Query2Mv.snapshotState(
           Fixtures.entries(s, cfg), Fixtures.contractAddr(0), cfg.nftSlot,
           Fixtures.userAddr(0), b0, b1)
-          .toDF("nft_id", "mask")
-          .orderBy("nft_id")
+          .flatMap { case (id, mask) =>
+            mask.indices.collect { case i if mask(i) != 0L => (id, i, mask(i)) } }
+          .toDF("nft_id", "stripe", "mask")
+          .orderBy("nft_id", "stripe")
       },
       Some(s"""SELECT nft_id,
-              |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(block_number - $b0 AS INTEGER)) AS BIGINT) AS mask
+              |  CAST((block_number - $b0) // 64 AS INTEGER) AS stripe,
+              |  CAST(bit_or(CAST(1 AS BIGINT) << CAST((block_number - $b0) % 64 AS INTEGER)) AS BIGINT) AS mask
               |FROM $E
               |WHERE contract = '${FixtureStore.contractHex(0)}'
               |  AND mapping_slot = ${cfg.nftSlot}
               |  AND block_number BETWEEN $b0 AND $b1
               |  AND value = '${FixtureStore.userPad32Hex(0)}'
-              |GROUP BY nft_id ORDER BY nft_id""".stripMargin),
+              |GROUP BY nft_id, stripe ORDER BY nft_id, stripe""".stripMargin),
+    ),
+
+    // the same MV bootstrap over a 200-block range — 4 striped lanes
+    // per id, past any single-Long mask. The corpus is the portable
+    // scaled fixture (owner = [[Fixtures.scaledOwnerSql]], constant
+    // per key across blocks), so DuckDB regenerates the whole universe
+    // and recomputes every lane: ids owned by user 8 must show full
+    // coverage (-1 lanes + an 8-bit tail), nobody else appears.
+    QueryDef(
+      "zk_mv_wide_range",
+      (s, _) => {
+        import s.implicits._
+        val entries = Fixtures.entriesScaled(s, nBlocks = 200, keysPerBlock = 50)
+        graft.streaming.Query2Mv.snapshotState(
+          entries, Fixtures.contractAddr(0), cfg.nftSlot,
+          graft.core.Bytes.beBytes(8L, 8), 100L, 299L)
+          .flatMap { case (id, mask) =>
+            mask.indices.collect { case i if mask(i) != 0L => (id, i, mask(i)) } }
+          .toDF("nft_id", "stripe", "mask")
+          .orderBy("nft_id", "stripe")
+      },
+      // DuckDB's signed << overflow-checks at bit 63, so the oracle
+      // builds each lane as UBIGINT and wraps to the two's-complement
+      // BIGINT Spark's Long mask carries
+      Some(s"""WITH ks AS (SELECT unnest(range(50)) AS k),
+              |own AS (SELECT k + 1 AS nft_id FROM ks WHERE ${Fixtures.scaledOwnerSql("k")} = 8),
+              |b AS (SELECT unnest(range(200)) AS off),
+              |m AS (SELECT nft_id, CAST(off // 64 AS INTEGER) AS stripe,
+              |  bit_or(CAST(1 AS UBIGINT) << CAST(off % 64 AS INTEGER)) AS u
+              |  FROM own CROSS JOIN b GROUP BY nft_id, stripe)
+              |SELECT nft_id, stripe,
+              |  CAST(CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+              |    THEN CAST(u AS HUGEINT) - 18446744073709551616
+              |    ELSE CAST(u AS HUGEINT) END AS BIGINT) AS mask
+              |FROM m ORDER BY nft_id, stripe""".stripMargin),
     ),
 
     // the streaming ERC20 MV's batch bootstrap: (seen, user_seen)
@@ -761,16 +800,21 @@ object Zk {
     QueryDef(
       "zk_mv_erc20_snapshot",
       (s, _) => {
+        import s.implicits._
         import graft.functions.GraftFunctions.u256ToDecimal
         FixtureStore.ensure(s)
         graft.streaming.Erc20Mv.snapshotState(
           Fixtures.entries(s, cfg), Fixtures.contractAddr(1), cfg.erc20Slot,
           Fixtures.userAddr(2), BigInteger.valueOf(7L), BigInteger.valueOf(1000L),
           b0, b1)
-          .toDF("k", "state")
-          .select(col("k"), col("state.seen").as("seen"),
-            col("state.userSeen").as("user_seen"),
-            u256ToDecimal(col("state.sum")).cast("double").as("sum_reward"))
+          .flatMap { case (k, st) =>
+            st.seen.indices.collect {
+              case i if st.seen(i) != 0L || st.userSeen(i) != 0L =>
+                (k, i, st.seen(i), st.userSeen(i), st.sum) } }
+          .toDF("k", "stripe", "seen", "user_seen", "sum_bytes")
+          .select(col("k"), col("stripe"), col("seen"), col("user_seen"),
+            u256ToDecimal(col("sum_bytes")).cast("double").as("sum_reward"))
+          .orderBy("stripe")
       },
       Some(s"""WITH scoped AS (
               |  SELECT block_number, mapping_key, balance FROM $E
@@ -778,12 +822,13 @@ object Zk {
               |    AND mapping_slot = ${cfg.erc20Slot}
               |    AND block_number BETWEEN $b0 AND $b1)
               |SELECT 0 AS k,
-              |  CAST(bit_or(CAST(1 AS BIGINT) << CAST(block_number - $b0 AS INTEGER)) AS BIGINT) AS seen,
+              |  CAST((block_number - $b0) // 64 AS INTEGER) AS stripe,
+              |  CAST(bit_or(CAST(1 AS BIGINT) << CAST((block_number - $b0) % 64 AS INTEGER)) AS BIGINT) AS seen,
               |  CAST(COALESCE(bit_or(CASE WHEN mapping_key = '${FixtureStore.userPad32Hex(2)}'
-              |    THEN CAST(1 AS BIGINT) << CAST(block_number - $b0 AS INTEGER) END), 0) AS BIGINT) AS user_seen,
-              |  CAST(COALESCE(SUM(CASE WHEN mapping_key = '${FixtureStore.userPad32Hex(2)}'
-              |    THEN (7 * balance) // 1000 END), 0) AS DOUBLE) AS sum_reward
-              |FROM scoped""".stripMargin),
+              |    THEN CAST(1 AS BIGINT) << CAST((block_number - $b0) % 64 AS INTEGER) END), 0) AS BIGINT) AS user_seen,
+              |  CAST((SELECT COALESCE(SUM(CASE WHEN mapping_key = '${FixtureStore.userPad32Hex(2)}'
+              |    THEN (7 * balance) // 1000 END), 0) FROM scoped) AS DOUBLE) AS sum_reward
+              |FROM scoped GROUP BY stripe ORDER BY stripe""".stripMargin),
     ),
   )
 }

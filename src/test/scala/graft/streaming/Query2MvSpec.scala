@@ -107,6 +107,45 @@ class Query2MvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "fixture must qualify at least one id for the handoff to be probed")
   }
 
+  test("wide range (200 blocks): snapshot handoff + stream equals batch, lanes grow on demand") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val (minB, maxB) = (100L, 299L)
+    val nBlocks = maxB - minB + 1
+    val owner = graft.core.Bytes.beBytes(8L, 8)
+    val entries = Fixtures.entriesScaled(spark, nBlocks = 200, keysPerBlock = 50)
+    // snapshot covers [100, 230] → 3 striped lanes; the stream then
+    // extends coverage to block 299 → lane 3 must grow on demand
+    val splitB = 230L
+
+    val snapshot = Query2Mv.snapshotState(
+      entries.filter(s"block_number <= $splitB"),
+      Fixtures.contractAddr(0), 3, owner, minB, splitB)
+    assert(snapshot.collect().forall(_._2.length == 3),
+      "snapshot over 131 blocks must carry exactly 3 lanes")
+
+    val delta = Query2Mv.keyed(entries.filter(s"block_number > $splitB"),
+      Fixtures.contractAddr(0), 3, owner, minB, maxB).collect().toSeq
+    val stream = MemoryStream[Query2Mv.KeyedEntry]
+    val q = Query2Mv.updatesFrom(stream.toDS(), minB, maxB, snapshot)
+      .writeStream.format("memory").queryName("q2mv_wide")
+      .outputMode("update").start()
+    stream.addData(delta)
+    q.processAllAvailable()
+    val latest = spark.table("q2mv_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).max }
+    q.stop()
+
+    val got = latest.filter(_._2 == nBlocks).keys.toSeq.sorted
+    val (batchIds, _) = ZkPipeline.query2(
+      entries, Fixtures.contractAddr(0), 3, owner, minB, maxB)
+    val want = batchIds.collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"wide-range MV $got vs batch $want")
+    assert(got.nonEmpty, "scaled fixture must qualify at least one id at owner 8")
+  }
+
   test("streaming ERC20 reward sum equals the batch query at end of stream") {
     implicit val sq = spark.sqlContext
     val s2 = spark
