@@ -4,7 +4,7 @@ import java.math.BigInteger
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{Bytes, Commitments, Keccak}
+import graft.core.{Bytes, Commitments, Keccak, U256}
 
 /** Driver-oracle ground truth for the zk fixture queries.
   *
@@ -126,6 +126,23 @@ object FixtureStore {
       67, b0, b1, goldenQuery2Qualified.size.toLong, padded,
       goldenQuery2DigestBytes,
       goldenProvingBlockHashBytes(b0, b1),
+      Fixtures.goldenBlockDb(cfg)._2)))
+  }
+
+  /** ERC20 manifest seal, recomputed by pure kernels alone: the
+    * reward sum re-derived straight from [[Fixtures.erc20Balance]]
+    * (not through any Spark plan), sealed over the clamped range with
+    * the golden proving hash and block-DB root. */
+  def goldenErc20ManifestHashHex(queryMinB: Long, queryMaxB: Long): String = {
+    val b0 = cfg.firstBlock
+    val b1 = cfg.firstBlock + cfg.nBlocks - 1
+    val sum = (b0 to b1).foldLeft(java.math.BigInteger.ZERO)((a, b) =>
+      a.add(java.math.BigInteger.valueOf(7L)
+        .multiply(Fixtures.erc20Balance(2, b, cfg))
+        .divide(java.math.BigInteger.valueOf(1000L))))
+    hx(Keccak.keccak256(ZkPipeline.erc20ManifestPreimage(
+      88, b0, b1, cfg.nBlocks.toLong, U256.toBytes32(sum),
+      goldenProvingBlockHashBytes(queryMinB, queryMaxB),
       Fixtures.goldenBlockDb(cfg)._2)))
   }
 

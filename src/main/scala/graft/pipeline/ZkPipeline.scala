@@ -276,7 +276,18 @@ object ZkPipeline {
   def queryErc20Revelation(entries: DataFrame, headers: DataFrame, contract: Array[Byte], slot: Int,
       user: Array[Byte], rate: java.math.BigInteger, totalSupply: java.math.BigInteger,
       minB: Long, maxB: Long): DataFrame = {
-    val result = queryErc20(entries, contract, slot, user, rate, totalSupply, minB, maxB)
+    val perBlock = erc20PerBlock(entries, contract, slot, user, rate, totalSupply, minB, maxB)
+    val result = erc20Result(perBlock)
+    // the per-IVC-step contributions, revealed alongside the sum so
+    // the attestation can re-derive the result independently (the
+    // analog of query2's id-digest re-derivation). Payload is
+    // O(rangeWidth) — the same width the reference's proof tree has
+    // one public-input set per block for.
+    val steps = perBlock.agg(
+      sort_array(collect_list(struct(col("block_number"), col("reward")))).as("br"))
+      .select(
+        expr("transform(br, x -> x.block_number)").as("block_numbers"),
+        expr("transform(br, x -> x.reward)").as("block_rewards"))
     val head = blockDbHead(blockDb(stateDb(storageDb(entries)), headers))
       .select(col("root"))
     val provingHash = headers
@@ -284,6 +295,7 @@ object ZkPipeline {
       .orderBy(col("block_number").desc).limit(1)
       .select(col("block_hash").as("proving_block_hash"))
     result
+      .crossJoin(broadcast(steps))
       .crossJoin(broadcast(head))
       .crossJoin(broadcast(provingHash))
       .select(
@@ -293,8 +305,66 @@ object ZkPipeline {
         col("n_blocks"),
         col("gap_free"),
         col("result"),
+        col("block_numbers"),
+        col("block_rewards"),
         col("proving_block_hash"),
         col("root").as("block_db_root"))
+  }
+
+  /** Canonical serialization of the ERC20 result manifest — the twin
+    * of [[manifestPreimage]] for the reward query (the reference pads
+    * the ERC20 revelation to the Query2 public-input width and places
+    * the single U256 result in the result slots,
+    * query_erc20/revelation/public_inputs.rs:17-86; here the result
+    * hex occupies the same delimiter slot the id list does in the
+    * Query2 layout). */
+  def erc20ManifestPreimage(queryId: Int, minB: Long, maxB: Long, nBlocks: Long,
+      result: Array[Byte], provingHash: Array[Byte], root: Array[Byte]): Array[Byte] =
+    (s"graft-manifest|v1|$queryId|$minB|$maxB|$nBlocks|${Bytes.toHex(result)}|" +
+      s"${Bytes.toHex(provingHash)}|${Bytes.toHex(root)}")
+      .getBytes("UTF-8")
+
+  /** §3.3 step 5 — the ERC20 result-attestation record (S6 analog,
+    * mirroring [[attestQuery2]]):
+    *
+    *  - `result_rederived`: Σ of the revealed per-block rewards,
+    *    folded by a pure sequential kernel — an INDEPENDENT path from
+    *    the distributed U256 aggregator that produced `result` (the
+    *    circuit's revelation constraint: the exposed sum must equal
+    *    the proven per-step contributions,
+    *    query_erc20/revelation/public_inputs.rs:17-86).
+    *  - `coverage_ok`: contiguity re-derived from the revealed block
+    *    numbers themselves (strict +1 chain anchored at
+    *    min_block/max_block), not trusted from the plan's `gap_free`.
+    *  - `result_hash`: keccak over [[erc20ManifestPreimage]] — tamper
+    *    with any sealed field and the hash moves (negative-tested).
+    *  - `verified`: the one-bit downstream verdict. */
+  def attestErc20(revelation: DataFrame): DataFrame = {
+    val resum = udf((rewards: Seq[Array[Byte]]) => {
+      val s = rewards.foldLeft(BigInteger.ZERO)((a, r) => a.add(new BigInteger(1, r)))
+      require(s.bitLength() <= 256, "u256 overflow in manifest re-derivation")
+      U256.toBytes32(s)
+    })
+    val chained = udf((bs: Seq[Long]) =>
+      bs.nonEmpty && bs.iterator.zip(bs.iterator.drop(1)).forall { case (a, b) => b == a + 1 })
+    val seal = udf((qid: Int, minB: Long, maxB: Long, n: Long, res: Array[Byte],
+        ph: Array[Byte], rt: Array[Byte]) =>
+      Keccak.keccak256(erc20ManifestPreimage(qid, minB, maxB, n, res, ph, rt)))
+    revelation
+      .withColumn("result_rederived", resum(col("block_rewards")))
+      .withColumn("result_ok",
+        col("result_rederived") === col("result") &&
+          size(col("block_rewards")) === col("n_blocks"))
+      .withColumn("coverage_ok",
+        chained(col("block_numbers")) &&
+          element_at(col("block_numbers"), 1) === col("min_block") &&
+          element_at(col("block_numbers"), -1) === col("max_block") &&
+          col("n_blocks") === col("max_block") - col("min_block") + 1)
+      .withColumn("result_hash", seal(
+        col("query_id"), col("min_block"), col("max_block"), col("n_blocks"),
+        col("result"), col("proving_block_hash"), col("block_db_root")))
+      .withColumn("verified",
+        col("result_ok") && col("coverage_ok") && col("min_block") <= col("max_block"))
   }
 
   /** Canonical serialization of the Query2 result manifest — the
@@ -365,6 +435,15 @@ object ZkPipeline {
     * gap-free (A6 contiguity). One row out: the U256 sum + verdicts.
     */
   def queryErc20(entries: DataFrame, contract: Array[Byte], slot: Int, user: Array[Byte],
+      rate: BigInteger, totalSupply: BigInteger, minB: Long, maxB: Long): DataFrame =
+    erc20Result(erc20PerBlock(entries, contract, slot, user, rate, totalSupply, minB, maxB))
+
+  /** the per-block reward spine of QueryERC20 — clamp (P7), per-block
+    * user balance with absent⇒0 (P4), codegen'd U256 reward (F7). One
+    * row per in-range block: (block_number, reward). These are the
+    * per-IVC-step contributions the proof tree exposes at each node
+    * (query_erc20/block/full_node.rs) before the root sums them. */
+  def erc20PerBlock(entries: DataFrame, contract: Array[Byte], slot: Int, user: Array[Byte],
       rate: BigInteger, totalSupply: BigInteger, minB: Long, maxB: Long): DataFrame = {
     val scoped = entries
       .filter(col("contract") === lit(contract) && col("mapping_slot") === slot)
@@ -375,17 +454,21 @@ object ZkPipeline {
       .filter(col("block_number") >= greatest(lit(minB), col("db_min")) &&
         col("block_number") <= least(lit(maxB), col("db_max")))
     // P4: per block, the user's balance or 0 when absent
-    val perBlock = blocks
+    blocks
       .groupBy("block_number")
       .agg(max(when(col("mapping_key") === lit(Bytes.leftPad32(user)), col("value"))).as("balance"))
       .withColumn("balance", coalesce(col("balance"), lit(U256.toBytes32(BigInteger.ZERO))))
       .withColumn("reward",
         u256MulDiv(lit(U256.toBytes32(rate)), col("balance"), lit(U256.toBytes32(totalSupply))))
+  }
+
+  /** fold of [[erc20PerBlock]] to the single result row (A6 U256 sum
+    * with overflow abort + contiguity verdict). */
+  def erc20Result(perBlock: DataFrame): DataFrame =
     perBlock.agg(
       count(lit(1)).as("n_blocks"),
       min("block_number").as("range_min"),
       max("block_number").as("range_max"),
       Aggregators.u256Sum(col("reward")).as("result"))
       .withColumn("gap_free", col("n_blocks") === col("range_max") - col("range_min") + 1)
-  }
 }

@@ -658,6 +658,56 @@ object Zk {
       headline = true,
     ),
 
+    // ERC20 attestation manifest (§3.3 step 5 / S6 twin of
+    // zk_revelation_manifest): the revelation sealed under keccak with
+    // the result re-derived from the revealed per-block rewards and
+    // contiguity re-derived from the revealed block numbers. Oracled:
+    // DuckDB recomputes the relational spine, expects every verdict
+    // TRUE, and checks the seal against the pure-kernel golden
+    // ([[FixtureStore.goldenErc20ManifestHashHex]]). Tamper-negative:
+    // ZkPipelineSpec proves a flipped result byte breaks `verified`
+    // and moves the hash.
+    QueryDef(
+      "zk_erc20_manifest",
+      (s, _) => {
+        import graft.functions.GraftFunctions.u256ToDecimal
+        FixtureStore.ensure(s)
+        val rev = ZkPipeline.queryErc20Revelation(
+          Fixtures.entries(s, cfg), Fixtures.headers(s, cfg),
+          Fixtures.contractAddr(1), cfg.erc20Slot, Fixtures.userAddr(2),
+          BigInteger.valueOf(7L), BigInteger.valueOf(1000L),
+          cfg.firstBlock - 50, cfg.firstBlock + cfg.nBlocks + 50)
+        ZkPipeline.attestErc20(rev)
+          .select(col("query_id"), col("min_block"), col("max_block"),
+            col("n_blocks"), col("gap_free"),
+            u256ToDecimal(col("result")).cast("double").as("result"),
+            col("result_ok"), col("coverage_ok"), col("verified"),
+            hex(col("result_hash")).as("result_hash"))
+      },
+      Some(s"""WITH scoped AS (
+              |  SELECT block_number, mapping_key, balance FROM $E
+              |  WHERE contract = '${FixtureStore.contractHex(1)}'
+              |    AND mapping_slot = ${cfg.erc20Slot}),
+              |bounds AS (SELECT min(block_number) AS db_min, max(block_number) AS db_max FROM scoped),
+              |blocks AS (
+              |  SELECT s.* FROM scoped s CROSS JOIN bounds b
+              |  WHERE s.block_number >= greatest(${cfg.firstBlock - 50}, b.db_min)
+              |    AND s.block_number <= least(${cfg.firstBlock + cfg.nBlocks + 50}, b.db_max)),
+              |per_block AS (
+              |  SELECT block_number,
+              |    COALESCE(MAX(CASE WHEN mapping_key = '${FixtureStore.userPad32Hex(2)}'
+              |                      THEN balance END), 0) AS bal
+              |  FROM blocks GROUP BY block_number)
+              |SELECT CAST(88 AS INTEGER) AS query_id,
+              |  min(block_number) AS min_block, max(block_number) AS max_block,
+              |  count(*) AS n_blocks,
+              |  (count(*) = max(block_number) - min(block_number) + 1) AS gap_free,
+              |  CAST(SUM((7 * bal) // 1000) AS DOUBLE) AS result,
+              |  TRUE AS result_ok, TRUE AS coverage_ok, TRUE AS verified,
+              |  '${FixtureStore.goldenErc20ManifestHashHex(cfg.firstBlock - 50, cfg.firstBlock + cfg.nBlocks + 50)}' AS result_hash
+              |FROM per_block""".stripMargin),
+    ),
+
     // S1 live-shaped ingest: EIP-1186 eth_getProof dump → explicit-
     // schema JSON read → normalize → per-row MPT re-verification —
     // the reference's query_mpt_proof + verify_storage_proof path

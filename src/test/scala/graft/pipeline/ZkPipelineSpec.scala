@@ -332,6 +332,45 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bytes.toHex(sealMoved.getAs[Array[Byte]]("result_hash")).toUpperCase != goodHash)
   }
 
+  test("ERC20 manifest attestation: verified seal matches golden; a flipped result byte flips the verdict and moves the hash") {
+    val (qMin, qMax) = (cfg.firstBlock - 50, cfg.firstBlock + cfg.nBlocks + 50)
+    val rev = ZkPipeline.queryErc20Revelation(
+      Fixtures.entries(spark, cfg), Fixtures.headers(spark, cfg),
+      Fixtures.contractAddr(1), cfg.erc20Slot, Fixtures.userAddr(2),
+      BigInteger.valueOf(7L), BigInteger.valueOf(1000L), qMin, qMax)
+    val good = ZkPipeline.attestErc20(rev).collect()(0)
+    assert(good.getAs[Boolean]("result_ok"))
+    assert(good.getAs[Boolean]("coverage_ok"))
+    assert(good.getAs[Boolean]("verified"))
+    val goodHash = Bytes.toHex(good.getAs[Array[Byte]]("result_hash")).toUpperCase
+    assert(goodHash == FixtureStore.goldenErc20ManifestHashHex(qMin, qMax))
+
+    // tamper: flip the low byte of the revealed U256 result — the
+    // per-block re-derivation no longer matches, and the seal moves
+    val tampered = rev.withColumn("result",
+      expr("CAST(concat(substring(result, 1, 31), CAST('z' AS BINARY)) AS BINARY)"))
+    val bad = ZkPipeline.attestErc20(tampered).collect()(0)
+    assert(!bad.getAs[Boolean]("result_ok"))
+    assert(!bad.getAs[Boolean]("verified"))
+    assert(Bytes.toHex(bad.getAs[Array[Byte]]("result_hash")).toUpperCase != goodHash)
+
+    // tamper: drop one per-block contribution — the re-derived sum
+    // and the revealed count both disagree
+    val dropped = rev
+      .withColumn("block_rewards", expr("slice(block_rewards, 1, size(block_rewards) - 1)"))
+      .withColumn("block_numbers", expr("slice(block_numbers, 1, size(block_numbers) - 1)"))
+    val short = ZkPipeline.attestErc20(dropped).collect()(0)
+    assert(!short.getAs[Boolean]("result_ok"))
+    assert(!short.getAs[Boolean]("coverage_ok"))
+    assert(!short.getAs[Boolean]("verified"))
+
+    // tamper: tear a hole in the revealed block chain — contiguity
+    // re-derivation catches it even with counts intact
+    val holed = rev.withColumn("block_numbers",
+      expr("transform(block_numbers, (x, i) -> CASE WHEN i = 1 THEN x + 1000 ELSE x END)"))
+    assert(!ZkPipeline.attestErc20(holed).collect()(0).getAs[Boolean]("coverage_ok"))
+  }
+
   test("scaledOwner Scala twin equals the portable SQL form on every key index") {
     // the golden digest literals the zk oracle SQL carries re-derive
     // scaled-fixture ownership through the Scala twin — pin it to the
