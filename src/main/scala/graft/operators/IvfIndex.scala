@@ -46,20 +46,40 @@ object IvfIndex {
     * far below this; at 100 TB the fit must never see the full table. */
   val TrainCap = 1000000L
 
+  /** cache-key token for persisted stores: any change to the training
+    * path (sampling, layout, k-means params) must bump this so an
+    * `_OK`-gated store built under the old trainer re-keys instead of
+    * being served silently. */
+  val TrainerVersion = "t2"
+
   /** train the coarse quantizer (k-means over a bounded sample, fixed
     * seed). count() is answered from parquet footers; the fit input is
-    * ≤ [[TrainCap]] rows regardless of table size. */
+    * ≤ [[TrainCap]] rows regardless of table size. The sample is
+    * hash-repartitioned to a FIXED layout before the fit: k-means||
+    * init samples per-partition, so without this the centroid
+    * placement depends on the session's core count / input split —
+    * the fixed layout makes the fit machine-independent under a fixed
+    * seed. */
   def train(embeddings: DataFrame, nlist: Int, seed: Long = 42L): Model = {
     val total = embeddings.count()
     val sampled =
       if (total <= TrainCap) embeddings
       // 1.2× oversample so the Bernoulli draw lands ≥ cap with margin
       else embeddings.sample(withReplacement = false, math.min(1.0, 1.2 * TrainCap / total), seed)
-    val withVec = sampled.withColumn("features", array_to_vector(col("embedding")))
+    val withVec = sampled.repartition(16, col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
     val model = km.fit(withVec)
     Model(model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
   }
+
+  /** build a quantizer from KNOWN centers (no fit): the deterministic
+    * path when the cluster structure is given a priori — e.g. a
+    * planted/grid corpus, or centroids agreed across systems. Nearest-
+    * center assignment is a pure function of the centers, so results
+    * are identical on any machine and Spark ML version. */
+  def modelFromCenters(centers: Array[Array[Float]]): Model =
+    Model(centers.zipWithIndex.map { case (c, i) => (i, c) })
 
   /** assign every vector to its posting list (the at-rest layout). */
   def assign(embeddings: DataFrame, model: Model): DataFrame = {

@@ -38,6 +38,18 @@ object Similarity {
   private def plantedJitterSql(vid: String, j: String): String =
     graft.pipeline.Fixtures.portableMixSql(s"($vid * 16 + $j)", 100)
 
+  /** Scala twin of [[plantedCenterSql]] (vid ≡ cls mod nClasses): the
+    * exact grid centers, used to build a deterministic quantizer for
+    * dd12 so cluster scoping never depends on a k-means fit. Kept in
+    * lockstep with the SQL form; dd12's `purity_ok` column fails
+    * diagnosably if they drift apart. */
+  private def plantedCenters(nClasses: Int): Array[Array[Float]] =
+    (0 until nClasses).map { cls =>
+      (0 until 16).map { j =>
+        (((cls.toLong % nClasses) * 1299709L + j * 104729L) % 1000L * 1000L).toFloat
+      }.toArray
+    }.toArray
+
   /** planted cluster corpus for ss13/dd12/ss14: 16-dim integer
     * vectors, center coordinate = class-keyed grid value × 1000
     * (inter-class gap ≥ 1000 on every differing dim), jitter =
@@ -1164,8 +1176,21 @@ object Similarity {
             transform(col("embedding"),
               (x, j) => x + (pmod(col("vec_id") + j, lit(3)) - 1).cast("float")).as("embedding"))
         val all = base.unionByName(twins)
-        val assigned = IvfIndex.assign(all, IvfIndex.train(all, nlist = 8))
-          .select("vec_id", "list_id", "embedding")
+        // deterministic quantizer: centers ARE the planted grid
+        // (plantedCenterValue — the Scala twin of plantedCenterSql),
+        // so cluster scoping is a pure function of the corpus on any
+        // machine/ML version — no fit, no seed sensitivity. purity_ok
+        // then PROVES the scoping recovered the planted partition
+        // (jitter < 100 ≪ inter-class gap 1000), so a center/formula
+        // drift fails on a diagnosable boolean, not a bare hash
+        // mismatch in the pair counts.
+        val model = IvfIndex.modelFromCenters(plantedCenters(8))
+        val assignedAll = IvfIndex.assign(all, model)
+        val purity = assignedAll.groupBy("class")
+          .agg(countDistinct("list_id").as("nl"))
+          .agg(expr("bool_and(nl = 1)").as("purity_ok"),
+            count(lit(1)).as("n_classes"))
+        val assigned = assignedAll.select("vec_id", "list_id", "embedding")
         val a = assigned.select(col("vec_id").as("va"), col("list_id"), col("embedding").as("ea"))
         val b = assigned.select(col("vec_id").as("vb"), col("list_id"), col("embedding").as("eb"))
         val d2 = aggregate(
@@ -1185,6 +1210,7 @@ object Similarity {
             count(lit(1)).as("n_dup_pairs"),
             coalesce(sum(when(col("vb") === col("va") + nBase && col("va") % 100 === 0, 1L)
               .otherwise(0L)), lit(0L)).as("n_twin_pairs"))
+          .crossJoin(broadcast(purity))
       },
       Some {
         val center = plantedCenterSql("vid", "j", 8)
@@ -1192,10 +1218,14 @@ object Similarity {
         s"""WITH ids AS (SELECT unnest(range(8000)) AS vid),
            |base AS (SELECT vid, vid % 8 AS cls,
            |  list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
-           |twins AS (SELECT vid + 8000 AS vid, cls,
+           |-- alias must NOT shadow vid: the jitter lambda uses the
+           |-- ORIGINAL vid (matching Spark's resolution against the
+           |-- input frame), so the shifted id gets its own name
+           |twins AS (SELECT vid + 8000 AS tvid, cls,
            |  list_transform(range(0, 16), j -> e[j + 1] + ((vid + j) % 3) - 1) AS e
            |  FROM base WHERE vid % 100 = 0),
-           |allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+           |allv AS (SELECT vid, cls, e FROM base
+           |         UNION ALL SELECT tvid AS vid, cls, e FROM twins),
            |cand AS (
            |  SELECT a.vid AS va, b.vid AS vb, a.e AS ea, b.e AS eb
            |  FROM allv a JOIN allv b ON a.cls = b.cls AND a.vid < b.vid
@@ -1207,7 +1237,8 @@ object Similarity {
            |close AS (SELECT va, vb FROM d WHERE d2 <= 100)
            |SELECT count(*) AS n_dup_pairs,
            |  CAST(COALESCE(sum(CASE WHEN vb = va + 8000 AND va % 100 = 0
-           |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_twin_pairs
+           |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_twin_pairs,
+           |  TRUE AS purity_ok, CAST(8 AS BIGINT) AS n_classes
            |FROM close""".stripMargin
       },
     ),
@@ -1237,19 +1268,29 @@ object Similarity {
         // discipline): any change to the corpus formula, sizes, or
         // list count re-keys the store — a stale cache can never be
         // served as if it matched the current corpus
+        // … and the trainer version + seed are part of the key: a
+        // training-code change re-keys the store instead of silently
+        // serving a model built by the old path
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
-          s"|base=$nBase|all=$nAll|nlist=16"
+          s"|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42"
         val tag = graft.core.Bytes.toHex(
           graft.core.Keccak.keccak256(canon.getBytes("UTF-8")).take(8))
         val store = new java.io.File(s"target/ivfstore/planted_$tag").getAbsolutePath
         IvfStoreLock.synchronized {
           if (!new java.io.File(store, "_OK").exists()) {
+            // build into a pid-suffixed temp dir, publish by atomic
+            // rename: a second JVM racing the same key either wins the
+            // rename or discards its temp — a half-built store is
+            // never visible under the published path
+            val tmp = store + ".tmp-" + ProcessHandle.current().pid()
             val base = corpus.filter(col("vec_id") < nBase)
             val model = IvfIndex.train(base, nlist = 16)
-            IvfIndex.writeStore(IvfIndex.assign(base, model), store)
-            IvfIndex.saveModel(s, model, store)
-            IvfIndex.appendStore(corpus.filter(col("vec_id") >= nBase), model, store)
-            new java.io.File(store, "_OK").createNewFile()
+            IvfIndex.writeStore(IvfIndex.assign(base, model), tmp)
+            IvfIndex.saveModel(s, model, tmp)
+            IvfIndex.appendStore(corpus.filter(col("vec_id") >= nBase), model, tmp)
+            new java.io.File(tmp, "_OK").createNewFile()
+            if (!new java.io.File(tmp).renameTo(new java.io.File(store)))
+              deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
           }
         }
         val model = IvfIndex.loadModel(s, store)
@@ -1300,6 +1341,12 @@ object Similarity {
   )
 
   /** guards the ss14 store's build-once section (Bench and Verify can
-    * share a JVM). */
+    * share a JVM); cross-JVM races are handled by the temp-dir +
+    * atomic-rename publish. */
   private object IvfStoreLock
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
 }

@@ -19,6 +19,7 @@ class CryptoExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("expr-spec")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")

@@ -13,6 +13,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("multimodal-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -18,6 +18,7 @@ class BloomFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("bloom-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -15,6 +15,7 @@ class BpeTrainerSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("bpe-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")

@@ -20,6 +20,7 @@ class ConstraintsSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("constraints-spec")
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")

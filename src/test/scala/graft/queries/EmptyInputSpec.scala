@@ -28,6 +28,7 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("empty-input-spec")
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")

@@ -21,6 +21,7 @@ class RpcProofSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("rpc-proof-source-spec")
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
