@@ -158,8 +158,17 @@ object GraphAnn {
     * rows; search scores them all in one job, then descends the base
     * graph from the best of them — log-depth-style entry that lets
     * `maxExpand` shrink at equal-or-better recall. */
-  def buildEntryLayer(fx: DataFrame, nPlanes: Int = 5, dims: Int = 64): DataFrame = {
-    val m = planes(t = 7919, nPlanes, dims) // independent matrix
+  def buildEntryLayer(fx: DataFrame, nPlanes: Int = 5, dims: Int = 64,
+                      table: Int = 7919): DataFrame = {
+    // default: an independent matrix. For strongly CLUSTERED corpora
+    // pass `table = 0` with `nPlanes = planesForBuild(n)` — the entry
+    // buckets then coincide with build table 0's, so every occupied
+    // build bucket (and with it every graph component) contributes an
+    // entry: a disconnected island can otherwise be unreachable no
+    // matter the search budget (a 4-entry coarse layer over an
+    // 8-island corpus strands half the classes — measured on the
+    // planted fixture).
+    val m = planes(table, nPlanes, dims)
     val bucket = concat((0 until nPlanes).map { j =>
       val planeLit = array(m(j).map(v => lit(v.toLong)): _*)
       when(ip(col("f"), planeLit) >= 0, lit("1")).otherwise(lit("0"))
@@ -170,6 +179,27 @@ object GraphAnn {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select("vec_id")
+  }
+
+  /** COMPONENT-GUARANTEED entry layer: one representative (min id)
+    * per connected component of the BUILT graph, computed with the
+    * [[ConnectedComponents]] operator, unioned with the coarse
+    * sign-bucket layer. The coarse layer spreads entries across the
+    * space, but a batch-built graph over a strongly clustered corpus
+    * can be DISCONNECTED (tight L2 islands never share an LSH build
+    * bucket's top-degree edges) and sign buckets collide on cluster
+    * centers — an island with no entry is unreachable at ANY search
+    * budget (measured on the planted fixture: 4 coarse entries over 8
+    * islands strand half the classes). HNSW buys this guarantee from
+    * sequential inserts; a batch build must add it explicitly. One CC
+    * run per graph build; #components extra entries. */
+  def buildEntryLayerConnected(fx: DataFrame, graph: DataFrame,
+                               nPlanes: Int = 5, dims: Int = 64): DataFrame = {
+    val spark = fx.sparkSession
+    val perComponent = ConnectedComponents.run(spark, graph.select("src", "dst"))
+      .groupBy("component").agg(min("id").as("vec_id"))
+      .select("vec_id")
+    buildEntryLayer(fx, nPlanes, dims).unionByName(perComponent).distinct()
   }
 
   /** greedy best-first search (HNSW's ef-search discipline): score
@@ -249,6 +279,12 @@ object GraphAnn {
     * the driver for the search loop (≈ 30 MB at the cap). */
   val DriverEdgeCap = 2000000L
 
+  /** queries per stored-search shard: bounds the driver's resident
+    * per-hop state (scored maps + fetched vectors) to
+    * cap × (entries + maxExpand·2·degree) ids — a few MB — no matter
+    * how large the offline query batch is. */
+  val ServeBatchCap = 256
+
   // ------------------------------------------------------------------
   // committed-store serving: the scale path. [[searchWithBudget]]'s
   // per-hop `isin` over a live DataFrame is fine under DriverEdgeCap,
@@ -304,20 +340,176 @@ object GraphAnn {
     * discipline, same (-score, id) tie order (GraphAnnSpec pins the
     * equality). Returns (qid, vec_id, score) — top-`k` per query —
     * and the per-query scored-candidate budget. */
+  /** largest delta [[appendStore]] accepts in one call — the driver
+    * holds the delta's vectors and its pairwise scores (≤ cap² long
+    * ops); larger ingests loop in chunks, exactly the BpeTrainer /
+    * ConnectedComponents capped-hybrid discipline. */
+  val GraphDeltaCap = 5000L
+
+  /** Incremental maintenance of a committed graph store — insert a
+    * bounded DELTA of new vectors without rebuilding (the HNSW insert
+    * discipline, batched):
+    *
+    *  1. LINK: every delta vector greedy-searches the EXISTING store
+    *     for its nearest residents (one batched [[searchStoredWithBudget]]
+    *     pass over the committed index — partition-pruned point reads,
+    *     never a scan) and keeps the top-`degree` by ANGULAR proximity
+    *     (the same cosine edge rule [[buildGraph]] uses — IP-ranked
+    *     edges would hub-collapse, see [[cosEdge]]);
+    *  2. delta↔delta: exact pairwise cosine inside the (bounded)
+    *     delta, so same-batch near points connect to each other;
+    *  3. PUBLISH: new forward (delta→nbr) and reverse (nbr→delta)
+    *     edges merge into the store by DIRTY-BUCKET REWRITE — only
+    *     the buckets holding a touched src are re-pruned (per touched
+    *     src: top-2·degree by cosine over current ∪ new, the
+    *     symmetrized bound; untouched srcs in the same bucket pass
+    *     through byte-identical) and dynamically overwritten, the
+    *     VersionedTable dirty-bucket discipline. Delta vectors append
+    *     into `fx`'s id buckets.
+    *
+    * Cost: one budgeted stored search + a rewrite of ≤ touched
+    * buckets; resident data outside them is never read or written.
+    * GraphAnnSpec + ss15 pin probe(append) ≡ probe(rebuild) on the
+    * planted corpus. */
+  def appendStore(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
+                  deltaFx: DataFrame, degree: Int = 16, ef: Int = 48,
+                  maxExpand: Int = 80, batch: Int = 8,
+                  entryIds: Seq[Long], metric: String = "ip"): Unit = {
+    import spark.implicits._
+    val delta = deltaFx.select("vec_id", "f").as[(Long, Seq[Long])].collect()
+      .map { case (id, f) => id -> f.toArray }
+    require(delta.length <= GraphDeltaCap,
+      s"appendStore delta ${delta.length} exceeds GraphDeltaCap=$GraphDeltaCap — chunk the ingest")
+    val fxTable = spark.read.parquet(s"${store.dir}/fx")
+    val edgeTable = spark.read.parquet(s"${store.dir}/edges")
+
+    // 1. LINK against the resident graph: over-fetch 2·degree
+    //    candidates by IP, then rerank by cosine with the fetched
+    //    vectors (the search's IP order is not the edge metric)
+    val (linked, _) = searchStoredWithBudget(spark, store, delta.toSeq,
+      k = 2 * degree, ef, maxExpand, batch, entryIds, metric = metric)
+    val candIds = linked.select("vec_id").distinct().as[Long].collect().toSeq
+    val candVecs = prunedRead(fxTable, "vec_id", candIds, store.nBuckets)
+      .select(col("vec_id"), col("f"))
+      .as[(Long, Seq[Long])].collect().map { case (id, f) => id -> f.toArray }.toMap
+    val candsPerQ = linked.select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSeq }
+
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var ipv = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        ipv += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      ipv / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // per delta vector: top-`degree` of (resident candidates ∪ other
+    // delta vectors) by cosine — one combined ranking, like buildGraph
+    // ranks across all tables' candidates at once
+    val newEdges = delta.flatMap { case (id, f) =>
+      val residents = candsPerQ.getOrElse(id, Nil).flatMap(c => candVecs.get(c).map(c -> _))
+      val others = delta.iterator.filter(_._1 != id)
+      val ranked = (residents.iterator ++ others)
+        .map { case (oid, of) => (oid, cos(f, of)) }
+        .toSeq.sortBy { case (oid, c) => (-c, oid) }.take(degree)
+      ranked.flatMap { case (oid, _) => Seq((id, oid), (oid, id)) } // symmetrized
+    }.distinct.toSeq
+
+    // 3. PUBLISH — dirty-bucket rewrite of every bucket holding a
+    //    touched src (delta srcs and residents that gained a reverse
+    //    edge). The repair itself runs IN SPARK: the driver ships only
+    //    the bounded new-edge set; bucket contents never ride through
+    //    the driver, so the rewrite cost is O(touched buckets), not
+    //    O(collected edges).
+    val newEdgesDf = newEdges.toSeq.toDF("src", "dst")
+    val touchedBuckets = newEdges.map(e => bucketOf(e._1, store.nBuckets)).distinct.toSeq
+    val touchedDf = newEdges.map(_._1).distinct.toSeq.toDF("src")
+      .withColumn("touched", lit(true))
+    val bucketRows = edgeTable.filter(col("bucket").isin(touchedBuckets: _*))
+      .select("src", "dst")
+      .join(broadcast(touchedDf), Seq("src"), "left")
+    val passThrough = bucketRows.filter(col("touched").isNull).select("src", "dst")
+    // re-prune each touched src to the symmetrized 2·degree bound by
+    // cosine over (current ∪ new); vectors come from the fx store plus
+    // the (broadcast-sized) delta
+    val allFx = fxTable.select("vec_id", "f").unionByName(deltaFx.select("vec_id", "f"))
+    val srcFx = allFx.select(col("vec_id").as("src"), col("f").as("fa"))
+    val dstFx = allFx.select(col("vec_id").as("dst"), col("f").as("fb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val repaired = bucketRows.filter(col("touched")).select("src", "dst")
+      .unionByName(newEdgesDf).distinct()
+      .join(srcFx, Seq("src")).join(dstFx, Seq("dst"))
+      .withColumn("na2", ip(col("fa"), col("fa")))
+      .withColumn("nb2", ip(col("fb"), col("fb")))
+      .withColumn("cos", cosEdge)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2 * degree)
+      .select("src", "dst")
+    val rewritten = repaired.unionByName(passThrough)
+      .withColumn("bucket", pmod(col("src"), lit(store.nBuckets.toLong)).cast("int"))
+      // the plan references edgeTable on both sides of the rewrite;
+      // materialize BEFORE overwriting the files it reads from
+      .localCheckpoint(eager = true)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      rewritten.write.partitionBy("bucket").mode("overwrite").parquet(s"${store.dir}/edges")
+      deltaFx.select("vec_id", "f")
+        .withColumn("bucket", pmod(col("vec_id"), lit(store.nBuckets.toLong)).cast("int"))
+        .write.partitionBy("bucket").mode("append").parquet(s"${store.dir}/fx")
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   def searchStoredWithBudget(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
                              queries: Seq[(Long, Array[Long])], k: Int = 10, ef: Int = 24,
                              maxExpand: Int = 30, batch: Int = 4,
-                             entryIds: Seq[Long]): (DataFrame, Map[Long, Int]) = {
+                             entryIds: Seq[Long],
+                             shardSize: Int = ServeBatchCap,
+                             metric: String = "ip"): (DataFrame, Map[Long, Int]) = {
     import spark.implicits._
+    // metric picks the QUERY-time score only (the graph's edges are
+    // always angular, see cosEdge): "ip" for MIPS serving, "l2" for
+    // metric corpora (fixed-point integer coordinates — the planted /
+    // grid fixtures' geometry, same as IvfIndex.probeL2). Internally
+    // l2 scores as -d² so the (-score, id) best-first order and tie
+    // rule are shared; the emitted score column is the signed value.
+    require(metric == "ip" || metric == "l2", s"unknown metric $metric")
+    // driver state is O(batch × candidate budget): a 100k-query
+    // offline batch would otherwise pull budget×batch vectors through
+    // the driver per hop. Shard above the cap — per-query results are
+    // trivially shard-independent (no cross-query state), so the
+    // concatenation is identical to one giant batch, and each shard's
+    // resident footprint stays bounded (GraphAnnSpec pins equality at
+    // the boundary).
+    if (queries.size > shardSize) {
+      val parts = queries.grouped(shardSize).map(g =>
+        searchStoredWithBudget(spark, store, g, k, ef, maxExpand, batch, entryIds, shardSize, metric))
+        .toSeq
+      val rows = parts.flatMap(_._1.as[(Long, Long, Long)].collect())
+        .sortBy { case (qid, id, s) => (qid, -s, id) }
+      return (rows.toDF("qid", "vec_id", "score"), parts.flatMap(_._2).toMap)
+    }
     final case class QState(q: Array[Long],
                             scored: scala.collection.mutable.Map[Long, Long],
                             expanded: scala.collection.mutable.Set[Long],
                             var done: Boolean)
-    def ipOf(q: Array[Long], v: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < q.length) { acc += q(i) * v(i); i += 1 }
-      acc
-    }
+    val wantL2 = metric == "l2"
+    def ipOf(q: Array[Long], v: Array[Long]): Long =
+      if (wantL2) {
+        var acc = 0L; var i = 0
+        while (i < q.length) { val d = q(i) - v(i); acc -= d * d; i += 1 }
+        acc
+      } else {
+        var acc = 0L; var i = 0
+        while (i < q.length) { acc += q(i) * v(i); i += 1 }
+        acc
+      }
     // list each store table once; every hop filters the same relation
     val fxTable = spark.read.parquet(s"${store.dir}/fx")
     val edgeTable = spark.read.parquet(s"${store.dir}/edges")

@@ -173,4 +173,101 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readFiles == wantFiles && readFiles < allFiles.length,
       s"pruned read touched $readFiles files; wanted $wantFiles of ${allFiles.length}")
   }
+
+  /** planted-grid corpus (same shape as the dd12/ss14 fixtures): 16-dim
+    * integer vectors, inter-class gap 1000 ≫ jitter < 100, so both the
+    * appended and the rebuilt graph must navigate to the same (exact)
+    * per-class top-10. */
+  private def planted(id: Long, nClasses: Int): Array[Long] =
+    (0 until 16).map { j =>
+      val center = ((id % nClasses) * 1299709L + j * 104729L) % 1000L * 1000L
+      val k = id * 16 + j
+      val m = 2147483647L
+      val h1 = (k * 1299709L + 104729L) % m
+      val h2 = (h1 * 48271L) % m
+      center + ((h2 * h2 + h1) % m) % 100L
+    }.toArray
+
+  test("appendStore: delta insert with dirty-bucket repair serves like a full rebuild") {
+    val s2 = spark
+    import s2.implicits._
+    val nClasses = 8
+    // base ids 4..1999, delta ids 2000..2099 plus near-twins of the
+    // 4 held-out queries (ids 2100..2103 = query vector + tiny shift):
+    // the twins are IP-top-1 for their query, so a probe that misses
+    // the appended data is caught immediately
+    val qs = (0L until 4L).map(q => q -> planted(q, nClasses))
+    val twin = qs.map { case (q, f) => (2100L + q, f.map(_ + 1L)) }
+    val baseRows = (4L until 2000L).map(id => (id, planted(id, nClasses)))
+    val deltaRows = (2000L until 2100L).map(id => (id, planted(id, nClasses))) ++ twin
+    val baseDf = baseRows.toDF("vec_id", "f").persist()
+    val deltaDf = deltaRows.toDF("vec_id", "f")
+    val fullDf = (baseRows ++ deltaRows).toDF("vec_id", "f").persist()
+
+    // planted geometry is L2; probe with the l2 metric and compare to
+    // the exact integer L2 top-10 (the twin is d2-top-1 by design)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def brute(qf: Array[Long]): Set[Long] =
+      (baseRows ++ deltaRows).map { case (id, f) => (id, d2(f, qf)) }
+        .sortBy { case (id, s) => (s, id) }.take(10).map(_._1).toSet
+
+    val nB = 16
+    val dirA = java.nio.file.Files.createTempDirectory("gann_append").toString
+    val graphA = GraphAnn.buildGraph(baseDf, degree = 16, dims = 16).persist()
+    // component-guaranteed entries: the planted corpus builds 8
+    // disconnected class islands, and a coarse sign layer alone
+    // strands some of them (no budget can reach an enterless island)
+    val entryA = GraphAnn.buildEntryLayerConnected(baseDf, graphA, dims = 16)
+      .collect().map(_.getLong(0)).toSeq
+    GraphAnn.writeStores(baseDf, graphA, dirA, nB)
+    GraphAnn.appendStore(spark, GraphAnn.StoredIndex(dirA, nB), deltaDf,
+      degree = 16, entryIds = entryA, metric = "l2")
+
+    val dirB = java.nio.file.Files.createTempDirectory("gann_rebuild").toString
+    val graphB = GraphAnn.buildGraph(fullDf, degree = 16, dims = 16).persist()
+    val entryB = GraphAnn.buildEntryLayerConnected(fullDf, graphB, dims = 16)
+      .collect().map(_.getLong(0)).toSeq
+    GraphAnn.writeStores(fullDf, graphB, dirB, nB)
+
+    def probe(dir: String, entry: Seq[Long]): Map[Long, Set[Long]] =
+      GraphAnn.searchStoredWithBudget(spark, GraphAnn.StoredIndex(dir, nB), qs,
+        k = 10, ef = 48, maxExpand = 80, batch = 8, entryIds = entry,
+        metric = "l2")._1
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+
+    val append = probe(dirA, entryA)
+    val rebuild = probe(dirB, entryB)
+    qs.foreach { case (q, qf) =>
+      val want = brute(qf)
+      assert(append(q) == want, s"append probe for q=$q: ${append(q)} vs exact $want")
+      assert(rebuild(q) == want, s"rebuild probe for q=$q: ${rebuild(q)} vs exact $want")
+      assert(append(q).contains(2100L + q), s"q=$q must surface its appended twin")
+    }
+    graphA.unpersist(); graphB.unpersist()
+    baseDf.unpersist(); fullDf.unpersist()
+  }
+
+  test("stored search shards above ServeBatchCap with identical results") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = (4L until 500L).map(id => (id, planted(id, 8)))
+    val df = rows.toDF("vec_id", "f").persist()
+    val qs = (0L until 5L).map(q => q -> planted(q, 8))
+    val dir = java.nio.file.Files.createTempDirectory("gann_shard").toString
+    val entry = GraphAnn.buildEntryLayer(df, dims = 16).collect().map(_.getLong(0)).toSeq
+    GraphAnn.writeStores(df, GraphAnn.buildGraph(df, degree = 16, dims = 16), dir, 16)
+    val store = GraphAnn.StoredIndex(dir, 16)
+    def run(shard: Int) = {
+      val (r, b) = GraphAnn.searchStoredWithBudget(spark, store, qs,
+        entryIds = entry, shardSize = shard)
+      (r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq, b)
+    }
+    val (oneBatch, budgets1) = run(Int.MaxValue)
+    val (sharded, budgets2) = run(2) // forces 3 shards over the 5 queries
+    assert(sharded == oneBatch, "sharding must not change any result row")
+    assert(budgets1 == budgets2, "sharding must not change any per-query budget")
+    df.unpersist()
+  }
 }
