@@ -67,15 +67,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // full per-query record first (for terminal readers + the committed
+    // BENCH_LOCAL artifact), then persist it as a file artifact
     println(json)
-    // the driver's BENCH_r*.json keeps only a tail of stdout, which has
-    // truncated per-query numbers in past rounds — persist the full
-    // line as a file artifact too
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
     } catch { case t: Throwable => System.err.println(s"[bench] bench.json write failed: $t") }
+    // The driver's BENCH_r*.json keeps only the last ~2 kB of stdout, so a
+    // 160-query map gets head-truncated (BENCH_r06 carried 52/160 queries).
+    // Emit a LAST line that is complete within that tail window: total +
+    // failures + the headline subset at ms precision. The full map lives in
+    // target/bench.json and the committed BENCH_LOCAL_r*.json.
+    val headlineSet = SparkEntry.headlines.toSet
+    val hq = results.collect { case (k, v, _) if headlineSet.contains(k) && v >= 0 =>
+      s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$hq,"nqueries":${results.size},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench.json"}""")
     spark.stop()
   }
 }

@@ -1164,58 +1164,13 @@ object Relational {
     // the storage layer: every step is O(dirty buckets)/O(delta)
     // except the initial commit, and the counts prove none of the
     // machinery silently degraded to a full rewrite.
-    QueryDef(
-      "vt_scale_300k",
-      (s, _) => {
-        val n = 300000L
-        val dir = java.nio.file.Files.createTempDirectory("vt_scale").toString
-        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 32)
-        val base = s.range(n).select(col("id").as("k"),
-          (col("id") % 1000).as("grp"), (col("id") % 997).cast("double").as("v"))
-        vt.commit(base, Seq("k"), None, statsCols = Seq("k"))
-        // 10% of keys updated, 2% fresh inserts, 1% deletes
-        val updates = s.range(n / 10).select(
-          (col("id") * 10).as("k"), (col("id") % 1000).as("grp"),
-          lit(-1.0).as("v"), (col("id") % 10 === 9).as("del"))
-          .union(s.range(n, n + n / 50).select(col("id").as("k"),
-            (col("id") % 1000).as("grp"), lit(5.0).as("v"), lit(false).as("del")))
-        vt.merge(updates, Seq("k"), Some(0), deleteCol = Some("del"), statsCols = Seq("k"))
+    vtScaleQuery("vt_scale_300k", 300000L, nBuckets = 32),
 
-        val d = vt.diff(Seq("k"), 0, 1)
-          .groupBy("change_type").agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val follower = new graft.streaming.CdcFollower(s, vt, Seq("k"), "grp", "v")
-        follower.seed(0); follower.catchUp()
-        val mvOk = follower.snapshot().count() == 1000 &&
-          follower.version == 1
-        // the real serving path: zone-map bucket pruning + residual
-        // range filter — its count is fixture arithmetic the oracle
-        // re-derives (100k base keys in range minus the deleted ones)
-        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(99999)).get
-          .filter(col("k").between(0L, 99999L)).count()
-        val total = vt.read().get.count()
-        follower.snapshot().unpersist()
-        import s.implicits._
-        Seq((n, total, d.getOrElse("update", 0L), d.getOrElse("insert", 0L),
-          d.getOrElse("delete", 0L), pruned, mvOk))
-          .toDF("n_base", "n_final", "n_updates", "n_inserts", "n_deletes",
-            "n_pruned_read", "mv_ok")
-      },
-      // the oracle replays the fixture's MERGE rule in SQL: 30k update
-      // keys (every 10th a delete), 6k fresh inserts, and the range
-      // count after deletes — the same change classification vt_merge
-      // oracles at small scale, re-derived at 300k volume
-      Some("""WITH upd AS (SELECT unnest(range(30000)) AS id),
-             |ins AS (SELECT unnest(range(300000, 306000)) AS k),
-             |del AS (SELECT id * 10 AS k FROM upd WHERE id % 10 = 9)
-             |SELECT CAST(300000 AS BIGINT) AS n_base,
-             |  CAST(300000 - (SELECT count(*) FROM del) + (SELECT count(*) FROM ins) AS BIGINT) AS n_final,
-             |  CAST((SELECT count(*) FROM upd WHERE id % 10 <> 9) AS BIGINT) AS n_updates,
-             |  CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_inserts,
-             |  CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deletes,
-             |  CAST(100000 - (SELECT count(*) FROM del WHERE k <= 99999) AS BIGINT) AS n_pruned_read,
-             |  TRUE AS mv_ok""".stripMargin),
-    ),
+    // Task-9 decade stretch: the SAME transactional contract at 3M rows
+    // / 64 buckets — proves the dirty-bucket / O(delta) claims hold one
+    // order of magnitude up (commit cost grows linearly; MERGE, CDC,
+    // MV advance and the pruned read stay delta/bucket-bounded).
+    vtScaleQuery("vt_scale_3m", 3000000L, nBuckets = 64),
 
     // Data-quality constraint report (operators.Constraints — the
     // reference's integrity checks generalized): null checks, key
@@ -1646,6 +1601,67 @@ object Relational {
         vtCached = Some((s, d, vt))
         vt
     }
+  }
+
+  /** The table-format scale contract, parameterized by volume: n
+    * executor-born rows through the FULL transactional path — bucketed
+    * commit with zone maps, a 10% MERGE (update/insert/delete), CDC
+    * classification of the step, zone-map-pruned read, and incremental
+    * MV advance via the CDC follower — with the planted change counts
+    * pinned in the result row. Every step is O(dirty buckets)/O(delta)
+    * except the initial commit, and the counts prove none of the
+    * machinery silently degraded to a full rewrite. The oracle replays
+    * the fixture's MERGE rule in SQL: n/10 update keys (every 10th a
+    * delete), n/50 fresh inserts, and the range count after deletes. */
+  private def vtScaleQuery(name: String, n: Long, nBuckets: Int): QueryDef = {
+    val prunedHi = n / 3 - 1
+    QueryDef(
+      name,
+      (s, _) => {
+        val dir = java.nio.file.Files.createTempDirectory("vt_scale").toString
+        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = nBuckets)
+        val base = s.range(n).select(col("id").as("k"),
+          (col("id") % 1000).as("grp"), (col("id") % 997).cast("double").as("v"))
+        vt.commit(base, Seq("k"), None, statsCols = Seq("k"))
+        // 10% of keys updated, 2% fresh inserts, 1% deletes
+        val updates = s.range(n / 10).select(
+          (col("id") * 10).as("k"), (col("id") % 1000).as("grp"),
+          lit(-1.0).as("v"), (col("id") % 10 === 9).as("del"))
+          .union(s.range(n, n + n / 50).select(col("id").as("k"),
+            (col("id") % 1000).as("grp"), lit(5.0).as("v"), lit(false).as("del")))
+        vt.merge(updates, Seq("k"), Some(0), deleteCol = Some("del"), statsCols = Seq("k"))
+
+        val d = vt.diff(Seq("k"), 0, 1)
+          .groupBy("change_type").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val follower = new graft.streaming.CdcFollower(s, vt, Seq("k"), "grp", "v")
+        follower.seed(0); follower.catchUp()
+        val mvOk = follower.snapshot().count() == 1000 &&
+          follower.version == 1
+        // the real serving path: zone-map bucket pruning + residual
+        // range filter — its count is fixture arithmetic the oracle
+        // re-derives (n/3 base keys in range minus the deleted ones)
+        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(prunedHi)).get
+          .filter(col("k").between(0L, prunedHi)).count()
+        val total = vt.read().get.count()
+        follower.snapshot().unpersist()
+        import s.implicits._
+        Seq((n, total, d.getOrElse("update", 0L), d.getOrElse("insert", 0L),
+          d.getOrElse("delete", 0L), pruned, mvOk))
+          .toDF("n_base", "n_final", "n_updates", "n_inserts", "n_deletes",
+            "n_pruned_read", "mv_ok")
+      },
+      Some(s"""WITH upd AS (SELECT unnest(range(${n / 10})) AS id),
+              |ins AS (SELECT unnest(range($n, ${n + n / 50})) AS k),
+              |del AS (SELECT id * 10 AS k FROM upd WHERE id % 10 = 9)
+              |SELECT CAST($n AS BIGINT) AS n_base,
+              |  CAST($n - (SELECT count(*) FROM del) + (SELECT count(*) FROM ins) AS BIGINT) AS n_final,
+              |  CAST((SELECT count(*) FROM upd WHERE id % 10 <> 9) AS BIGINT) AS n_updates,
+              |  CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_inserts,
+              |  CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deletes,
+              |  CAST(${n / 3} - (SELECT count(*) FROM del WHERE k <= $prunedHi) AS BIGINT) AS n_pruned_read,
+              |  TRUE AS mv_ok""".stripMargin),
+    )
   }
 
   private def buildVtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = {
