@@ -261,6 +261,69 @@ object Relational {
              |ORDER BY c_custkey""".stripMargin),
     ),
 
+    // Skew mitigation as a driver-checked contract (operators.SkewTools):
+    // a planted hot key absorbs 20% of lineitem, and the two-phase
+    // salted aggregation — partials on (key, salt), merge on key — must
+    // be ROW-IDENTICAL to the plain GROUP BY the oracle runs. Salting
+    // changes the shuffle layout (the hot key's work spreads over 32
+    // tasks instead of one straggler), never the answer; at 100 TB this
+    // is the difference between a 5-minute stage and a 5-hour one.
+    QueryDef(
+      "skew_salted_agg",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("hk",
+            when(col("l_orderkey") % 5 === 0, lit(-1L)).otherwise(col("l_orderkey")))
+          .withColumn("q", col("l_quantity").cast(DecimalType(18, 2)))
+        graft.operators.SkewTools
+          .saltedCountSum(li, "hk", "q", salts = 32,
+            saltSource = col("l_partkey") * 7 + col("l_linenumber"))
+          .select(col("hk"), col("n"), col("sum_q").cast("double").as("sum_qty"))
+          .orderBy(desc("n"), col("hk")).limit(10)
+      },
+      Some("""SELECT CAST(CASE WHEN l_orderkey % 5 = 0 THEN -1 ELSE l_orderkey END AS BIGINT) AS hk,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem GROUP BY 1
+             |ORDER BY n DESC, hk LIMIT 10""".stripMargin),
+    ),
+
+    // Salted fact/dim join under the same planted skew: the big side
+    // carries a deterministic salt, the dim side is replicated across
+    // the salt shards, and the joined result (aggregated back per key)
+    // must match the plain SQL join exactly.
+    QueryDef(
+      "skew_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("hk",
+            when(col("l_orderkey") % 5 === 0, lit(-1L)).otherwise(col("l_orderkey")))
+          .select(col("hk"), col("l_quantity").cast(DecimalType(18, 2)).as("q"),
+            col("l_linenumber"))
+        val dim = Tables.orders(s, d)
+          .withColumn("hk",
+            when(col("o_orderkey") % 5 === 0, lit(-1L)).otherwise(col("o_orderkey")))
+          .groupBy("hk")
+          .agg(min(col("o_totalprice").cast(DecimalType(18, 2))).as("p"))
+        graft.operators.SkewTools
+          .saltedJoin(li, dim, "hk", salts = 32, saltSource = col("l_linenumber"))
+          .groupBy("hk")
+          .agg(count(lit(1)).as("n"),
+            sum(col("q") * col("p")).cast("double").as("wsum"))
+          .orderBy(desc("n"), col("hk")).limit(10)
+      },
+      Some("""WITH lk AS (
+             |  SELECT CASE WHEN l_orderkey % 5 = 0 THEN -1 ELSE l_orderkey END AS hk,
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem),
+             |dim AS (
+             |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN -1 ELSE o_orderkey END AS hk,
+             |    min(CAST(o_totalprice AS DECIMAL(18,2))) AS p FROM orders GROUP BY 1)
+             |SELECT CAST(l.hk AS BIGINT) AS hk, count(*) AS n,
+             |  CAST(SUM(l.q * d.p) AS DOUBLE) AS wsum
+             |FROM lk l JOIN dim d ON l.hk = d.hk
+             |GROUP BY 1 ORDER BY n DESC, hk LIMIT 10""".stripMargin),
+    ),
+
     // Bloom-prefiltered semi join (operators.BloomFilter): the
     // runtime-filter pattern for 100-TB fact/dim joins — a mergeable
     // bloom_agg builds a 128 KiB filter over the selective dim keys,
@@ -1171,6 +1234,74 @@ object Relational {
     // order of magnitude up (commit cost grows linearly; MERGE, CDC,
     // MV advance and the pruned read stay delta/bucket-bounded).
     vtScaleQuery("vt_scale_3m", 3000000L, nBuckets = 64),
+
+    // Table-maintenance lifecycle as a driver-checked contract: five
+    // narrow merges fragment the table across version directories
+    // (copy-on-write leaves untouched buckets behind in older dirs),
+    // COMPACT rewrites every bucket into one fresh dir with a z-order
+    // layout sort (clustering applied exactly where a table format
+    // applies it), the zone-map-pruned serving read still works on the
+    // compacted layout, a reader pinned to the pre-compact version is
+    // undisturbed, and VACUUM reclaims every dead directory while the
+    // live snapshot stays bit-identical (checksum pinned by the oracle's
+    // replay of the merge rule — at 100 TB this dance is what keeps a
+    // thousand-commit table from dissolving into millions of files).
+    QueryDef(
+      "vt_compact",
+      (s, _) => {
+        val n = 50000L
+        val dir = java.nio.file.Files.createTempDirectory("vt_compact").toString
+        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
+        val base = s.range(n).select(col("id").as("k"),
+          (col("id") % 100).as("grp"), (col("id") % 97).cast("double").as("v"))
+        vt.commit(base, Seq("k"), None, statsCols = Seq("k"))
+        // each merge touches exactly two keys — a handful of dirty
+        // buckets per version, so the current snapshot spans many dirs
+        (1 to 5).foreach { i =>
+          val upd = s.range(2).select((col("id") + i * 1000L).as("k"),
+            ((col("id") + i * 1000L) % 100).as("grp"), lit(-i.toDouble).as("v"))
+          vt.merge(upd, Seq("k"), Some(i - 1), statsCols = Seq("k"))
+        }
+        val fragBefore = vt.dataDirCount()
+        val sumBefore = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
+        vt.compact(Seq("k"), Some(5), statsCols = Seq("k"),
+          layoutSort = Seq(graft.operators.ZOrder.zorderCol(
+            Seq(col("grp"), pmod(col("k"), lit(1024L))), bits = 10)))
+        val dirsAfter = vt.dataDirCount().toLong
+        val sumAfter = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
+        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(9999)).get
+          .filter(col("k") <= 9999L).count()
+        // a reader pinned to the pre-compact version is undisturbed
+        val pinnedOk = vt.read(Some(5)).get.count() == n
+        vt.vacuum(keepVersions = 1, removeOrphans = true)
+        val sumPostVacuum = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
+        val diskDirs = {
+          val p = java.nio.file.Paths.get(dir, "data")
+          val s2 = java.nio.file.Files.list(p)
+          try s2.count() finally s2.close()
+        }
+        import s.implicits._
+        Seq((n, fragBefore > 1, dirsAfter, sumBefore, sumAfter == sumBefore,
+          pruned, pinnedOk, sumPostVacuum == sumBefore, diskDirs))
+          .toDF("n_rows", "frag_before", "n_dirs_after_compact", "v_checksum",
+            "compact_preserves", "n_pruned_read", "pinned_ok",
+            "vacuum_preserves", "n_disk_dirs_after_vacuum")
+      },
+      // v_checksum replays the five 2-key merges in closed form; every
+      // value in the double sum is an integer < 2^53, so float addition
+      // is exact and order-independent on both engines
+      Some("""SELECT CAST(50000 AS BIGINT) AS n_rows, TRUE AS frag_before,
+             |  CAST(1 AS BIGINT) AS n_dirs_after_compact,
+             |  (SELECT sum(CASE
+             |     WHEN id IN (1000, 1001) THEN -1.0 WHEN id IN (2000, 2001) THEN -2.0
+             |     WHEN id IN (3000, 3001) THEN -3.0 WHEN id IN (4000, 4001) THEN -4.0
+             |     WHEN id IN (5000, 5001) THEN -5.0
+             |     ELSE CAST(id % 97 AS DOUBLE) END)
+             |   FROM range(50000) t(id)) AS v_checksum,
+             |  TRUE AS compact_preserves, CAST(10000 AS BIGINT) AS n_pruned_read,
+             |  TRUE AS pinned_ok, TRUE AS vacuum_preserves,
+             |  CAST(1 AS BIGINT) AS n_disk_dirs_after_vacuum""".stripMargin),
+    ),
 
     // Data-quality constraint report (operators.Constraints — the
     // reference's integrity checks generalized): null checks, key
