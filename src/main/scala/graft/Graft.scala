@@ -69,6 +69,20 @@ object Graft {
   def attestQuery2(revelation: DataFrame, limit: Int = 5): DataFrame =
     ZkPipeline.attestQuery2(revelation, limit)
 
+  /** ERC20 revelation record (clamped range, per-block contributions,
+    * U256 result, proving header hash, block-DB root). */
+  def queryErc20Revelation(entries: DataFrame, headers: DataFrame, contract: Array[Byte],
+      slot: Int, user: Array[Byte], rate: BigInteger, totalSupply: BigInteger,
+      minBlock: Long, maxBlock: Long): DataFrame =
+    ZkPipeline.queryErc20Revelation(entries, headers, contract, slot, user, rate,
+      totalSupply, minBlock, maxBlock)
+
+  /** ERC20 twin of [[attestQuery2]]: re-derives the revealed U256
+    * result from the per-block contributions, cross-checks coverage,
+    * and seals the canonical public-input layout under keccak. */
+  def attestErc20(revelation: DataFrame): DataFrame =
+    ZkPipeline.attestErc20(revelation)
+
   // ------------------------------------------------------------ sources
   /** EIP-1186 `eth_getProof` dump directory → verified proof rows
     * (S1 live-shaped ingest; `proof_ok`/`key_ok` flags per row). */

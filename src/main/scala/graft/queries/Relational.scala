@@ -286,6 +286,7 @@ object Relational {
              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM lineitem GROUP BY 1
              |ORDER BY n DESC, hk LIMIT 10""".stripMargin),
+      headline = true,
     ),
 
     // Salted fact/dim join under the same planted skew: the big side
