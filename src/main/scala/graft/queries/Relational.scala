@@ -1714,6 +1714,128 @@ object Relational {
              |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+
+    // TPC-H Q11 shape: important stock — per-part inventory value for
+    // one nation's suppliers vs a fraction of the nation total (HAVING
+    // against a scalar subquery → 1-row broadcast, exact decimal
+    // compare, no division). The corpus has no partsupp table, so the
+    // part-supplier relation is DERIVED deterministically from
+    // lineitem (availqty = 10 lines supplied, supplycost = the
+    // supplier's min extended price) — both engines compute the same
+    // derivation, so the oracle still gates every row. At 100 TB the
+    // derivation is one map-side-combined shuffle on (part, supp) and
+    // the nation filter reaches it through two broadcast dims.
+    QueryDef(
+      "q11_important_stock",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ps = li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+          .agg((count(lit(1)) * 10).as("ps_availqty"),
+            min(col("l_extendedprice").cast(DecimalType(18, 2))).as("ps_supplycost"))
+        val su = Tables.supplier(s, d)
+        val na = Tables.nation(s, d).filter(col("n_name") === "NATION_7")
+        val nps = ps.join(su, col("ps_suppkey") === col("s_suppkey"))
+          .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+          .select(col("ps_partkey"), (col("ps_supplycost") * col("ps_availqty")).as("v"))
+        val tot = nps.agg(sum(col("v")).as("tot"))
+        nps.groupBy("ps_partkey").agg(sum(col("v")).as("value_d"))
+          .crossJoin(broadcast(tot))
+          .filter(col("value_d") * 1000 > col("tot"))
+          .select(col("ps_partkey"), col("value_d").cast("double").as("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             |         count(*) * 10 AS ps_availqty,
+             |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+             |  FROM lineitem GROUP BY 1, 2),
+             |nps AS (
+             |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+             |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
+             |SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
+             |FROM nps GROUP BY ps_partkey
+             |HAVING SUM(v) * 1000 > (SELECT SUM(v) FROM nps)
+             |ORDER BY value DESC, ps_partkey""".stripMargin),
+    ),
+
+    // TPC-H Q16 shape: parts/supplier relationship — COUNT(DISTINCT)
+    // under a grouped rollup with an exclusion anti-join (the corpus
+    // has no s_comment, so "complaint suppliers" := negative account
+    // balance). The distinct-count shuffles once on the group keys
+    // with (key, suppkey) partial dedup map-side; the exclusion list
+    // is a broadcast anti-join.
+    QueryDef(
+      "q16_parts_supplier",
+      (s, d) => {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+        val p = Tables.part(s, d).filter(col("p_brand") =!= "Brand#3" &&
+          col("p_type") =!= "MEDIUM" && col("p_size").isin(1, 3, 5, 7, 9))
+        val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+        ps.join(p, col("ps_partkey") === col("p_partkey"))
+          .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
+             |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+             |FROM ps JOIN part ON p_partkey = ps_partkey
+             |WHERE p_brand <> 'Brand#3' AND p_type <> 'MEDIUM' AND p_size IN (1,3,5,7,9)
+             |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    ),
+
+    // TPC-H Q20 shape: potential part promotion — suppliers holding
+    // excess stock (availqty > 2× a year's shipped quantity) of
+    // selected parts in selected nations. The classic correlated
+    // IN/scalar subquery decorrelates to a grouped shipped-quantity
+    // frame joined back on (part, supp): one shuffle each side, the
+    // part-name selection a broadcast semi-join, the qualifying
+    // supplier set a broadcast semi-join into the dimension.
+    QueryDef(
+      "q20_potential_promotion",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ps = li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+          .agg((count(lit(1)) * 10).as("ps_availqty"))
+        val redParts = Tables.part(s, d).filter(col("p_name").startsWith("red"))
+          .select("p_partkey")
+        val shipped = li.filter(year(col("l_shipdate")) === 2000)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        val qualifying = ps
+          .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+          .join(shipped, col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+          .filter(col("ps_availqty") > col("qty") * 2)
+          .select(col("ps_suppkey"))
+        val na = Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_3", "NATION_5", "NATION_7", "NATION_9"))
+        Tables.supplier(s, d)
+          .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(qualifying), col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, count(*) * 10 AS ps_availqty
+             |  FROM lineitem GROUP BY 1, 2),
+             |shipped AS (
+             |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             |  FROM lineitem WHERE year(l_shipdate) = 2000 GROUP BY 1, 2)
+             |SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name IN ('NATION_3','NATION_5','NATION_7','NATION_9')
+             |  AND s_suppkey IN (
+             |    SELECT ps_suppkey FROM ps
+             |    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+             |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+             |      AND ps_availqty > 2 * qty)
+             |ORDER BY s_suppkey""".stripMargin),
+    ),
   )
 
   /** versioned-table fixture shared by vt_merge / vt_diff: base commit
