@@ -82,9 +82,12 @@ object Bench {
     // failures + the headline subset at ms precision. The full map lives in
     // target/bench.json and the committed BENCH_LOCAL_r*.json.
     val headlineSet = SparkEntry.headlines.toSet
+    // Locale.ROOT: the f interpolator honors the JVM default locale, and a
+    // comma-decimal locale would break the JSON the driver parses
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val hq = results.collect { case (k, v, _) if headlineSet.contains(k) && v >= 0 =>
-      s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$hq,"nqueries":${results.size},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench.json"}""")
+      s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$hq,"nqueries":${results.size},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench.json"}""")
     spark.stop()
   }
 }

@@ -60,11 +60,4 @@ object StripedMask {
   /** the set bits form one gap-free run (the MV's `gap_free`). */
   def contiguous(mask: Array[Long]): Boolean =
     nonEmpty(mask) && count(mask) == highestBit(mask) - lowestBit(mask) + 1
-
-  def or(a: Array[Long], b: Array[Long]): Array[Long] = {
-    val out = java.util.Arrays.copyOf(a, math.max(a.length, b.length))
-    var i = 0
-    while (i < b.length) { out(i) |= b(i); i += 1 }
-    out
-  }
 }

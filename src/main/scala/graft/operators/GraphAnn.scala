@@ -199,7 +199,14 @@ object GraphAnn {
     val perComponent = ConnectedComponents.run(spark, graph.select("src", "dst"))
       .groupBy("component").agg(min("id").as("vec_id"))
       .select("vec_id")
-    buildEntryLayer(fx, nPlanes, dims).unionByName(perComponent).distinct()
+    // zero-edge vectors never appear in the edge list, so CC gives
+    // them no representative — each is its own (singleton) component
+    // and must carry its own entry or it is unreachable at any budget
+    val inGraph = graph.select(col("src").as("vec_id"))
+      .unionByName(graph.select(col("dst").as("vec_id")))
+    val singletons = fx.select("vec_id").join(inGraph, Seq("vec_id"), "left_anti")
+    buildEntryLayer(fx, nPlanes, dims)
+      .unionByName(perComponent).unionByName(singletons).distinct()
   }
 
   /** greedy best-first search (HNSW's ef-search discipline): score
@@ -453,11 +460,22 @@ object GraphAnn {
       // the plan references edgeTable on both sides of the rewrite;
       // materialize BEFORE overwriting the files it reads from
       .localCheckpoint(eager = true)
+    // idempotent re-run guard: a retried ingest (crash between the
+    // edges overwrite and the fx append, then rerun) must not append
+    // duplicate fx rows — drop delta ids the store already holds. The
+    // check is a pruned point read over the (bounded) delta id set;
+    // the edges side is already idempotent (distinct + dynamic
+    // overwrite of the same touched buckets).
+    val alreadyPresent = prunedRead(fxTable, "vec_id", delta.map(_._1).toSeq, store.nBuckets)
+      .select("vec_id").as[Long].collect().toSet
+    val freshFx =
+      if (alreadyPresent.isEmpty) deltaFx
+      else deltaFx.filter(!col("vec_id").isin(alreadyPresent.toSeq: _*))
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       rewritten.write.partitionBy("bucket").mode("overwrite").parquet(s"${store.dir}/edges")
-      deltaFx.select("vec_id", "f")
+      freshFx.select("vec_id", "f")
         .withColumn("bucket", pmod(col("vec_id"), lit(store.nBuckets.toLong)).cast("int"))
         .write.partitionBy("bucket").mode("append").parquet(s"${store.dir}/fx")
     } finally prevMode match {

@@ -667,18 +667,11 @@ object Similarity {
         // The committed index: graph + coarse entry layer + the
         // id-bucketed serving stores (write-once, keyed by sf dir;
         // deterministic build).
-        val store = new java.io.File(
-          s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/b4").getAbsolutePath
         // degree 16 (HNSW's typical M): on near-random fixed-point
         // vectors degree 8 leaves the graph too sparse to navigate —
         // measured min recall@10 across the 4 queries: 2/10 at deg 8
         // vs 9/10 at deg 16 on the 2000-vector corpus
-        if (!new java.io.File(s"$store/entry", "_SUCCESS").exists()) {
-          val cached = base.persist()
-          GraphAnn.writeStores(cached, GraphAnn.buildGraph(cached, degree = 16), store, nBuckets = 64)
-          GraphAnn.buildEntryLayer(cached).write.mode("overwrite").parquet(s"$store/entry")
-          cached.unpersist()
-        }
+        val store = graphStoreFor(s, d, base)
         val entry = s.read.parquet(s"$store/entry").collect().map(_.getLong(0)).toSeq
         val (ann, budgets) = GraphAnn.searchStoredWithBudget(
           s, GraphAnn.StoredIndex(store, 64), qs, k = 10, ef = 48, maxExpand = 80,
@@ -1516,15 +1509,9 @@ object Similarity {
           ipqModel, qEmb, nprobe = 8, shortlist = 50, k = 10)
           .select("vec_id").collect().map(_.getLong(0)).toSeq
 
-        // graph: the ss12 committed store (same key — built once)
-        val store = new java.io.File(
-          s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/b4").getAbsolutePath
-        if (!new java.io.File(s"$store/entry", "_SUCCESS").exists()) {
-          val cached = base.select("vec_id", "f").persist()
-          GraphAnn.writeStores(cached, GraphAnn.buildGraph(cached, degree = 16), store, nBuckets = 64)
-          GraphAnn.buildEntryLayer(cached).write.mode("overwrite").parquet(s"$store/entry")
-          cached.unpersist()
-        }
+        // graph: the ss12 committed store (same key — built once,
+        // atomically published by graphStoreFor)
+        val store = graphStoreFor(s, d, base)
         val entry = s.read.parquet(s"$store/entry").collect().map(_.getLong(0)).toSeq
         val (gDf, gBudgets) = GraphAnn.searchStoredWithBudget(
           s, GraphAnn.StoredIndex(store, 64), Seq(0L -> qF), k = 10, ef = 48,
@@ -1577,5 +1564,32 @@ object Similarity {
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
+  }
+
+  /** Build-once committed graph store over `d`'s embeddings — shared
+    * by ss12 and ss16 (same key ⇒ same store). JVM-local build-once
+    * under [[IvfStoreLock]]; cross-JVM races resolved by the same
+    * pid-suffixed temp-dir + atomic-rename publish as ss14/ss15, so a
+    * reader can never observe a half-written store. A stale directory
+    * left by a crashed build (no `_OK` marker) is torn down before
+    * rebuilding rather than served. */
+  private def graphStoreFor(s: SparkSession, d: String, base: DataFrame): String = {
+    import graft.operators.GraphAnn
+    val store = new java.io.File(
+      s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/b4").getAbsolutePath
+    IvfStoreLock.synchronized {
+      if (!new java.io.File(store, "_OK").exists()) {
+        deleteRecursively(new java.io.File(store)) // stale half-built layout
+        val tmp = store + ".tmp-" + ProcessHandle.current().pid()
+        val cached = base.select("vec_id", "f").persist()
+        GraphAnn.writeStores(cached, GraphAnn.buildGraph(cached, degree = 16), tmp, nBuckets = 64)
+        GraphAnn.buildEntryLayer(cached).write.mode("overwrite").parquet(s"$tmp/entry")
+        cached.unpersist()
+        new java.io.File(tmp, "_OK").createNewFile()
+        if (!new java.io.File(tmp).renameTo(new java.io.File(store)))
+          deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
+      }
+    }
+    store
   }
 }

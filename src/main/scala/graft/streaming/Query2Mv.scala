@@ -44,10 +44,18 @@ object Query2Mv {
       .as[KeyedEntry]
   }
 
-  private def fold(minB: Long)(id: Long, it: Iterator[KeyedEntry],
+  private def fold(minB: Long, maxB: Long)(id: Long, it: Iterator[KeyedEntry],
       state: org.apache.spark.sql.streaming.GroupState[Array[Long]]): Coverage = {
     var mask = state.getOption.getOrElse(Array.empty[Long])
-    it.foreach { e => mask = StripedMask.set(mask, e.block_number - minB) }
+    it.foreach { e =>
+      // fail fast on a misrouted block: [[keyed]] bounds the planned
+      // range, but a raw feed bypassing it must not grow per-key state
+      // past the declared width (one corrupt offset would otherwise
+      // copyOf a multi-GB lane array inside the state store)
+      require(e.block_number >= minB && e.block_number <= maxB,
+        s"block ${e.block_number} outside the MV range [$minB, $maxB]")
+      mask = StripedMask.set(mask, e.block_number - minB)
+    }
     state.update(mask)
     Coverage(id, StripedMask.count(mask))
   }
@@ -58,7 +66,7 @@ object Query2Mv {
     import entries.sparkSession.implicits._
     entries
       .groupByKey(_.nft_id)
-      .mapGroupsWithState[Array[Long], Coverage](GroupStateTimeout.NoTimeout)(fold(minB))
+      .mapGroupsWithState[Array[Long], Coverage](GroupStateTimeout.NoTimeout)(fold(minB, maxB))
   }
 
   /** per-id coverage mask computed in BATCH over already-ingested
@@ -90,7 +98,7 @@ object Query2Mv {
       .groupByKey(_.nft_id)
       .mapGroupsWithState[Array[Long], Coverage](
         GroupStateTimeout.NoTimeout,
-        initial.groupByKey(_._1).mapValues(_._2))(fold(minB))
+        initial.groupByKey(_._1).mapValues(_._2))(fold(minB, maxB))
   }
 }
 
@@ -161,14 +169,18 @@ object Erc20Mv {
       .groupByKey(_ => 0)
       .mapGroupsWithState[State, Result](
         GroupStateTimeout.NoTimeout,
-        initial.groupByKey(_._1).mapValues(_._2))(fold(minB))
+        initial.groupByKey(_._1).mapValues(_._2))(fold(minB, maxB))
   }
 
-  private def fold(minB: Long)(key: Int, it: Iterator[RewardEntry],
+  private def fold(minB: Long, maxB: Long)(key: Int, it: Iterator[RewardEntry],
       state: org.apache.spark.sql.streaming.GroupState[State]): Result = {
     val zero = graft.core.U256.toBytes32(java.math.BigInteger.ZERO)
     var s = state.getOption.getOrElse(State(Array.empty[Long], Array.empty[Long], zero))
     it.foreach { e =>
+      // same fail-fast bound as Query2Mv.fold: a misrouted block must
+      // not grow the lane arrays past the declared range width
+      require(e.block_number >= minB && e.block_number <= maxB,
+        s"block ${e.block_number} outside the MV range [$minB, $maxB]")
       val off = e.block_number - minB
       val stripe = (off >> 6).toInt
       val userHasBit = stripe < s.userSeen.length && (s.userSeen(stripe) & (1L << (off & 63))) != 0L
@@ -189,6 +201,6 @@ object Erc20Mv {
     import entries.sparkSession.implicits._
     entries
       .groupByKey(_ => 0)
-      .mapGroupsWithState[State, Result](GroupStateTimeout.NoTimeout)(fold(minB))
+      .mapGroupsWithState[State, Result](GroupStateTimeout.NoTimeout)(fold(minB, maxB))
   }
 }

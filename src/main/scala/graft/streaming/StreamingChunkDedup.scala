@@ -55,8 +55,16 @@ object StreamingChunkDedup {
     * chunk string — a 4-5× cut in resident state at corpus scale, at
     * the same keep semantics (a 2⁻⁶⁴-scale collision over 2⁶⁴ chunks
     * is negligible for a dedup verdict). */
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def contentKey(chunk: String): (Long, Long) = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(chunk.getBytes("UTF-8"))
+    // thread-local digest: getInstance per chunk would pay a JCA
+    // provider lookup + allocation on the pre-shuffle hot path
+    val m = md5.get(); m.reset()
+    val d = m.digest(chunk.getBytes("UTF-8"))
     val bb = java.nio.ByteBuffer.wrap(d)
     (bb.getLong, bb.getLong)
   }
