@@ -737,6 +737,105 @@ object Documents {
       headline = true,
     ),
 
+    // st7 — the d18 pipeline as a STREAM: the same composition (exact
+    // dedup → quality gate → corpus mix → 512-token packing) run
+    // through graft.streaming.StreamingPipeline — stateful content-
+    // hash dedup (flatMapGroupsWithState), stateless gate/mix, and an
+    // incrementally maintained packing manifest whose per-batch
+    // placement reuses the chunked prefix-sum discipline (O(1) driver
+    // state, one distributed pass per micro-batch). The corpus is
+    // replayed id-ordered in 5 micro-batches (the backfill-replay
+    // order; the driver-side collect here is fixture wiring — a real
+    // deployment reads the ingest log); the emitted row carries the
+    // BATCH pipeline's manifest summary (everything the oracle
+    // recomputes) plus the stream≡batch verdict across all five
+    // accumulators. This is the backfill→live claim for the document
+    // pipeline, driver-gated like the zk MV family.
+    QueryDef(
+      "st7_stream_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        // batch twin — exactly the d18 stages
+        val keep = docs
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val gated = tokens(docs.join(keep, Seq("doc_id"), "left_semi"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+          .filter(col("n_tokens") >= 30)
+        val u = (expr("CAST(conv(substring(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") + 1
+          ).cast("double") / lit(math.pow(2, 60))
+        val mixed = gated
+          .filter(u <= expr("CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END"))
+          .persist()
+        val bins = packBins(packedStarts(mixed, chunk = 64L), cap = 512L)
+        val b = bins.agg(
+          coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+          count(lit(1)).as("n_bins"),
+          coalesce(sum(when(col("n_tokens") === 512L, 1L).otherwise(0L)), lit(0L)).as("n_full_bins"),
+          coalesce(sum(col("bin") * col("n_tokens")), lit(0L)).as("layout_checksum"))
+          .collect()(0)
+        val nKept = mixed.count()
+        mixed.unpersist()
+
+        // the stream: same corpus, 5 id-ordered micro-batches
+        import graft.streaming.StreamingPipeline
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val es = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[StreamingPipeline.Doc]
+        val mv = new StreamingPipeline.PackingMv(cap = 512L)
+        val q = StreamingPipeline.run(es.toDS(), mv)
+        try {
+          val all = docs.select("doc_id", "text").orderBy("doc_id").collect()
+            .map(r => StreamingPipeline.Doc(r.getLong(0), r.getString(1)))
+          all.grouped(math.max(1, all.length / 5 + 1)).foreach { chunk =>
+            es.addData(chunk.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val st = mv.state
+        val matches = st.nDocs == nKept &&
+          st.totalTokens == b.getLong(0) &&
+          st.nBins(512L) == b.getLong(1) &&
+          st.nFullBins(512L) == b.getLong(2) &&
+          st.checksum == b.getLong(3)
+        Seq((nKept, b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), matches))
+          .toDF("n_docs_kept", "total_tokens", "n_bins", "n_full_bins",
+            "layout_checksum", "stream_matches_batch")
+      },
+      Some(s"""WITH keep AS (
+              |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+              |toks AS (
+              |  SELECT t.doc_id, count(*) AS n_tokens FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              |  JOIN keep k ON k.doc_id = t.doc_id
+              |  WHERE w <> '' GROUP BY t.doc_id),
+              |gated AS (SELECT doc_id, n_tokens FROM toks WHERE n_tokens >= 30),
+              |mixed AS (
+              |  SELECT doc_id, n_tokens FROM gated
+              |  WHERE (${MhDuckParse("md5('mix|' || CAST(doc_id AS VARCHAR))")} + 1) / 1152921504606846976.0
+              |    <= CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END),
+              |placed AS (
+              |  SELECT doc_id, n_tokens,
+              |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              |  FROM mixed),
+              |spans AS (
+              |  SELECT doc_id, n_tokens, start,
+              |    unnest(range(CAST(start // 512 AS BIGINT), CAST((start + n_tokens - 1) // 512 + 1 AS BIGINT))) AS bin
+              |  FROM placed),
+              |bins AS (
+              |  SELECT bin, count(*) AS n_docs,
+              |    CAST(SUM(least(start + n_tokens, (bin + 1) * 512) - greatest(start, bin * 512)) AS BIGINT) AS n_tokens
+              |  FROM spans GROUP BY bin)
+              |SELECT (SELECT count(*) FROM mixed) AS n_docs_kept,
+              |  (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM bins) AS total_tokens,
+              |  (SELECT count(*) FROM bins) AS n_bins,
+              |  (SELECT CAST(COALESCE(SUM(CASE WHEN n_tokens = 512 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM bins) AS n_full_bins,
+              |  (SELECT CAST(COALESCE(SUM(bin * n_tokens), 0) AS BIGINT) FROM bins) AS layout_checksum,
+              |  TRUE AS stream_matches_batch""".stripMargin),
+      headline = true,
+    ),
+
     // ------------------------------------------------------------------
     // dd1 — exact dedup: hash-groupBy on the content hash, keep the
     // smallest doc_id per group. Map-side partial agg means only one
