@@ -517,6 +517,74 @@ object Similarity {
               |ORDER BY vec_a, vec_b""".stripMargin),
     ),
 
+    // dd13 — CROSS-CORPUS semantic contamination: the embedding-space
+    // twin of d8's n-gram benchmark-contamination check. A held-out
+    // "benchmark" set is screened against the training corpus by
+    // normalized cosine ≥ 0.95 — candidates from a sign-bucket
+    // equi-join with the (always-small) benchmark side BROADCAST, the
+    // d8 discipline; the threshold is evaluated EXACTLY in integers
+    // (cos ≥ 19/20 ⇔ ip > 0 ∧ 400·ip² ≥ 361·|a|²·|b|², DECIMAL(38)
+    // cross-multiplication — no float sqrt on either engine). The real
+    // corpora share no cross-corpus pair above cosine 0.5, so the
+    // benchmark is PLANTED portably: one ±2-fixed-point-unit
+    // perturbation of every 97th train vector (must be found: the
+    // is_planted column pins provenance) plus 10 Lehmer-mix random
+    // distractors (nothing random may pass 0.95 against a real
+    // vector). DuckDB regenerates the benchmark from the same formulas
+    // and replays bucket, ip and the exact threshold end to end.
+    QueryDef(
+      "dd13_semantic_contamination",
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val train = Tables.embeddings(s, d).withColumn("f", fxCol)
+          .withColumn("bucket", sigCol)
+          .select(col("vec_id").as("train_id"), col("f").as("ft"), col("bucket"))
+        val planted = Tables.embeddings(s, d).withColumn("f", fxCol)
+          .filter(col("vec_id") % 97 === 0)
+          .select((col("vec_id") + 1000000L).as("bid"),
+            transform(col("f"), (x, i) =>
+              x + (col("vec_id") + i.cast("long")) % 5 - 2).as("f"))
+        val distract = s.range(10).select((col("id") + 2000000L).as("bid"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((col("id") * 104729L + j.cast("long") * 7919L + 1L) * 48271L) % 2097152L - 1048576L).as("f"))
+        val bench = planted.unionByName(distract)
+          .withColumn("bucket", sigCol)
+          .select(col("bid"), col("f").as("fb"), col("bucket"))
+        train.join(broadcast(bench), Seq("bucket"))
+          .select(col("train_id"), col("bid"),
+            ip(col("ft"), col("fb")).as("ip"),
+            ip(col("ft"), col("ft")).as("na2"),
+            ip(col("fb"), col("fb")).as("nb2"))
+          .filter(col("ip") > 0 &&
+            col("ip").cast(dec) * col("ip").cast(dec) * lit(400L).cast(dec) >=
+              col("na2").cast(dec) * col("nb2").cast(dec) * lit(361L).cast(dec))
+          .select(col("train_id"), col("bid").as("bench_id"), col("ip"),
+            (col("bid") === col("train_id") + 1000000L).as("is_planted"))
+          .orderBy("train_id", "bench_id")
+      },
+      Some(s"""WITH $FxSql,
+              |tr AS (SELECT vec_id AS train_id, f, $sigSql AS bucket FROM fx),
+              |pl AS (SELECT vec_id + 1000000 AS bid,
+              |         list_transform(f, (x, i) -> x + (vec_id + i - 1) % 5 - 2) AS f
+              |       FROM fx WHERE vec_id % 97 = 0),
+              |di AS (SELECT d + 2000000 AS bid,
+              |         list_transform(range(0, 64), j -> ((d*104729 + j*7919 + 1) * 48271) % 2097152 - 1048576) AS f
+              |       FROM (SELECT unnest(range(10)) AS d)),
+              |be AS (SELECT bid, f, $sigSql AS bucket FROM (SELECT * FROM pl UNION ALL SELECT * FROM di)),
+              |cand AS (SELECT t.train_id, t.f AS ft, b.bid, b.f AS fb
+              |         FROM tr t JOIN be b ON t.bucket = b.bucket),
+              |pos AS (SELECT train_id, bid, unnest(range(1, len(ft)+1)) AS i, ft, fb FROM cand),
+              |ips AS (SELECT train_id, bid,
+              |          sum(ft[i]*fb[i]) AS ip, sum(ft[i]*ft[i]) AS na2, sum(fb[i]*fb[i]) AS nb2
+              |        FROM pos GROUP BY train_id, bid)
+              |SELECT train_id, bid AS bench_id, CAST(ip AS BIGINT) AS ip,
+              |  bid = train_id + 1000000 AS is_planted
+              |FROM ips
+              |WHERE ip > 0 AND 400 * CAST(ip AS HUGEINT) * CAST(ip AS HUGEINT) >=
+              |  361 * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
+              |ORDER BY train_id, bench_id""".stripMargin),
+    ),
+
     // ss5 — IVF ANN (operators.IvfIndex): k-means coarse quantizer,
     // posting-list assignment (the at-rest bucketing key), probe the 8
     // nearest of 16 lists with exact rerank. Contract-oracled: DuckDB
