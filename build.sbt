@@ -26,8 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 165 registry queries share one JVM in Bench/Verify; 8g caused
+  // 173 registry queries share one JVM in Bench/Verify; 8g caused
   // storage-cache eviction + GC contention visible as ~2x inflation on
-  // the shuffle-heavy scale queries when run inside the full suite
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // the shuffle-heavy scale queries when run inside the full suite,
+  // and at 16g the round-7 additions (streaming state stores, the
+  // committed ANN/graph stores, the 3M-row table) pushed the same
+  // contention back (vt_scale_300k 14.8s solo vs 34s in-suite). The
+  // host has 128 GiB; 28g keeps the suite in the solo regime.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

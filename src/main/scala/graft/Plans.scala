@@ -26,7 +26,12 @@ object Plans {
     sb.append(s"Generated against `$sfDir`. What to look for: `PushedFilters`/`ReadSchema`\n")
     sb.append("on scans, `BroadcastHashJoin` for dimensions, paired partial/final\n")
     sb.append("`HashAggregate`, `TakeOrderedAndProject` for top-k.\n")
-    SparkEntry.headlines.sorted.foreach { name =>
+    // queries that RUN a streaming job eagerly and return a local
+    // verdict row: there is no batch plan to audit, and the plan dump
+    // should not spin up streams (their stage plans are spec'd in
+    // graft.streaming instead)
+    val streamingDrivers = Set("st7_stream_pipeline")
+    SparkEntry.headlines.sorted.filterNot(streamingDrivers).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n```\n")
       sb.append(df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

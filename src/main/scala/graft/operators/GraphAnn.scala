@@ -416,7 +416,10 @@ object GraphAnn {
     // delta vectors) by cosine — one combined ranking, like buildGraph
     // ranks across all tables' candidates at once
     val newEdges = delta.flatMap { case (id, f) =>
-      val residents = candsPerQ.getOrElse(id, Nil).flatMap(c => candVecs.get(c).map(c -> _))
+      // a re-run (or chunked ingest) links against a store that may
+      // already hold this id — never let it rank itself as a neighbor
+      val residents = candsPerQ.getOrElse(id, Nil).filter(_ != id)
+        .flatMap(c => candVecs.get(c).map(c -> _))
       val others = delta.iterator.filter(_._1 != id)
       val ranked = (residents.iterator ++ others)
         .map { case (oid, of) => (oid, cos(f, of)) }
@@ -482,6 +485,36 @@ object GraphAnn {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  /** Ingest an arbitrarily large delta by deterministic RANGE
+    * BISECTION into ≤ `pieceCap` pieces: count the id range, recurse
+    * on halves until each piece fits, append left-to-right — later
+    * pieces LINK against a store that already holds earlier ones,
+    * exactly the batched HNSW-insert semantics [[appendStore]]
+    * implements for one piece. No delta data beyond the per-piece
+    * bound ever rides the driver; the piece sequence is a pure
+    * function of the id range (re-runs replay it identically, and
+    * each piece's append is idempotent). Returns pieces appended. */
+  def appendStoreChunked(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
+                         deltaFx: DataFrame, degree: Int = 16, ef: Int = 48,
+                         maxExpand: Int = 80, batch: Int = 8,
+                         entryIds: Seq[Long], metric: String = "ip",
+                         pieceCap: Long = GraphDeltaCap): Int = {
+    def ingest(lo: Long, hi: Long): Int = {
+      val slice = deltaFx.filter(col("vec_id").between(lo, hi))
+      val n = slice.count()
+      if (n == 0L) 0
+      else if (n <= pieceCap) {
+        appendStore(spark, store, slice, degree, ef, maxExpand, batch, entryIds, metric)
+        1
+      } else {
+        val mid = lo + (hi - lo) / 2
+        ingest(lo, mid) + ingest(mid + 1, hi)
+      }
+    }
+    val b = deltaFx.agg(min("vec_id"), max("vec_id")).collect()(0)
+    if (b.isNullAt(0)) 0 else ingest(b.getLong(0), b.getLong(1))
   }
 
   def searchStoredWithBudget(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,

@@ -779,9 +779,16 @@ object Documents {
         val nKept = mixed.count()
         mixed.unpersist()
 
-        // the stream: same corpus, 5 id-ordered micro-batches
+        // the stream: same corpus, 3 id-ordered micro-batches. The
+        // stateful dedup allocates one state-store instance per
+        // shuffle partition per micro-batch — at fixture volume 8
+        // partitions carry the state with a quarter of the store
+        // commit overhead (a real deployment sizes this to the
+        // executor count, same as any stateful stream)
         import graft.streaming.StreamingPipeline
         implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val es = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[StreamingPipeline.Doc]
         val mv = new StreamingPipeline.PackingMv(cap = 512L)
@@ -789,10 +796,13 @@ object Documents {
         try {
           val all = docs.select("doc_id", "text").orderBy("doc_id").collect()
             .map(r => StreamingPipeline.Doc(r.getLong(0), r.getString(1)))
-          all.grouped(math.max(1, all.length / 5 + 1)).foreach { chunk =>
+          all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
             es.addData(chunk.toSeq); q.processAllAvailable()
           }
-        } finally q.stop()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         val st = mv.state
         val matches = st.nDocs == nKept &&
           st.totalTokens == b.getLong(0) &&

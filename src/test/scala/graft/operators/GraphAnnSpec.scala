@@ -249,6 +249,57 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     baseDf.unpersist(); fullDf.unpersist()
   }
 
+  test("appendStoreChunked: bisected multi-piece ingest serves exactly, and a full re-run is idempotent") {
+    val s2 = spark
+    import s2.implicits._
+    val nClasses = 8
+    val qs = (0L until 4L).map(q => q -> planted(q, nClasses))
+    val twin = qs.map { case (q, f) => (2100L + q, f.map(_ + 1L)) }
+    val baseRows = (4L until 2000L).map(id => (id, planted(id, nClasses)))
+    val deltaRows = (2000L until 2100L).map(id => (id, planted(id, nClasses))) ++ twin
+    val baseDf = baseRows.toDF("vec_id", "f").persist()
+    val deltaDf = deltaRows.toDF("vec_id", "f")
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def brute(qf: Array[Long]): Set[Long] =
+      (baseRows ++ deltaRows).map { case (id, f) => (id, d2(f, qf)) }
+        .sortBy { case (id, s) => (s, id) }.take(10).map(_._1).toSet
+
+    val nB = 16
+    val dir = java.nio.file.Files.createTempDirectory("gann_chunked").toString
+    val graph = GraphAnn.buildGraph(baseDf, degree = 16, dims = 16).persist()
+    val entry = GraphAnn.buildEntryLayerConnected(baseDf, graph, dims = 16)
+      .collect().map(_.getLong(0)).toSeq
+    GraphAnn.writeStores(baseDf, graph, dir, nB)
+    val store = GraphAnn.StoredIndex(dir, nB)
+    // pieceCap 40 over a 104-row delta forces >= 3 bisection pieces;
+    // later pieces must link against the earlier ones through the store
+    val pieces = GraphAnn.appendStoreChunked(spark, store, deltaDf,
+      degree = 16, entryIds = entry, metric = "l2", pieceCap = 40L)
+    assert(pieces >= 3, s"expected a multi-piece ingest, got $pieces")
+
+    def probe(): Map[Long, Set[Long]] =
+      GraphAnn.searchStoredWithBudget(spark, store, qs,
+        k = 10, ef = 48, maxExpand = 80, batch = 8, entryIds = entry,
+        metric = "l2")._1
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val first = probe()
+    qs.foreach { case (q, qf) =>
+      assert(first(q) == brute(qf), s"chunked probe for q=$q: ${first(q)} vs exact ${brute(qf)}")
+      assert(first(q).contains(2100L + q), s"q=$q must surface its appended twin")
+    }
+
+    // retried ingest: no duplicate fx rows, identical serving results
+    val rowsAfter = spark.read.parquet(s"$dir/fx").count()
+    GraphAnn.appendStoreChunked(spark, store, deltaDf,
+      degree = 16, entryIds = entry, metric = "l2", pieceCap = 40L)
+    assert(spark.read.parquet(s"$dir/fx").count() == rowsAfter,
+      "a re-run must not append duplicate fx rows")
+    assert(probe() == first, "a re-run must not change serving results")
+    graph.unpersist(); baseDf.unpersist()
+  }
+
   test("stored search shards above ServeBatchCap with identical results") {
     val s2 = spark
     import s2.implicits._

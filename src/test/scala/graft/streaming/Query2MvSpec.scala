@@ -221,4 +221,27 @@ class Query2MvSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last.getBoolean(1) == batch.getAs[Boolean]("gap_free"))
     assert(last.getString(2) == graft.core.Bytes.toHex(batch.getAs[Array[Byte]]("result")))
   }
+
+  test("a misrouted block outside the MV range fails the batch instead of growing state") {
+    implicit val sq = spark.sqlContext
+    val s2 = spark
+    import s2.implicits._
+    val stream = MemoryStream[Query2Mv.KeyedEntry]
+    val q = Query2Mv.updates(stream.toDS(), 100L, 163L)
+      .writeStream.format("memory").queryName("q2mv_bound")
+      .outputMode("update").start()
+    try {
+      // a corrupt offset would otherwise allocate a ~1.5G-lane state
+      // array; the fold must reject it before StripedMask.set runs
+      stream.addData(Seq(
+        Query2Mv.KeyedEntry(1L, 100L),
+        Query2Mv.KeyedEntry(1L, 100L + 100000000000L)))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).toSeq
+      assert(msgs.exists(_.contains("outside the MV range")), msgs.mkString(" | "))
+    } finally q.stop()
+  }
 }
