@@ -26,11 +26,12 @@ object Plans {
     sb.append(s"Generated against `$sfDir`. What to look for: `PushedFilters`/`ReadSchema`\n")
     sb.append("on scans, `BroadcastHashJoin` for dimensions, paired partial/final\n")
     sb.append("`HashAggregate`, `TakeOrderedAndProject` for top-k.\n")
-    // queries that RUN a streaming job eagerly and return a local
-    // verdict row: there is no batch plan to audit, and the plan dump
+    // streaming-driver queries RUN a streaming job eagerly and return
+    // a local verdict row: no batch plan to audit, and the plan dump
     // should not spin up streams (their stage plans are spec'd in
-    // graft.streaming instead)
-    val streamingDrivers = Set("st7_stream_pipeline")
+    // graft.streaming instead). The flag lives on QueryDef so new
+    // stream-driving queries opt out at the definition site.
+    val streamingDrivers = SparkEntry.registry.filter(_.streamingDriver).map(_.name).toSet
     SparkEntry.headlines.sorted.filterNot(streamingDrivers).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n```\n")

@@ -56,4 +56,7 @@ final case class QueryDef(
     oracle: Option[String] = None,
     /** headline queries are timed by Bench */
     headline: Boolean = false,
+    /** runs a streaming job EAGERLY and returns a local verdict row —
+      * plan dumps must skip it (there is no batch plan to audit) */
+    streamingDriver: Boolean = false,
 )

@@ -443,8 +443,13 @@ object GraphAnn {
     val passThrough = bucketRows.filter(col("touched").isNull).select("src", "dst")
     // re-prune each touched src to the symmetrized 2·degree bound by
     // cosine over (current ∪ new); vectors come from the fx store plus
-    // the (broadcast-sized) delta
+    // the (broadcast-sized) delta. dropDuplicates: on a RETRIED run the
+    // store already holds the delta's rows, and a duplicated vec_id
+    // here would double every delta-touching join row — row_number's
+    // 2·degree cap would then count copies and silently shrink the
+    // kept neighbor set
     val allFx = fxTable.select("vec_id", "f").unionByName(deltaFx.select("vec_id", "f"))
+      .dropDuplicates("vec_id")
     val srcFx = allFx.select(col("vec_id").as("src"), col("f").as("fa"))
     val dstFx = allFx.select(col("vec_id").as("dst"), col("f").as("fb"))
     val w = org.apache.spark.sql.expressions.Window
@@ -501,20 +506,31 @@ object GraphAnn {
                          maxExpand: Int = 80, batch: Int = 8,
                          entryIds: Seq[Long], metric: String = "ip",
                          pieceCap: Long = GraphDeltaCap): Int = {
-    def ingest(lo: Long, hi: Long): Int = {
-      val slice = deltaFx.filter(col("vec_id").between(lo, hi))
-      val n = slice.count()
-      if (n == 0L) 0
-      else if (n <= pieceCap) {
-        appendStore(spark, store, slice, degree, ef, maxExpand, batch, entryIds, metric)
-        1
-      } else {
-        val mid = lo + (hi - lo) / 2
-        ingest(lo, mid) + ingest(mid + 1, hi)
+    // persist: the bisection runs O(tree) counts plus one appendStore
+    // per piece — without the cache an expensive upstream plan would
+    // re-execute at every node
+    val cached = deltaFx.persist()
+    try {
+      def ingest(lo: Long, hi: Long): Int = {
+        val slice = cached.filter(col("vec_id").between(lo, hi))
+        val n = slice.count()
+        if (n == 0L) 0
+        else if (n <= pieceCap) {
+          appendStore(spark, store, slice, degree, ef, maxExpand, batch, entryIds, metric)
+          1
+        } else {
+          // a single id carrying more rows than the cap cannot be
+          // bisected — fail with the actual problem (duplicate ids)
+          // instead of recursing on ingest(lo, lo) forever
+          require(lo < hi,
+            s"vec_id $lo carries $n rows (> pieceCap=$pieceCap) — the delta has duplicate ids")
+          val mid = lo + (hi - lo) / 2
+          ingest(lo, mid) + ingest(mid + 1, hi)
+        }
       }
-    }
-    val b = deltaFx.agg(min("vec_id"), max("vec_id")).collect()(0)
-    if (b.isNullAt(0)) 0 else ingest(b.getLong(0), b.getLong(1))
+      val b = cached.agg(min("vec_id"), max("vec_id")).collect()(0)
+      if (b.isNullAt(0)) 0 else ingest(b.getLong(0), b.getLong(1))
+    } finally { cached.unpersist(); () }
   }
 
   def searchStoredWithBudget(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,

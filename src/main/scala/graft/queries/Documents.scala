@@ -201,7 +201,7 @@ object Documents {
     // (in d18 the full dedup+gate+mix chain) would execute twice — and
     // correctness would silently ride on that plan being deterministic
     // across the two executions
-    val byChunk = toks.withColumn("_ck", expr(s"doc_id div $chunk")).persist()
+    val byChunk = graft.operators.CorpusPipeline.chunked(toks, chunk).persist()
     // checkpoint the placed frame (one narrow row per doc) off the
     // cached input, then release the cache — single upstream execution,
     // nothing pinned beyond the result the callers consume
@@ -214,22 +214,11 @@ object Documents {
     * offset map) packedStarts checkpoints; split out so PlanSpec can
     * assert the window shape that the checkpoint's lineage truncation
     * hides from downstream plans. The `_ck` column the input must
-    * carry IS the contract — chunking happened upstream. */
-  private[queries] def placedFrame(byChunk: DataFrame): DataFrame = {
-    val subs = byChunk.groupBy("_ck").agg(sum("n_tokens").as("_sub"))
-      .collect().sortBy(_.getLong(0))
-    var acc = 0L
-    val offs: Map[Long, Long] = subs.map { r =>
-      val e = (r.getLong(0), acc); acc += r.getLong(1); e
-    }.toMap
-    val localW = Window.partitionBy("_ck").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byChunk
-      .withColumn("start",
-        coalesce(element_at(typedLit(offs), col("_ck")), lit(0L)) +
-          coalesce(sum("n_tokens").over(localW), lit(0L)))
-      .drop("_ck")
-  }
+    * carry IS the contract — chunking happened upstream. The kernel
+    * itself lives in [[graft.operators.CorpusPipeline]] (shared with
+    * the streaming twin's per-micro-batch placement). */
+  private[queries] def placedFrame(byChunk: DataFrame): DataFrame =
+    graft.operators.CorpusPipeline.placedFrame(byChunk)
 
   /** PlanSpec hook: the pre-checkpoint placement plan for a docs
     * frame, built exactly as d9/d18 build it. */
@@ -244,13 +233,7 @@ object Documents {
     * oracle's `//` and stays exact past 2⁵³ cumulative tokens, where
     * double division would round bins. */
   private def packBins(placed: DataFrame, cap: Long): DataFrame =
-    placed
-      .withColumn("bin", explode(sequence(
-        expr(s"start div $cap"),
-        expr(s"(start + n_tokens - 1) div $cap"))))
-      .withColumn("contrib",
-        least(col("start") + col("n_tokens"), (col("bin") + 1) * cap) -
-          greatest(col("start"), col("bin") * cap))
+    graft.operators.CorpusPipeline.binSpans(placed, cap)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("contrib").as("n_tokens"))
       .orderBy("bin")
@@ -658,10 +641,7 @@ object Documents {
         val gated = tokens(docs.join(keep, Seq("doc_id"), "left_semi"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
           .filter(col("n_tokens") >= 30)
-        val u = (expr("CAST(conv(substring(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") + 1
-          ).cast("double") / lit(math.pow(2, 60))
-        val mixed = gated
-          .filter(u <= expr("CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END"))
+        val mixed = gated.filter(graft.operators.CorpusPipeline.mixKeep)
         packBins(packedStarts(mixed, chunk = 64L), cap = 512L)
       },
       Some(s"""WITH keep AS (
@@ -744,9 +724,10 @@ object Documents {
     // incrementally maintained packing manifest whose per-batch
     // placement reuses the chunked prefix-sum discipline (O(1) driver
     // state, one distributed pass per micro-batch). The corpus is
-    // replayed id-ordered in 5 micro-batches (the backfill-replay
-    // order; the driver-side collect here is fixture wiring — a real
-    // deployment reads the ingest log); the emitted row carries the
+    // replayed in id-ordered micro-batches (3 at fixture volume — the
+    // backfill-replay order; the driver-side collect here is fixture
+    // wiring, a real deployment reads the ingest log); the emitted row
+    // carries the
     // BATCH pipeline's manifest summary (everything the oracle
     // recomputes) plus the stream≡batch verdict across all five
     // accumulators. This is the backfill→live claim for the document
@@ -764,11 +745,7 @@ object Documents {
         val gated = tokens(docs.join(keep, Seq("doc_id"), "left_semi"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
           .filter(col("n_tokens") >= 30)
-        val u = (expr("CAST(conv(substring(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") + 1
-          ).cast("double") / lit(math.pow(2, 60))
-        val mixed = gated
-          .filter(u <= expr("CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END"))
-          .persist()
+        val mixed = gated.filter(graft.operators.CorpusPipeline.mixKeep).persist()
         val bins = packBins(packedStarts(mixed, chunk = 64L), cap = 512L)
         val b = bins.agg(
           coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
@@ -844,6 +821,7 @@ object Documents {
               |  (SELECT CAST(COALESCE(SUM(bin * n_tokens), 0) AS BIGINT) FROM bins) AS layout_checksum,
               |  TRUE AS stream_matches_batch""".stripMargin),
       headline = true,
+      streamingDriver = true,
     ),
 
     // ------------------------------------------------------------------
@@ -1894,13 +1872,10 @@ object Documents {
       // no shuffle until the per-source accounting aggregate. Output
       // is the per-source budget sheet (docs kept, chars kept).
       (s, d) => {
-        val u = (expr("CAST(conv(substring(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") + 1
-          ).cast("double") / lit(math.pow(2, 60))
-        val rate = expr("CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END")
         Tables.documents(s, d)
           .select(
             expr("CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'code' ELSE 'books' END").as("source"),
-            col("n_chars"), (u <= rate).as("kept"))
+            col("n_chars"), graft.operators.CorpusPipeline.mixKeep.as("kept"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),

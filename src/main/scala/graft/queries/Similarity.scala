@@ -536,6 +536,15 @@ object Similarity {
       "dd13_semantic_contamination",
       (s, d) => {
         val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        // the synthetic benchmark ids live at +1e6 (planted) and +2e6
+        // (distractors); past 1M real rows those namespaces would
+        // collide with train ids and the is_planted provenance label
+        // would silently lie ON BOTH ENGINES — fail loudly instead
+        // (the fixture corpora are ≤ 2000 rows; a real deployment
+        // derives the offset from max(vec_id))
+        val maxId = Tables.embeddings(s, d).agg(max("vec_id")).collect()(0).getLong(0)
+        require(maxId < 1000000L,
+          s"dd13's fixed benchmark-id offsets need max vec_id < 1e6, got $maxId")
         val train = Tables.embeddings(s, d).withColumn("f", fxCol)
           .withColumn("bucket", sigCol)
           .select(col("vec_id").as("train_id"), col("f").as("ft"), col("bucket"))
@@ -1638,16 +1647,18 @@ object Similarity {
     * by ss12 and ss16 (same key ⇒ same store). JVM-local build-once
     * under [[IvfStoreLock]]; cross-JVM races resolved by the same
     * pid-suffixed temp-dir + atomic-rename publish as ss14/ss15, so a
-    * reader can never observe a half-written store. A stale directory
-    * left by a crashed build (no `_OK` marker) is torn down before
-    * rebuilding rather than served. */
+    * reader can never observe a half-written store. The path carries a
+    * layout-version token (`b4v2`): under tmp+rename a crashed build
+    * never leaves a partial dir at the published path, and versioning
+    * makes any pre-rename-era layout simply unreachable — NO teardown
+    * of the published path ever runs (a delete would race another
+    * JVM's just-published store between the `_OK` check and the rm). */
   private def graphStoreFor(s: SparkSession, d: String, base: DataFrame): String = {
     import graft.operators.GraphAnn
     val store = new java.io.File(
-      s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/b4").getAbsolutePath
+      s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/b4v2").getAbsolutePath
     IvfStoreLock.synchronized {
       if (!new java.io.File(store, "_OK").exists()) {
-        deleteRecursively(new java.io.File(store)) // stale half-built layout
         val tmp = store + ".tmp-" + ProcessHandle.current().pid()
         val cached = base.select("vec_id", "f").persist()
         GraphAnn.writeStores(cached, GraphAnn.buildGraph(cached, degree = 16), tmp, nBuckets = 64)

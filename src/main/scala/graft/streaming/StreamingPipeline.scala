@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -61,19 +60,15 @@ object StreamingPipeline {
   }
 
   /** stages 2–3 — stateless quality gate (token count ≥ `minTokens`)
-    * and the seeded-hash corpus mix, bit-identical to the batch d18
-    * expressions (same md5-based uniform, same per-class rates). */
-  def gateAndMix(docs: Dataset[Doc], minTokens: Long = 30L): DataFrame = {
-    val toks = docs.toDF()
-      .withColumn("n_tokens",
-        size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+    * and the seeded-hash corpus mix: THE batch expressions, by
+    * construction — both sides import [[graft.operators.CorpusPipeline]],
+    * so a rule change cannot desynchronize the stream≡batch pin. */
+  def gateAndMix(docs: Dataset[Doc], minTokens: Long = 30L): DataFrame =
+    docs.toDF()
+      .withColumn("n_tokens", graft.operators.CorpusPipeline.tokenCount(col("text")))
       .filter(col("n_tokens") >= minTokens)
-    val u = (expr("CAST(conv(substring(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)") + 1)
-      .cast("double") / lit(math.pow(2, 60))
-    toks
-      .filter(u <= expr("CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END"))
+      .filter(graft.operators.CorpusPipeline.mixKeep)
       .select("doc_id", "n_tokens")
-  }
 
   /** stage 4 — the incremental packing MV. Call [[advance]] from a
     * foreachBatch sink; micro-batches arrive sequentially, so the
@@ -84,36 +79,25 @@ object StreamingPipeline {
     def state: PackState = st
 
     /** place one micro-batch of (doc_id, n_tokens) rows at the running
-      * corpus offset and fold its bin contributions into the state.
-      * One distributed pass; the only driver-resident data is the
-      * per-chunk subtotal map (|batch|/chunk entries — metadata). */
+      * corpus offset — the SAME [[graft.operators.CorpusPipeline]]
+      * placement/span kernels as the batch pipeline, with `base` set
+      * to the running offset — and fold its bin contributions into
+      * the state. The only driver-resident data is the per-chunk
+      * subtotal map (|batch|/chunk entries — metadata). */
     def advance(batch: DataFrame): PackState = synchronized {
+      import graft.operators.CorpusPipeline
       val base = st.totalTokens
-      val byChunk = batch.select(col("doc_id"), col("n_tokens"))
-        .withColumn("_ck", expr(s"doc_id div $chunk")).persist()
-      val subs = byChunk.groupBy("_ck")
-        .agg(sum("n_tokens").as("_sub"), count(lit(1)).as("_cnt"))
-        .collect().sortBy(_.getLong(0))
-      var acc = 0L
-      var docs = 0L
-      val offs: Map[Long, Long] = subs.map { r =>
-        val e = (r.getLong(0), acc); acc += r.getLong(1); docs += r.getLong(2); e
-      }.toMap
+      val byChunk = CorpusPipeline
+        .chunked(batch.select(col("doc_id"), col("n_tokens")), chunk).persist()
+      val tot = byChunk.agg(
+        coalesce(sum("n_tokens"), lit(0L)).as("t"), count(lit(1)).as("d")).collect()(0)
+      val (tokens, docs) = (tot.getLong(0), tot.getLong(1))
       if (docs > 0L) {
-        val localW = Window.partitionBy("_ck").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val placed = byChunk.withColumn("start",
-          lit(base) + coalesce(element_at(typedLit(offs), col("_ck")), lit(0L)) +
-            coalesce(sum("n_tokens").over(localW), lit(0L)))
-        val ck = placed
-          .withColumn("bin", explode(sequence(
-            expr(s"start div $cap"), expr(s"(start + n_tokens - 1) div $cap"))))
-          .withColumn("contrib",
-            least(col("start") + col("n_tokens"), (col("bin") + 1) * cap) -
-              greatest(col("start"), col("bin") * cap))
+        val placed = CorpusPipeline.placedFrame(byChunk, base)
+        val ck = CorpusPipeline.binSpans(placed, cap)
           .agg(coalesce(sum(col("bin") * col("contrib")), lit(0L)))
           .collect()(0).getLong(0)
-        st = PackState(st.nDocs + docs, base + acc, st.checksum + ck)
+        st = PackState(st.nDocs + docs, base + tokens, st.checksum + ck)
       }
       byChunk.unpersist()
       st
