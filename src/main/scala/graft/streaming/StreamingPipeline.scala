@@ -76,6 +76,11 @@ object StreamingPipeline {
     * defensive synchronized. */
   final class PackingMv(cap: Long = 512L, chunk: Long = 1024L) {
     @volatile private var st = PackState(0L, 0L, 0L)
+    // highest doc_id already placed: the layout is only batch-equal
+    // under id-ordered ingest ACROSS micro-batches, so a late smaller
+    // id must fail the batch loudly instead of silently producing a
+    // manifest no batch run can reproduce
+    @volatile private var lastDoc = Long.MinValue
     def state: PackState = st
 
     /** place one micro-batch of (doc_id, n_tokens) rows at the running
@@ -90,14 +95,19 @@ object StreamingPipeline {
       val byChunk = CorpusPipeline
         .chunked(batch.select(col("doc_id"), col("n_tokens")), chunk).persist()
       val tot = byChunk.agg(
-        coalesce(sum("n_tokens"), lit(0L)).as("t"), count(lit(1)).as("d")).collect()(0)
+        coalesce(sum("n_tokens"), lit(0L)).as("t"), count(lit(1)).as("d"),
+        min("doc_id").as("lo"), max("doc_id").as("hi")).collect()(0)
       val (tokens, docs) = (tot.getLong(0), tot.getLong(1))
       if (docs > 0L) {
+        require(tot.getLong(2) > lastDoc,
+          s"out-of-order ingest: doc ${tot.getLong(2)} arrived after doc $lastDoc " +
+            "was already placed — micro-batches must be id-ordered (backfill-replay order)")
         val placed = CorpusPipeline.placedFrame(byChunk, base)
         val ck = CorpusPipeline.binSpans(placed, cap)
           .agg(coalesce(sum(col("bin") * col("contrib")), lit(0L)))
           .collect()(0).getLong(0)
         st = PackState(st.nDocs + docs, base + tokens, st.checksum + ck)
+        lastDoc = tot.getLong(3)
       }
       byChunk.unpersist()
       st

@@ -109,6 +109,30 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows === 17L)        // distinct contents: seeds collide mod 17
   }
 
+  test("out-of-order ingest across micro-batches fails loudly instead of corrupting the manifest") {
+    def doc(id: Long) = StreamingPipeline.Doc(id,
+      (0 until 40).map(j => s"x$id$j").mkString(" "))
+    val first = (100L until 120L).map(doc)
+    val late = (0L until 20L).map(doc) // smaller ids AFTER larger ones placed
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val es = MemoryStream[StreamingPipeline.Doc]
+    val mv = new StreamingPipeline.PackingMv(cap = 512L, chunk = 16L)
+    val q = StreamingPipeline.run(es.toDS(), mv)
+    try {
+      es.addData(first); q.processAllAvailable()
+      assert(mv.state.nDocs > 0L)
+      es.addData(late)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).toSeq
+      assert(msgs.exists(_.contains("out-of-order ingest")), msgs.mkString(" | "))
+    } finally q.stop()
+  }
+
   test("empty and gate-failing batches advance nothing") {
     val shortDoc = StreamingPipeline.Doc(0L, "too short") // < 30 tokens
     val (st, _) = runStream(Seq(Seq(shortDoc), Seq.empty))
