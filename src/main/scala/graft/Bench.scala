@@ -28,7 +28,7 @@ object Bench {
     // 10× inflation in BENCH_r05 vs the warm-store local run).
     Seq("ss5_ann_ivf", "ss6_ann_pq", "ss10_ann_ivfpq",
         "ss11_diverse_sample", "ss12_graph_ann", "ss14_ivf_upsert",
-        "ss15_graph_upsert", "ss16_ann_matrix").foreach { n =>
+        "ss15_graph_upsert", "ss16_ann_matrix", "ss17_cdc_index_follow").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count()
         catch { case t: Throwable => System.err.println(s"[bench] warm $n failed: $t") }

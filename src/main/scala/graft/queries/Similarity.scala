@@ -1408,6 +1408,107 @@ object Similarity {
            |FROM (SELECT 1)""".stripMargin
       },
     ),
+    // ss17 — CDC-DRIVEN index maintenance: the versioned embedding
+    // table's change feed IS the vector-index ingest. The corpus
+    // lives in a transactional VersionedTable (v0 = base commit,
+    // v1 = MERGE of the newly arrived vectors); the v0→v1 CDC step's
+    // `insert` rows — and nothing else — flow into the committed IVF
+    // store via appendStore under the PERSISTED model, exactly how a
+    // production vector store follows its upstream table instead of
+    // re-scanning it. Contract: the CDC insert count equals the
+    // planted delta, probe(CDC-followed store) ≡ probe(full rebuild)
+    // ≡ the exact integer-L2 top-10 the oracle recomputes from the
+    // portable corpus. This stitches three subsystems the driver gate
+    // already checks separately (table format CDC, IVF maintenance,
+    // exact ANN spine) into the composition a deployment runs.
+    QueryDef(
+      "ss17_cdc_index_follow",
+      (s, _) => {
+        import graft.operators.IvfIndex
+        import graft.sources.VersionedTable
+        val nBase = 20000L
+        val nAll = 22000L
+        val all = plantedClusters(s, nAll, nClasses = 8)
+        val corpus = all.filter(col("vec_id") =!= 0) // query held out
+        // the upstream table: base commit then the arrival MERGE
+        val dir = java.nio.file.Files.createTempDirectory("vt_emb").toString
+        val vt = new VersionedTable(s, dir, nBuckets = 16)
+        vt.commit(corpus.filter(col("vec_id") < nBase), Seq("vec_id"), None)
+        vt.merge(corpus.filter(col("vec_id") >= nBase), Seq("vec_id"), Some(0))
+        val cdc = vt.cdc(Seq("vec_id"), 0, 1)
+        val byType = cdc.groupBy("change_type").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val inserts = cdc.filter(col("change_type") === "insert")
+          .select("vec_id", "class", "embedding")
+
+        // committed store: trained on the table's PINNED v0 read,
+        // delta appended from the change feed (ss14's canon/cache
+        // discipline, separate key so the two paths can't alias)
+        val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
+          s"|ss17|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42"
+        val tag = graft.core.Bytes.toHex(
+          graft.core.Keccak.keccak256(canon.getBytes("UTF-8")).take(8))
+        val store = new java.io.File(s"target/ivfstore/cdcfollow_$tag").getAbsolutePath
+        IvfStoreLock.synchronized {
+          if (!new java.io.File(store, "_OK").exists()) {
+            val tmp = store + ".tmp-" + ProcessHandle.current().pid()
+            val v0 = vt.read(Some(0)).get
+            val model = IvfIndex.train(v0, nlist = 16)
+            IvfIndex.writeStore(IvfIndex.assign(v0, model), tmp)
+            IvfIndex.saveModel(s, model, tmp)
+            IvfIndex.appendStore(inserts, model, tmp)
+            new java.io.File(tmp, "_OK").createNewFile()
+            if (!new java.io.File(tmp).renameTo(new java.io.File(store)))
+              deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
+          }
+        }
+        val model = IvfIndex.loadModel(s, store)
+        val q = all.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        val fromStore = IvfIndex.probeL2(IvfIndex.readStore(s, store), model, q,
+            nprobe = 8, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val rebuilt = IvfIndex.probeL2(IvfIndex.assign(vt.read().get, model), model, q,
+            nprobe = 8, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+
+        val qArr = array(q.map(x => lit(math.round(x.toDouble))): _*)
+        val d2 = aggregate(
+          zip_with(transform(col("embedding"), x => x.cast("long")), qArr,
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+        val ex = corpus.select(col("vec_id"), d2.as("d2"))
+          .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+        val exIds = ex.select("vec_id").collect().map(_.getLong(0)).toSet
+        ex.agg(expr("bit_xor(vec_id * 1000003 + d2)").as("exact_checksum"))
+          .select(
+            lit(byType.getOrElse("insert", 0L)).as("n_cdc_inserts"),
+            lit(byType.view.filterKeys(_ != "insert").values.sum).as("n_cdc_other"),
+            lit(fromStore == rebuilt).as("follow_equals_rebuild"),
+            lit(exIds.intersect(fromStore).size >= 8).as("recall_ok"),
+            col("exact_checksum"))
+      },
+      Some {
+        val center = plantedCenterSql("vid", "j", 8)
+        val jit = plantedJitterSql("vid", "j")
+        s"""WITH ids AS (SELECT unnest(range(22000)) AS vid),
+           |v AS (SELECT vid, list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
+           |q AS (SELECT e AS qe FROM v WHERE vid = 0),
+           |pos AS (SELECT vid, unnest(range(1, 17)) AS i, e, qe
+           |        FROM v CROSS JOIN q WHERE vid <> 0),
+           |d AS (SELECT vid, sum((e[i] - qe[i]) * (e[i] - qe[i])) AS d2
+           |      FROM pos GROUP BY vid),
+           |top AS (SELECT vid, CAST(d2 AS BIGINT) AS d2,
+           |        row_number() OVER (ORDER BY d2, vid) AS rk FROM d)
+           |SELECT CAST(2000 AS BIGINT) AS n_cdc_inserts,
+           |  CAST(0 AS BIGINT) AS n_cdc_other,
+           |  TRUE AS follow_equals_rebuild, TRUE AS recall_ok,
+           |  (SELECT CAST(bit_xor(vid * 1000003 + d2) AS BIGINT)
+           |   FROM top WHERE rk <= 10) AS exact_checksum
+           |FROM (SELECT 1)""".stripMargin
+      },
+    ),
+
     // ss15 — graph-ANN index MAINTENANCE: delta insert into a
     // committed graph store (GraphAnn.appendStore — the batched HNSW
     // insert discipline: budgeted stored-search LINK, cosine edge
