@@ -47,20 +47,39 @@ object CorpusPipeline {
     * Exchange. `base` shifts the whole layout: 0 for a batch corpus,
     * the running corpus offset for the streaming manifest's
     * micro-batch placement. */
-  def placedFrame(byChunk: DataFrame, base: Long = 0L): DataFrame = {
-    val subs = byChunk.groupBy("_ck").agg(sum("n_tokens").as("_sub"))
+  def placedFrame(byChunk: DataFrame, base: Long = 0L): DataFrame =
+    placedFrameWithStats(byChunk, base)._1
+
+  /** totals of one placement input, read off the SAME per-chunk
+    * subtotal collect the placement needs anyway — the streaming
+    * manifest consumes these instead of running a second aggregate
+    * over the micro-batch. minDoc/maxDoc are Long.MaxValue/MinValue
+    * when the input is empty. */
+  final case class BatchStats(tokens: Long, docs: Long, minDoc: Long, maxDoc: Long)
+
+  def placedFrameWithStats(byChunk: DataFrame, base: Long = 0L): (DataFrame, BatchStats) = {
+    val subs = byChunk.groupBy("_ck")
+      .agg(sum("n_tokens").as("_sub"), count(lit(1)).as("_cnt"),
+        min("doc_id").as("_mn"), max("doc_id").as("_mx"))
       .collect().sortBy(_.getLong(0))
     var acc = base
+    var docs = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
     val offs: Map[Long, Long] = subs.map { r =>
-      val e = (r.getLong(0), acc); acc += r.getLong(1); e
+      val e = (r.getLong(0), acc)
+      acc += r.getLong(1); docs += r.getLong(2)
+      mn = math.min(mn, r.getLong(3)); mx = math.max(mx, r.getLong(4))
+      e
     }.toMap
     val localW = Window.partitionBy("_ck").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    byChunk
+    val placed = byChunk
       .withColumn("start",
         coalesce(element_at(typedLit(offs), col("_ck")), lit(base)) +
           coalesce(sum("n_tokens").over(localW), lit(0L)))
       .drop("_ck")
+    (placed, BatchStats(acc - base, docs, mn, mx))
   }
 
   /** explode each placed doc over the `cap`-token bins its

@@ -1281,6 +1281,8 @@ object Relational {
           val s2 = java.nio.file.Files.list(p)
           try s2.count() finally s2.close()
         }
+        // every read above has collected — reclaim the temp table
+        deleteDirRecursively(new java.io.File(dir))
         import s.implicits._
         Seq((n, fragBefore > 1, dirsAfter, sumBefore, sumAfter == sumBefore,
           pruned, pinnedOk, sumPostVacuum == sumBefore, diskDirs))
@@ -1899,6 +1901,9 @@ object Relational {
           .filter(col("k").between(0L, prunedHi)).count()
         val total = vt.read().get.count()
         follower.snapshot().unpersist()
+        // every read above has collected — reclaim the temp table
+        // (at 3M rows this is ~10² MB of dead parquet per run)
+        deleteDirRecursively(new java.io.File(dir))
         import s.implicits._
         Seq((n, total, d.getOrElse("update", 0L), d.getOrElse("insert", 0L),
           d.getOrElse("delete", 0L), pruned, mvOk))
@@ -1916,6 +1921,11 @@ object Relational {
               |  CAST(${n / 3} - (SELECT count(*) FROM del WHERE k <= $prunedHi) AS BIGINT) AS n_pruned_read,
               |  TRUE AS mv_ok""".stripMargin),
     )
+  }
+
+  private def deleteDirRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteDirRecursively))
+    f.delete(): Unit
   }
 
   private def buildVtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = {

@@ -540,9 +540,12 @@ object Similarity {
         // (distractors); past 1M real rows those namespaces would
         // collide with train ids and the is_planted provenance label
         // would silently lie ON BOTH ENGINES — fail loudly instead
-        // (the fixture corpora are ≤ 2000 rows; a real deployment
-        // derives the offset from max(vec_id))
-        val maxId = Tables.embeddings(s, d).agg(max("vec_id")).collect()(0).getLong(0)
+        // (the fixture corpora are ≤ 2000 rows — this probe is a
+        // metadata-size scan of a small dim table; a real deployment
+        // derives the offset from max(vec_id)). getAs: NULL max
+        // (empty table) reads as "no collision", not an NPE.
+        val maxId = Option(Tables.embeddings(s, d).agg(max("vec_id"))
+          .collect()(0).getAs[java.lang.Long](0)).map(_.longValue).getOrElse(-1L)
         require(maxId < 1000000L,
           s"dd13's fixed benchmark-id offsets need max vec_id < 1e6, got $maxId")
         val train = Tables.embeddings(s, d).withColumn("f", fxCol)
@@ -1343,25 +1346,13 @@ object Similarity {
         // serving a model built by the old path
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
           s"|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42"
-        val tag = graft.core.Bytes.toHex(
-          graft.core.Keccak.keccak256(canon.getBytes("UTF-8")).take(8))
-        val store = new java.io.File(s"target/ivfstore/planted_$tag").getAbsolutePath
-        IvfStoreLock.synchronized {
-          if (!new java.io.File(store, "_OK").exists()) {
-            // build into a pid-suffixed temp dir, publish by atomic
-            // rename: a second JVM racing the same key either wins the
-            // rename or discards its temp — a half-built store is
-            // never visible under the published path
-            val tmp = store + ".tmp-" + ProcessHandle.current().pid()
-            val base = corpus.filter(col("vec_id") < nBase)
-            val model = IvfIndex.train(base, nlist = 16)
-            IvfIndex.writeStore(IvfIndex.assign(base, model), tmp)
-            IvfIndex.saveModel(s, model, tmp)
-            IvfIndex.appendStore(corpus.filter(col("vec_id") >= nBase), model, tmp)
-            new java.io.File(tmp, "_OK").createNewFile()
-            if (!new java.io.File(tmp).renameTo(new java.io.File(store)))
-              deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
-          }
+        val store = new java.io.File(s"target/ivfstore/planted_${storeTag(canon)}").getAbsolutePath
+        publishStore(store) { tmp =>
+          val base = corpus.filter(col("vec_id") < nBase)
+          val model = IvfIndex.train(base, nlist = 16)
+          IvfIndex.writeStore(IvfIndex.assign(base, model), tmp)
+          IvfIndex.saveModel(s, model, tmp)
+          IvfIndex.appendStore(corpus.filter(col("vec_id") >= nBase), model, tmp)
         }
         val model = IvfIndex.loadModel(s, store)
         val q = all.filter(col("vec_id") === 0)
@@ -1372,15 +1363,9 @@ object Similarity {
         val rebuilt = IvfIndex.probeL2(IvfIndex.assign(corpus, model), model, q, nprobe = 8, k = 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val nStore = stored.count()
-        // exact spine: integer L2 top-10 over the full corpus, the
-        // same portable arithmetic the oracle replays
-        val qArr = array(q.map(x => lit(math.round(x.toDouble))): _*)
-        val d2 = aggregate(
-          zip_with(transform(col("embedding"), x => x.cast("long")), qArr,
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-        val ex = corpus.select(col("vec_id"), d2.as("d2"))
-          .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+        // exact spine: the shared integer-L2 ground truth, the same
+        // portable arithmetic the oracle replays
+        val ex = exactL2Top10(corpus, q)
         val exIds = ex.select("vec_id").collect().map(_.getLong(0)).toSet
         ex.agg(expr("bit_xor(vec_id * 1000003 + d2)").as("exact_checksum"))
           .select(
@@ -1389,24 +1374,12 @@ object Similarity {
             lit(exIds.intersect(fromStore).size >= 8).as("recall_ok"),
             col("exact_checksum"))
       },
-      Some {
-        val center = plantedCenterSql("vid", "j", 8)
-        val jit = plantedJitterSql("vid", "j")
-        s"""WITH ids AS (SELECT unnest(range(22000)) AS vid),
-           |v AS (SELECT vid, list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
-           |q AS (SELECT e AS qe FROM v WHERE vid = 0),
-           |pos AS (SELECT vid, unnest(range(1, 17)) AS i, e, qe
-           |        FROM v CROSS JOIN q WHERE vid <> 0),
-           |d AS (SELECT vid, sum((e[i] - qe[i]) * (e[i] - qe[i])) AS d2
-           |      FROM pos GROUP BY vid),
-           |top AS (SELECT vid, CAST(d2 AS BIGINT) AS d2,
-           |        row_number() OVER (ORDER BY d2, vid) AS rk FROM d)
-           |SELECT CAST(21999 AS BIGINT) AS n_store_rows,
-           |  TRUE AS append_equals_rebuild, TRUE AS recall_ok,
-           |  (SELECT CAST(bit_xor(vid * 1000003 + d2) AS BIGINT)
-           |   FROM top WHERE rk <= 10) AS exact_checksum
-           |FROM (SELECT 1)""".stripMargin
-      },
+      Some(plantedExactTop10Cte(22000L) + "\n" +
+        """SELECT CAST(21999 AS BIGINT) AS n_store_rows,
+          |  TRUE AS append_equals_rebuild, TRUE AS recall_ok,
+          |  (SELECT CAST(bit_xor(vid * 1000003 + d2) AS BIGINT)
+          |   FROM top WHERE rk <= 10) AS exact_checksum
+          |FROM (SELECT 1)""".stripMargin),
     ),
     // ss17 — CDC-DRIVEN index maintenance: the versioned embedding
     // table's change feed IS the vector-index ingest. The corpus
@@ -1446,21 +1419,13 @@ object Similarity {
         // discipline, separate key so the two paths can't alias)
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
           s"|ss17|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42"
-        val tag = graft.core.Bytes.toHex(
-          graft.core.Keccak.keccak256(canon.getBytes("UTF-8")).take(8))
-        val store = new java.io.File(s"target/ivfstore/cdcfollow_$tag").getAbsolutePath
-        IvfStoreLock.synchronized {
-          if (!new java.io.File(store, "_OK").exists()) {
-            val tmp = store + ".tmp-" + ProcessHandle.current().pid()
-            val v0 = vt.read(Some(0)).get
-            val model = IvfIndex.train(v0, nlist = 16)
-            IvfIndex.writeStore(IvfIndex.assign(v0, model), tmp)
-            IvfIndex.saveModel(s, model, tmp)
-            IvfIndex.appendStore(inserts, model, tmp)
-            new java.io.File(tmp, "_OK").createNewFile()
-            if (!new java.io.File(tmp).renameTo(new java.io.File(store)))
-              deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
-          }
+        val store = new java.io.File(s"target/ivfstore/cdcfollow_${storeTag(canon)}").getAbsolutePath
+        publishStore(store) { tmp =>
+          val v0 = vt.read(Some(0)).get
+          val model = IvfIndex.train(v0, nlist = 16)
+          IvfIndex.writeStore(IvfIndex.assign(v0, model), tmp)
+          IvfIndex.saveModel(s, model, tmp)
+          IvfIndex.appendStore(inserts, model, tmp)
         }
         val model = IvfIndex.loadModel(s, store)
         val q = all.filter(col("vec_id") === 0)
@@ -1471,14 +1436,11 @@ object Similarity {
         val rebuilt = IvfIndex.probeL2(IvfIndex.assign(vt.read().get, model), model, q,
             nprobe = 8, k = 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
+        // every table read above has collected; reclaim the temp table
+        // (the committed STORE is the cached artifact, not the vt)
+        deleteRecursively(new java.io.File(dir))
 
-        val qArr = array(q.map(x => lit(math.round(x.toDouble))): _*)
-        val d2 = aggregate(
-          zip_with(transform(col("embedding"), x => x.cast("long")), qArr,
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-        val ex = corpus.select(col("vec_id"), d2.as("d2"))
-          .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+        val ex = exactL2Top10(corpus, q)
         val exIds = ex.select("vec_id").collect().map(_.getLong(0)).toSet
         ex.agg(expr("bit_xor(vec_id * 1000003 + d2)").as("exact_checksum"))
           .select(
@@ -1488,25 +1450,13 @@ object Similarity {
             lit(exIds.intersect(fromStore).size >= 8).as("recall_ok"),
             col("exact_checksum"))
       },
-      Some {
-        val center = plantedCenterSql("vid", "j", 8)
-        val jit = plantedJitterSql("vid", "j")
-        s"""WITH ids AS (SELECT unnest(range(22000)) AS vid),
-           |v AS (SELECT vid, list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
-           |q AS (SELECT e AS qe FROM v WHERE vid = 0),
-           |pos AS (SELECT vid, unnest(range(1, 17)) AS i, e, qe
-           |        FROM v CROSS JOIN q WHERE vid <> 0),
-           |d AS (SELECT vid, sum((e[i] - qe[i]) * (e[i] - qe[i])) AS d2
-           |      FROM pos GROUP BY vid),
-           |top AS (SELECT vid, CAST(d2 AS BIGINT) AS d2,
-           |        row_number() OVER (ORDER BY d2, vid) AS rk FROM d)
-           |SELECT CAST(2000 AS BIGINT) AS n_cdc_inserts,
-           |  CAST(0 AS BIGINT) AS n_cdc_other,
-           |  TRUE AS follow_equals_rebuild, TRUE AS recall_ok,
-           |  (SELECT CAST(bit_xor(vid * 1000003 + d2) AS BIGINT)
-           |   FROM top WHERE rk <= 10) AS exact_checksum
-           |FROM (SELECT 1)""".stripMargin
-      },
+      Some(plantedExactTop10Cte(22000L) + "\n" +
+        """SELECT CAST(2000 AS BIGINT) AS n_cdc_inserts,
+          |  CAST(0 AS BIGINT) AS n_cdc_other,
+          |  TRUE AS follow_equals_rebuild, TRUE AS recall_ok,
+          |  (SELECT CAST(bit_xor(vid * 1000003 + d2) AS BIGINT)
+          |   FROM top WHERE rk <= 10) AS exact_checksum
+          |FROM (SELECT 1)""".stripMargin),
     ),
 
     // ss15 — graph-ANN index MAINTENANCE: delta insert into a
@@ -1542,31 +1492,23 @@ object Similarity {
 
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
           "|ss15|base=2000|delta=104|deg=16|graph=v1"
-        val tag = graft.core.Bytes.toHex(
-          graft.core.Keccak.keccak256(canon.getBytes("UTF-8")).take(8))
-        val root = new java.io.File(s"target/gstore/upsert_$tag").getAbsolutePath
+        val root = new java.io.File(s"target/gstore/upsert_${storeTag(canon)}").getAbsolutePath
         val nB = 16
-        IvfStoreLock.synchronized {
-          if (!new java.io.File(root, "_OK").exists()) {
-            val tmp = root + ".tmp-" + ProcessHandle.current().pid()
-            val baseC = base.persist()
-            val fullC = base.unionByName(delta).persist()
-            val gA = GraphAnn.buildGraph(baseC, degree = 16, dims = 16).persist()
-            val eA = GraphAnn.buildEntryLayerConnected(baseC, gA, dims = 16)
-            GraphAnn.writeStores(baseC, gA, s"$tmp/append", nB)
-            eA.write.mode("overwrite").parquet(s"$tmp/append_entry")
-            val entryA = s.read.parquet(s"$tmp/append_entry").collect().map(_.getLong(0)).toSeq
-            GraphAnn.appendStore(s, GraphAnn.StoredIndex(s"$tmp/append", nB), delta,
-              degree = 16, entryIds = entryA, metric = "l2")
-            val gB = GraphAnn.buildGraph(fullC, degree = 16, dims = 16).persist()
-            GraphAnn.writeStores(fullC, gB, s"$tmp/rebuild", nB)
-            GraphAnn.buildEntryLayerConnected(fullC, gB, dims = 16)
-              .write.mode("overwrite").parquet(s"$tmp/rebuild_entry")
-            gA.unpersist(); gB.unpersist(); baseC.unpersist(); fullC.unpersist()
-            new java.io.File(tmp, "_OK").createNewFile()
-            if (!new java.io.File(tmp).renameTo(new java.io.File(root)))
-              deleteRecursively(new java.io.File(tmp))
-          }
+        publishStore(root) { tmp =>
+          val baseC = base.persist()
+          val fullC = base.unionByName(delta).persist()
+          val gA = GraphAnn.buildGraph(baseC, degree = 16, dims = 16).persist()
+          val eA = GraphAnn.buildEntryLayerConnected(baseC, gA, dims = 16)
+          GraphAnn.writeStores(baseC, gA, s"$tmp/append", nB)
+          eA.write.mode("overwrite").parquet(s"$tmp/append_entry")
+          val entryA = s.read.parquet(s"$tmp/append_entry").collect().map(_.getLong(0)).toSeq
+          GraphAnn.appendStore(s, GraphAnn.StoredIndex(s"$tmp/append", nB), delta,
+            degree = 16, entryIds = entryA, metric = "l2")
+          val gB = GraphAnn.buildGraph(fullC, degree = 16, dims = 16).persist()
+          GraphAnn.writeStores(fullC, gB, s"$tmp/rebuild", nB)
+          GraphAnn.buildEntryLayerConnected(fullC, gB, dims = 16)
+            .write.mode("overwrite").parquet(s"$tmp/rebuild_entry")
+          gA.unpersist(); gB.unpersist(); baseC.unpersist(); fullC.unpersist(): Unit
         }
         def probe(which: String): Map[Long, Set[Long]] = {
           val entry = s.read.parquet(s"$root/${which}_entry").collect().map(_.getLong(0)).toSeq
@@ -1744,6 +1686,60 @@ object Similarity {
     f.delete(): Unit
   }
 
+  /** content-fingerprint tag for a committed-store path (the
+    * FixtureStore.dir discipline): any change to the canon string —
+    * corpus formula, sizes, knobs, trainer version, seed — re-keys
+    * the store, so a stale cache can never serve a mismatched build. */
+  private def storeTag(canon: String): String =
+    graft.core.Bytes.toHex(graft.core.Keccak.keccak256(canon.getBytes("UTF-8")).take(8))
+
+  /** Build-once atomic store publish, shared by every committed-store
+    * query (ss12/ss14/ss15/ss16/ss17): build into a pid-suffixed temp
+    * dir, mark `_OK`, atomically rename — the loser of a cross-JVM
+    * race discards its temp, and a reader can never observe a
+    * half-written store. JVM-local build-once under [[IvfStoreLock]]. */
+  private def publishStore(root: String)(build: String => Unit): Unit =
+    IvfStoreLock.synchronized {
+      if (!new java.io.File(root, "_OK").exists()) {
+        val tmp = root + ".tmp-" + ProcessHandle.current().pid()
+        build(tmp)
+        new java.io.File(tmp, "_OK").createNewFile()
+        if (!new java.io.File(tmp).renameTo(new java.io.File(root)))
+          deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
+      }
+    }
+
+  /** exact integer-L2 top-10 spine over (vec_id, embedding) for the
+    * held-out query — the ground truth the index-maintenance
+    * contracts (ss14/ss17) compare against; the DuckDB twin is
+    * [[plantedExactTop10Cte]]. */
+  private def exactL2Top10(corpus: DataFrame, q: Array[Float]): DataFrame = {
+    val qArr = array(q.map(x => lit(math.round(x.toDouble))): _*)
+    val d2 = aggregate(
+      zip_with(transform(col("embedding"), x => x.cast("long")), qArr,
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    corpus.select(col("vec_id"), d2.as("d2"))
+      .orderBy(col("d2").asc, col("vec_id").asc).limit(10)
+  }
+
+  /** DuckDB CTE chain regenerating the planted corpus (8 classes,
+    * query vid = 0 held out) and ranking exact L2 distances — ONE
+    * definition for every oracle that consumes the `top` CTE. */
+  private def plantedExactTop10Cte(nAll: Long): String = {
+    val center = plantedCenterSql("vid", "j", 8)
+    val jit = plantedJitterSql("vid", "j")
+    s"""WITH ids AS (SELECT unnest(range($nAll)) AS vid),
+       |v AS (SELECT vid, list_transform(range(0, 16), j -> $center + $jit) AS e FROM ids),
+       |q AS (SELECT e AS qe FROM v WHERE vid = 0),
+       |pos AS (SELECT vid, unnest(range(1, 17)) AS i, e, qe
+       |        FROM v CROSS JOIN q WHERE vid <> 0),
+       |d AS (SELECT vid, sum((e[i] - qe[i]) * (e[i] - qe[i])) AS d2
+       |      FROM pos GROUP BY vid),
+       |top AS (SELECT vid, CAST(d2 AS BIGINT) AS d2,
+       |        row_number() OVER (ORDER BY d2, vid) AS rk FROM d)""".stripMargin
+  }
+
   /** Build-once committed graph store over `d`'s embeddings — shared
     * by ss12 and ss16 (same key ⇒ same store). JVM-local build-once
     * under [[IvfStoreLock]]; cross-JVM races resolved by the same
@@ -1758,17 +1754,11 @@ object Similarity {
     import graft.operators.GraphAnn
     val store = new java.io.File(
       s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/b4v2").getAbsolutePath
-    IvfStoreLock.synchronized {
-      if (!new java.io.File(store, "_OK").exists()) {
-        val tmp = store + ".tmp-" + ProcessHandle.current().pid()
-        val cached = base.select("vec_id", "f").persist()
-        GraphAnn.writeStores(cached, GraphAnn.buildGraph(cached, degree = 16), tmp, nBuckets = 64)
-        GraphAnn.buildEntryLayer(cached).write.mode("overwrite").parquet(s"$tmp/entry")
-        cached.unpersist()
-        new java.io.File(tmp, "_OK").createNewFile()
-        if (!new java.io.File(tmp).renameTo(new java.io.File(store)))
-          deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
-      }
+    publishStore(store) { tmp =>
+      val cached = base.select("vec_id", "f").persist()
+      GraphAnn.writeStores(cached, GraphAnn.buildGraph(cached, degree = 16), tmp, nBuckets = 64)
+      GraphAnn.buildEntryLayer(cached).write.mode("overwrite").parquet(s"$tmp/entry")
+      cached.unpersist(): Unit
     }
     store
   }

@@ -94,23 +94,22 @@ object StreamingPipeline {
       val base = st.totalTokens
       val byChunk = CorpusPipeline
         .chunked(batch.select(col("doc_id"), col("n_tokens")), chunk).persist()
-      val tot = byChunk.agg(
-        coalesce(sum("n_tokens"), lit(0L)).as("t"), count(lit(1)).as("d"),
-        min("doc_id").as("lo"), max("doc_id").as("hi")).collect()(0)
-      val (tokens, docs) = (tot.getLong(0), tot.getLong(1))
-      if (docs > 0L) {
-        require(tot.getLong(2) > lastDoc,
-          s"out-of-order ingest: doc ${tot.getLong(2)} arrived after doc $lastDoc " +
-            "was already placed — micro-batches must be id-ordered (backfill-replay order)")
-        val placed = CorpusPipeline.placedFrame(byChunk, base)
-        val ck = CorpusPipeline.binSpans(placed, cap)
-          .agg(coalesce(sum(col("bin") * col("contrib")), lit(0L)))
-          .collect()(0).getLong(0)
-        st = PackState(st.nDocs + docs, base + tokens, st.checksum + ck)
-        lastDoc = tot.getLong(3)
-      }
-      byChunk.unpersist()
-      st
+      try {
+        // the placement's own subtotal collect carries the batch
+        // totals — two jobs per micro-batch total, not three
+        val (placed, stats) = CorpusPipeline.placedFrameWithStats(byChunk, base)
+        if (stats.docs > 0L) {
+          require(stats.minDoc > lastDoc,
+            s"out-of-order ingest: doc ${stats.minDoc} arrived after doc $lastDoc " +
+              "was already placed — micro-batches must be id-ordered (backfill-replay order)")
+          val ck = CorpusPipeline.binSpans(placed, cap)
+            .agg(coalesce(sum(col("bin") * col("contrib")), lit(0L)))
+            .collect()(0).getLong(0)
+          st = PackState(st.nDocs + stats.docs, base + stats.tokens, st.checksum + ck)
+          lastDoc = stats.maxDoc
+        }
+        st
+      } finally { byChunk.unpersist(); () }
     }
   }
 
