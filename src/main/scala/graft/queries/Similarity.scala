@@ -115,12 +115,19 @@ object Similarity {
   private def ip(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** sign-projection bucket signature at any width (Spark side). */
+  /** sign-projection bucket signature at any width (Spark side).
+    * The plane entries are ±1, so each plane's inner product is a
+    * plain ± sum over `element_at` reads — flat codegen arithmetic
+    * instead of one `zip_with` array allocation per plane per row
+    * (which dominated the 1M-row scale pass). */
   private def sigColN(nPlanes: Int): Column = {
     val m = planeMatrix(nPlanes)
     concat((0 until nPlanes).map { j =>
-      val planeLit = array(m(j).map(v => lit(v.toLong)): _*)
-      when(ip(col("f"), planeLit) >= 0, lit("1")).otherwise(lit("0"))
+      val s = (0 until Dims).map { i =>
+        val e = element_at(col("f"), i + 1)
+        if (m(j)(i) > 0) e else -e
+      }.reduce(_ + _)
+      when(s >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
   }
 
@@ -855,7 +862,10 @@ object Similarity {
         val nPlanes = planesFor(n, cap) // = 10 at 1M
         val vecs = s.range(n).select(col("id").as("vec_id"),
           array((1 to Dims).map(scaleCoord): _*).as("f"))
-        val sig = vecs.withColumn("bucket", sigColN(nPlanes))
+        // the coord+signature lineage is the expensive pass at 1M rows;
+        // persist it ONCE and fan the occupancy / query / candidate
+        // branches off the cache instead of re-deriving it per branch
+        val sig = vecs.withColumn("bucket", sigColN(nPlanes)).persist()
         val occupancy = sig.groupBy("bucket").agg(count(lit(1)).as("bn"))
           .agg(max("bn").as("max_bucket"), count(lit(1)).as("n_buckets"))
         val q = sig.filter(col("vec_id") < 8)
@@ -867,13 +877,16 @@ object Similarity {
           .select(col("qid"), col("vec_id"), ip(col("f"), col("qf")).as("ip"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 10)
-        top.agg(
+        val res = top.agg(
           count(lit(1)).as("n_results"),
           coalesce(expr(s"bit_xor($ChecksumTerm)"), lit(0L)).as("checksum"))
           .crossJoin(occupancy)
           .select(col("n_results"), col("checksum"), lit(nPlanes).as("planes"),
             col("n_buckets"), col("max_bucket"),
             (col("max_bucket") <= cap * 4).as("occupancy_ok"))
+          .localCheckpoint()
+        sig.unpersist()
+        res
       },
       Some {
         val nPlanes = planesFor(1000000L, 1024L)
