@@ -1066,6 +1066,79 @@ object Documents {
               |FROM agg a JOIN sel s ON s.component = a.component AND s.rn = 1
               |ORDER BY a.component""".stripMargin),
     ),
+
+    // dd14 — cluster-aware train/test split: near-dup CLUSTERS are the
+    // split unit, not documents. A doc-level hash split (d5) lets one
+    // copy of a duplicated page land in train while its twin lands in
+    // test — the classic eval-contamination leak; pipelines split by
+    // dedup cluster for exactly this reason. The component id (min
+    // doc_id of the dd8 cluster) feeds the SAME md5 80/10/10 rule d5
+    // applies to doc ids, so every cluster member shares a split by
+    // construction — and the verdict re-proves it the hard way:
+    // `cross_split_pairs` counts near-dup PAIRS straddling a split
+    // boundary, which must be exactly 0 (a doc-level split fails this
+    // immediately on the planted twins). Cost beyond dd8's contraction
+    // is one map-side md5 + one groupBy — nothing pairwise.
+    QueryDef(
+      "dd14_cluster_split",
+      (s, d) => {
+        val pairs = simhashPairs(s, d).select("doc_a", "doc_b")
+        val docs  = Tables.documents(s, d)
+        val cc = ConnectedComponents
+          .assign(s, pairs, docs.select("doc_id"))
+          .withColumnRenamed("id", "doc_id")
+        val labeled = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+          .withColumn("b",
+            expr("(instr('0123456789abcdef', substring(md5(CAST(component AS STRING)), 1, 1)) - 1) * 16 + " +
+              "(instr('0123456789abcdef', substring(md5(CAST(component AS STRING)), 2, 1)) - 1)") % 100)
+          .withColumn("split",
+            when(col("b") < 80, "train").when(col("b") < 90, "valid").otherwise("test"))
+        val sp = labeled.select("doc_id", "split")
+        val leaks = pairs
+          .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+          .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+          .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("cross_split_pairs"))
+        labeled.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("component").as("n_clusters"),
+            sum("n_chars").as("total_chars"))
+          .crossJoin(broadcast(leaks))
+          .select(col("split"), col("n_docs"), col("n_clusters"),
+            col("total_chars"), coalesce(col("cross_split_pairs"), lit(0L)).as("cross_split_pairs"))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE $SimhashSql,
+              |pairs AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    a.simhash AS sig_a, b.simhash AS sig_b
+              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND (
+              |    substring(a.simhash,1,8)  = substring(b.simhash,1,8)  OR
+              |    substring(a.simhash,9,8)  = substring(b.simhash,9,8)  OR
+              |    substring(a.simhash,17,8) = substring(b.simhash,17,8) OR
+              |    substring(a.simhash,25,8) = substring(b.simhash,25,8))),
+              |npairs AS (SELECT doc_a, doc_b FROM pairs WHERE $hamming32 <= 3),
+              |edges AS (SELECT doc_a AS s, doc_b AS t FROM npairs
+              |          UNION SELECT doc_b, doc_a FROM npairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.id),
+              |cc AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+              |lab AS (
+              |  SELECT c.doc_id, c.component, d.n_chars,
+              |    CASE WHEN c.b < 80 THEN 'train' WHEN c.b < 90 THEN 'valid' ELSE 'test' END AS split
+              |  FROM (SELECT doc_id, component,
+              |      ((instr('0123456789abcdef', substring(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16 +
+              |       (instr('0123456789abcdef', substring(md5(CAST(component AS VARCHAR)), 2, 1)) - 1)) % 100 AS b
+              |    FROM cc) c JOIN documents d ON d.doc_id = c.doc_id)
+              |SELECT split, count(*) AS n_docs, count(DISTINCT component) AS n_clusters,
+              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              |  (SELECT count(*) FROM npairs p
+              |     JOIN lab la ON la.doc_id = p.doc_a
+              |     JOIN lab lb ON lb.doc_id = p.doc_b
+              |   WHERE la.split <> lb.split) AS cross_split_pairs
+              |FROM lab GROUP BY split ORDER BY split""".stripMargin),
+    ),
     // dd10 — INCREMENTAL dedup: a delta batch (doc_id % 10 == 0)
     // arrives against an existing corpus (the rest). Each delta doc is
     // verdicted exact_dup (md5 content match in corpus), near_dup

@@ -356,6 +356,66 @@ object Relational {
       headline = true,
     ),
 
+    // Storage-partitioned join: both sides are written ONCE as Spark
+    // native bucketed tables on the join key (bucketBy + sortBy — the
+    // datasource-table analog of Hive/Iceberg bucketing), and the join
+    // then consumes the physical layout directly: the bucketed scans
+    // report HashPartitioning(key, nb) so the SortMergeJoin needs ZERO
+    // Exchange on either side, and the pre-shuffle (one repartition on
+    // the same hash before the write = one file per bucket, sorted)
+    // also eliminates the Sort. At 100 TB this is THE recurring-join
+    // pattern: pay the layout shuffle once at ingest, then every
+    // fact⋈fact join on the bucket key is a file-local merge — no
+    // terabytes re-shuffled per query. The shuffle-free claim rides in
+    // the row as a plan-derived verdict; the join RESULT is the oracle.
+    QueryDef(
+      "src_bucketed_join",
+      (s, d) => {
+        val nb = 8
+        val tmp = java.nio.file.Files.createTempDirectory("bucketed_join").toString
+        s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+        s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        // repartition uses the SAME Murmur3 HashPartitioning bucketBy
+        // assigns files with, so each write task holds exactly one
+        // bucket: one sorted file per bucket (merge-ready, no Sort)
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .repartition(nb, col("l_orderkey"))
+          .write.option("path", s"$tmp/lineitem")
+          .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("graft_bkt_lineitem")
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority")
+          .repartition(nb, col("o_orderkey"))
+          .write.option("path", s"$tmp/orders")
+          .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("graft_bkt_orders")
+        // hint("merge") pins SMJ (a broadcast would be trivially
+        // shuffle-free and prove nothing about the layout)
+        val joined = s.table("graft_bkt_lineitem").hint("merge")
+          .join(s.table("graft_bkt_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+        val planStr = joined.queryExecution.executedPlan.toString
+        val shuffleFree = !planStr.contains("Exchange")
+        val outDf = joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("rev"))
+          .withColumn("shuffle_free_join", lit(shuffleFree))
+          .orderBy("o_orderpriority")
+        val rows = outDf.collect()
+        // tables + files served their purpose once the result is
+        // collected — reclaim both (catalog entry and temp parquet)
+        s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+        s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        deleteDirRecursively(new java.io.File(tmp))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), outDf.schema)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+             |  TRUE AS shuffle_free_join
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // W1 + W2 — sort + fixed LIMIT (Query2 revelation: sorted distinct ids,
     // ≤ L). orderBy.limit compiles to TakeOrderedAndProject: each partition
@@ -1005,6 +1065,28 @@ object Relational {
         .orderBy("o_orderstatus", "o_orderpriority"),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
+    ),
+    // The general form of the lattice: explicit GROUPING SETS — the
+    // exact subtotal combinations a report needs ((status, priority),
+    // (status), ()) without cube's full powerset. Same single-pass
+    // Expand+partial-agg physical shape as rollup/cube.
+    QueryDef(
+      "agg_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_gs_orders")
+        val out = s.sql(
+          """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+            |FROM graft_gs_orders
+            |GROUP BY o_orderstatus, o_orderpriority
+            |  GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+        s.catalog.dropTempView("graft_gs_orders")
+        out
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
     ),
 

@@ -187,6 +187,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("src_bucketed_join: the co-located SMJ is shuffle-free and matches the plain join") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("src_bucketed_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the in-query plan audit found no Exchange on either join side
+    assert(rows.forall(_.getAs[Boolean]("shuffle_free_join")),
+      "bucketed SMJ was not shuffle-free")
+    // and the result is exactly the plain (shuffled) join's
+    val expected = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("rev"))
+      .orderBy("o_orderpriority")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      expected.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("d9/d18: packing prefix sum is a chunk-partitioned window, never a single-partition running sum") {
     // the placement stage localCheckpoints (single upstream execution),
     // which truncates lineage — so the window shape is asserted on the
