@@ -1495,69 +1495,70 @@ object Documents {
     // a 1e4 fixed-point BIGINT, absorbing libm last-bit differences.
     QueryDef(
       "d19_bm25",
-      (s, d) => {
-        val tok = tokens(Tables.documents(s, d))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(
-          count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-        val top = tok.groupBy("w").agg(count(lit(1)).as("freq"))
-          .orderBy(col("freq").desc, col("w")).limit(30)
-        val w = Window.orderBy(col("freq").desc, col("w")) // ≤ 30 rows
-        val terms = top
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk").isin(10, 20, 30))
-          .select("w")
-        val tf = tok.join(broadcast(terms), Seq("w"))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(df), Seq("w"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .withColumn("ts",
-            log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-          .groupBy("doc_id")
-          .agg(sum(col("ts").cast("decimal(28,12)")).cast("double").as("score"))
-          .select(col("doc_id"),
-            expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("score_fp"))
-          .orderBy(col("score_fp").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some("""WITH tok AS (
-             |  SELECT doc_id, w FROM (
-             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
-             |  WHERE w <> ''),
-             |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-             |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-             |freqs AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
-             |terms AS (
-             |  SELECT w FROM (
-             |    SELECT w, row_number() OVER (ORDER BY freq DESC, w) AS rk FROM freqs) r
-             |  WHERE rk IN (10, 20, 30)),
-             |tf AS (
-             |  SELECT t.doc_id, t.w, count(*) AS tf
-             |  FROM tok t JOIN terms x ON x.w = t.w GROUP BY t.doc_id, t.w),
-             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-             |scored AS (
-             |  SELECT tf.doc_id,
-             |    CAST(sum(CAST(
-             |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-             |        * (tf.tf * 2.2)
-             |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-             |      AS DECIMAL(28,12))) AS DOUBLE) AS score
-             |  FROM tf
-             |  JOIN df ON df.w = tf.w
-             |  JOIN dl ON dl.doc_id = tf.doc_id
-             |  CROSS JOIN stats s
-             |  GROUP BY tf.doc_id)
-             |SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_fp
-             |FROM scored
-             |ORDER BY score_fp DESC, doc_id
-             |LIMIT 20""".stripMargin),
+      (s, d) => bm25Top(s, d, 20),
+      Some(s"""WITH $Bm25Ctes
+              |SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_fp
+              |FROM scored
+              |ORDER BY score_fp DESC, doc_id
+              |LIMIT 20""".stripMargin),
       headline = true,
+    ),
+
+    // ss19 — HYBRID retrieval: reciprocal-rank fusion of the lexical
+    // (d19 BM25) and vector (exact fixed-point MIPS) rankings over the
+    // SAME corpus (doc_id ≡ vec_id in the fixture star) — the fused
+    // access path a retrieval/decontamination pipeline actually serves,
+    // because each ranking finds matches the other misses. RRF is
+    // computed in pure integers (⌊10¹²/(60+rank)⌋ per list, summed) so
+    // the fused ordering is hash-exact; `in_bm25`/`in_vec` expose the
+    // provenance of each fused hit. Plan shape: two independent top-k
+    // spines (both TakeOrderedAndProject) joined full-outer on ≤ 2k
+    // rows — the fusion itself is free at any corpus size.
+    QueryDef(
+      "ss19_hybrid_rrf",
+      (s, d) => {
+        val kList = 20
+        val wb = Window.orderBy(col("score_fp").desc, col("doc_id")) // ≤ 20 rows
+        val bm = bm25Top(s, d, kList)
+          .withColumn("rb", row_number().over(wb))
+          .select(col("doc_id").as("id"), col("rb"))
+        val e = Tables.embeddings(s, d).withColumn("f", Similarity.fxCol)
+        val q = e.filter(col("vec_id") === 0).select(col("f").as("qf"))
+        val wv = Window.orderBy(col("ip").desc, col("id")) // ≤ 20 rows
+        val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id").as("id"), Similarity.ip(col("f"), col("qf")).as("ip"))
+          .orderBy(col("ip").desc, col("id")).limit(kList)
+          .withColumn("rc", row_number().over(wv))
+          .select("id", "rc")
+        bm.join(vec, Seq("id"), "full_outer")
+          .select(col("id").as("doc_id"),
+            (coalesce(expr("1000000000000L div (rb + 60)"), lit(0L)) +
+              coalesce(expr("1000000000000L div (rc + 60)"), lit(0L))).as("rrf_fp"),
+            col("rb").isNotNull.as("in_bm25"),
+            col("rc").isNotNull.as("in_vec"))
+          .orderBy(col("rrf_fp").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $Bm25Ctes,
+              |bm AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rb
+              |       FROM (SELECT doc_id, CAST(floor(score * 10000 + 0.5) AS BIGINT) AS score_fp
+              |             FROM scored ORDER BY score_fp DESC, doc_id LIMIT 20)),
+              |fxl AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1e7) AS BIGINT)) AS f
+              |        FROM embeddings),
+              |qv AS (SELECT f AS qf FROM fxl WHERE vec_id = 0),
+              |vpos AS (SELECT a.vec_id, unnest(range(1, len(a.f)+1)) AS i, a.f AS f, b.qf AS qf
+              |         FROM fxl a CROSS JOIN qv b WHERE a.vec_id <> 0),
+              |vips AS (SELECT vec_id, sum(f[i]*qf[i]) AS ip FROM vpos GROUP BY vec_id),
+              |vt AS (SELECT vec_id AS id, row_number() OVER (ORDER BY ip DESC, vec_id) AS rc
+              |       FROM (SELECT vec_id, ip FROM vips ORDER BY ip DESC, vec_id LIMIT 20)),
+              |fused AS (
+              |  SELECT COALESCE(bm.id, v.id) AS doc_id,
+              |    COALESCE(1000000000000 // (bm.rb + 60), 0) +
+              |      COALESCE(1000000000000 // (v.rc + 60), 0) AS rrf_fp,
+              |    bm.rb IS NOT NULL AS in_bm25, v.rc IS NOT NULL AS in_vec
+              |  FROM bm FULL OUTER JOIN vt v ON v.id = bm.id)
+              |SELECT doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp, in_bm25, in_vec
+              |FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin),
     ),
 
     // d20 — REPETITION filter (Gopher-style quality signals, adapted
@@ -2259,7 +2260,120 @@ object Documents {
              |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
              |FROM documents""".stripMargin),
     ),
+
+    // src_orc_ingest — the third columnar round trip (parquet is the
+    // native store, CSV/JSONL the quarantined text paths; ORC is the
+    // other columnar format a lake actually holds). The read-back
+    // proves the same scan-level contract as S1: the lang filter and
+    // 3-column projection reach the ORC reader (searchArguments +
+    // pruned schema — asserted in SourcesSpec), and the aggregate is
+    // cross-checked against the parquet ground truth.
+    QueryDef(
+      "src_orc_ingest",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("orc_ingest").toString
+        Tables.documents(s, d)
+          .select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").orc(dir)
+        val back = s.read.orc(dir)
+          .filter(col("lang") =!= "en")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("total_chars"),
+            sum("doc_id").as("id_checksum"))
+          .orderBy("lang")
+        val rows = back.collect()
+        deleteDirRecursively(new java.io.File(dir))
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+             |FROM documents WHERE lang <> 'en'
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
   )
+
+  private def deleteDirRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteDirRecursively))
+    f.delete(): Unit
+  }
+
+  /** d19's BM25 chain (shared with ss19's fusion): query terms are the
+    * deterministic frequency-rank picks (10/20/30); each (doc, term)
+    * hit scores idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with
+    * k1 = 1.2, b = 0.75, idf = ln(1 + (N−df+0.5)/(df+0.5)); top `k`
+    * docs by the summed score. Plan shape at scale: the 3-term list
+    * and per-term df broadcast, so only the probed terms' postings
+    * survive the scan; corpus stats (N, avgdl) are a one-row broadcast
+    * crossjoin; the final top-k is TakeOrderedAndProject. Parity:
+    * per-term scores are one deterministic IEEE-double expression
+    * mirrored verbatim in [[Bm25Ctes]]; the per-doc sum goes through
+    * DECIMAL(28,12) (order-independent, like dsum) and the output is
+    * a 1e4 fixed-point BIGINT, absorbing libm last-bit differences. */
+  private def bm25Top(s: SparkSession, d: String, k: Int): DataFrame = {
+    val tok = tokens(Tables.documents(s, d))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val top = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(30)
+    val w = Window.orderBy(col("freq").desc, col("w")) // ≤ 30 rows
+    val terms = top
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk").isin(10, 20, 30))
+      .select("w")
+    val tf = tok.join(broadcast(terms), Seq("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ts",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("ts").cast("decimal(28,12)")).cast("double").as("score"))
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** the DuckDB twin of [[bm25Top]] up through the `scored` CTE. */
+  // lazy: referenced by oracle-SQL interpolations inside `all`, which the
+  // object initializer builds BEFORE this field would otherwise be assigned
+  private lazy val Bm25Ctes: String =
+    """tok AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |freqs AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+      |terms AS (
+      |  SELECT w FROM (
+      |    SELECT w, row_number() OVER (ORDER BY freq DESC, w) AS rk FROM freqs) r
+      |  WHERE rk IN (10, 20, 30)),
+      |tf AS (
+      |  SELECT t.doc_id, t.w, count(*) AS tf
+      |  FROM tok t JOIN terms x ON x.w = t.w GROUP BY t.doc_id, t.w),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(sum(CAST(
+      |      ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS score
+      |  FROM tf
+      |  JOIN df ON df.w = tf.w
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY tf.doc_id)""".stripMargin
 
   /** per-doc content hash — the shared derivation behind exact-dup
     * detection in dd10 (delta vs corpus) and dd11 (cluster edges). */

@@ -325,6 +325,91 @@ object Relational {
              |GROUP BY 1 ORDER BY n DESC, hk LIMIT 10""".stripMargin),
     ),
 
+    // The ENGINE-NATIVE twin of skew_salted_join: the same planted hot
+    // key (20% of the fact) left to AQE's OptimizeSkewedJoin, which
+    // splits the oversized shuffle partition at runtime and replicates
+    // the matching build side — no hand salting. Thresholds are
+    // lowered in-query so the fixture-scale hot partition qualifies
+    // (at 100 TB the defaults fire on real skew); broadcast is
+    // disabled so the join is the SMJ shape skew actually hurts. The
+    // `aqe_skew_handled` verdict reads `skew=true` off the FINAL
+    // adaptive plan — proof the runtime re-plan fired — and the
+    // result is the same plain-SQL join the salted twin oracles.
+    QueryDef(
+      "skew_aqe_join",
+      (s, d) => {
+        val conf = s.conf
+        val touched = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.coalescePartitions.enabled",
+          // the downstream groupBy(hk) rides the join's partitioning,
+          // so splitting the skewed partition costs one re-shuffle —
+          // exactly the trade a real skew victim takes; without force,
+          // AQE declines any split that adds a shuffle
+          "spark.sql.adaptive.forceOptimizeSkewedJoin",
+          "spark.sql.autoBroadcastJoinThreshold")
+        val saved = touched.map(k => k -> conf.getOption(k))
+        try {
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+          conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+          conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+          conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // a skewed reduce partition splits along MAPPER boundaries,
+          // and the fixture parquet reads as one map task — fan the
+          // fact across 16 synthetic mappers (a real 100-TB fact has
+          // thousands; this is fixture plumbing, not the technique)
+          val li = Tables.lineitem(s, d)
+            .repartition(16)
+            .withColumn("hk",
+              when(col("l_orderkey") % 5 === 0, lit(-1L)).otherwise(col("l_orderkey")))
+            .select(col("hk"), col("l_quantity").cast(DecimalType(18, 2)).as("q"))
+          // materialize the dim aggregate first: OptimizeSkewedJoin
+          // only matches SMJ(Sort(Shuffle), Sort(Shuffle)) — an agg
+          // sitting between the dim's shuffle and the join hides the
+          // stage the splitter needs to duplicate
+          val dim = Tables.orders(s, d)
+            .withColumn("hk",
+              when(col("o_orderkey") % 5 === 0, lit(-1L)).otherwise(col("o_orderkey")))
+            .groupBy("hk")
+            .agg(min(col("o_totalprice").cast(DecimalType(18, 2))).as("p"))
+            .localCheckpoint()
+          val joined = li.join(dim, "hk")
+            .groupBy("hk")
+            .agg(count(lit(1)).as("n"),
+              sum(col("q") * col("p")).cast("double").as("wsum"))
+            .orderBy(desc("n"), col("hk")).limit(10)
+          val rows = joined.collect()
+          // collect() finalized the adaptive plan; the skew split is
+          // visible as `skew=true` on the SortMergeJoin node
+          val skewHandled = joined.queryExecution.executedPlan.toString.contains("skew=true")
+          s.createDataFrame(
+            java.util.Arrays.asList(rows.map(r =>
+              org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getDouble(2), skewHandled)): _*),
+            org.apache.spark.sql.types.StructType(joined.schema.fields :+
+              org.apache.spark.sql.types.StructField("aqe_skew_handled",
+                org.apache.spark.sql.types.BooleanType, nullable = false)))
+        } finally saved.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None) => conf.unset(k)
+        }
+      },
+      Some("""WITH lk AS (
+             |  SELECT CASE WHEN l_orderkey % 5 = 0 THEN -1 ELSE l_orderkey END AS hk,
+             |    CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem),
+             |dim AS (
+             |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN -1 ELSE o_orderkey END AS hk,
+             |    min(CAST(o_totalprice AS DECIMAL(18,2))) AS p FROM orders GROUP BY 1)
+             |SELECT CAST(l.hk AS BIGINT) AS hk, count(*) AS n,
+             |  CAST(SUM(l.q * d.p) AS DOUBLE) AS wsum,
+             |  TRUE AS aqe_skew_handled
+             |FROM lk l JOIN dim d ON l.hk = d.hk
+             |GROUP BY 1 ORDER BY n DESC, hk LIMIT 10""".stripMargin),
+    ),
+
     // Bloom-prefiltered semi join (operators.BloomFilter): the
     // runtime-filter pattern for 100-TB fact/dim joins — a mergeable
     // bloom_agg builds a 128 KiB filter over the selective dim keys,

@@ -105,14 +105,14 @@ object Similarity {
   private val planes: IndexedSeq[IndexedSeq[Int]] = planeMatrix(Planes)
 
   /** embedding → fixed-point array<long> (exact, portable). */
-  private def fxCol: Column =
+  private[queries] def fxCol: Column =
     transform(col("embedding"), x => round(x * lit(1e7)).cast("long"))
 
   private val FxSql =
     "fx AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1e7) AS BIGINT)) AS f FROM embeddings)"
 
   /** exact integer inner product of two fixed-point arrays. */
-  private def ip(a: Column, b: Column): Column =
+  private[queries] def ip(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** sign-projection bucket signature at any width (Spark side).
@@ -602,6 +602,80 @@ object Similarity {
               |WHERE ip > 0 AND 400 * CAST(ip AS HUGEINT) * CAST(ip AS HUGEINT) >=
               |  361 * CAST(na2 AS HUGEINT) * CAST(nb2 AS HUGEINT)
               |ORDER BY train_id, bench_id""".stripMargin),
+    ),
+
+    // ss18 — FILTERED vector search: top-k among vectors whose
+    // METADATA matches a predicate (label = 3) — the production ANN
+    // case the naive pipeline gets wrong. The row carries all three
+    // strategies over one exact scoring pass: (a) the exact filtered
+    // spine (ground truth + checksum); (b) POST-filtering — take the
+    // global top-10, then filter — which starves (≈ selectivity × k
+    // survivors: `n_postfilter_hits`); (c) PRE-filtering pushed into
+    // candidate generation — the predicate rides the bucket probe, so
+    // candidates are label-matching bucket-mates only
+    // (`n_bucket_candidates`, bounded by the bucket × selectivity).
+    // Everything is exact fixed-point arithmetic over the committed
+    // sign-bucket layout — no trained model — so DuckDB regenerates
+    // EVERY column including the probe's recall, not just verdicts.
+    QueryDef(
+      "ss18_filtered_ann",
+      (s, d) => {
+        val lbl = 3
+        val e = Tables.embeddings(s, d).withColumn("f", fxCol).withColumn("bucket", sigCol)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("f").as("qf"), col("bucket").as("qbucket"))
+        val scored = e.filter(col("vec_id") >= 1)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"), col("bucket"), col("qbucket"),
+            ip(col("f"), col("qf")).as("ip"))
+          .persist()
+        val exactF = scored.filter(col("label") === lbl)
+          .orderBy(col("ip").desc, col("vec_id")).limit(10)
+          .select("vec_id", "ip").persist()
+        val nFiltered = scored.filter(col("label") === lbl)
+          .agg(count(lit(1)).as("n_filtered"))
+        val post = scored.orderBy(col("ip").desc, col("vec_id")).limit(10)
+          .agg(sum(when(col("label") === lbl, 1L).otherwise(0L)).as("n_postfilter_hits"))
+        val cand = scored.filter(col("bucket") === col("qbucket") && col("label") === lbl)
+        val nCand = cand.agg(count(lit(1)).as("n_bucket_candidates"))
+        val recall = cand.orderBy(col("ip").desc, col("vec_id")).limit(10)
+          .join(exactF.select("vec_id"), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("bucket_recall10"))
+        val checksum = exactF
+          .agg(coalesce(expr("bit_xor(vec_id * 97 + ip)"), lit(0L)).as("exact_checksum"))
+        val res = nFiltered.crossJoin(post).crossJoin(nCand)
+          .crossJoin(recall).crossJoin(checksum)
+          .select(lit(lbl).as("label_filter"), col("n_filtered"),
+            col("n_postfilter_hits"), col("n_bucket_candidates"),
+            col("bucket_recall10"), col("exact_checksum"))
+          .localCheckpoint()
+        scored.unpersist(); exactF.unpersist()
+        res
+      },
+      Some(s"""WITH fxl AS (SELECT vec_id, label,
+              |    list_transform(embedding, x -> CAST(round(x*1e7) AS BIGINT)) AS f
+              |  FROM embeddings),
+              |sg AS (SELECT vec_id, label, f, $sigSql AS bucket FROM fxl),
+              |qb AS (SELECT f AS qf, bucket AS qbucket FROM sg WHERE vec_id = 0),
+              |pos AS (SELECT a.vec_id, a.label, a.bucket, b.qbucket,
+              |          unnest(range(1, len(a.f)+1)) AS i, a.f AS f, b.qf AS qf
+              |        FROM sg a CROSS JOIN qb b WHERE a.vec_id >= 1),
+              |ips AS (SELECT vec_id, label, bucket, qbucket, sum(f[i]*qf[i]) AS ip
+              |        FROM pos GROUP BY vec_id, label, bucket, qbucket),
+              |exact_f AS (SELECT vec_id, CAST(ip AS BIGINT) AS ip FROM ips WHERE label = 3
+              |            ORDER BY ip DESC, vec_id LIMIT 10),
+              |gtop AS (SELECT label FROM ips ORDER BY ip DESC, vec_id LIMIT 10),
+              |cand AS (SELECT vec_id, ip FROM ips WHERE bucket = qbucket AND label = 3),
+              |ctop AS (SELECT vec_id FROM cand ORDER BY ip DESC, vec_id LIMIT 10)
+              |SELECT CAST(3 AS INTEGER) AS label_filter,
+              |  (SELECT count(*) FROM ips WHERE label = 3) AS n_filtered,
+              |  (SELECT CAST(sum(CASE WHEN label = 3 THEN 1 ELSE 0 END) AS BIGINT) FROM gtop)
+              |    AS n_postfilter_hits,
+              |  (SELECT count(*) FROM cand) AS n_bucket_candidates,
+              |  (SELECT count(*) FROM ctop c JOIN exact_f e ON e.vec_id = c.vec_id)
+              |    AS bucket_recall10,
+              |  (SELECT CAST(COALESCE(bit_xor(vec_id * 97 + ip), 0) AS BIGINT) FROM exact_f)
+              |    AS exact_checksum""".stripMargin),
     ),
 
     // ss5 — IVF ANN (operators.IvfIndex): k-means coarse quantizer,

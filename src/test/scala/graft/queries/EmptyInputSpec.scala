@@ -63,7 +63,9 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d21_bigram_lm", "d22_chunk_dedup", "d24_compression_gate",
     "dd1_dedup_exact", "dd2_minhash_lsh", "dd3_simhash",
     "dd4_simhash_neardup", "ss1_topk_ip", "ss2_lsh_buckets",
-    "ss3_ann_lsh_topk", "ss11_truncated_rerank")
+    "ss3_ann_lsh_topk", "ss11_truncated_rerank",
+    "agg_grouping_sets", "skew_aqe_join", "src_bucketed_join",
+    "src_orc_ingest", "dd14_cluster_split")
 
   test("fixture-backed registry queries survive empty tables") {
     val failures = fixtureBacked.flatMap { name =>

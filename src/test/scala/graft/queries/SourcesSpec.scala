@@ -51,6 +51,24 @@ class SourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       base.filter(col("o_totalprice") > 100000).count())
   }
 
+  test("ORC round-trips the same rows and pushes filter + projection to the reader") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("orc_src").toString
+    base.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == base.count())
+    val filtered = back.filter(col("lang") === "en").select("doc_id", "n_chars")
+    val p = filtered.queryExecution.executedPlan.toString
+    // the predicate reaches the ORC reader (PushedFilters) and the
+    // scan schema is pruned to the projected columns
+    assert(p.contains("PushedFilters") && p.contains("lang"), p.take(2000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("source"), readSchema)
+    assert(filtered.count() ==
+      base.filter(col("lang") === "en").count())
+  }
+
   test("PERMISSIVE quarantine preserves the raw malformed line and never drops good rows") {
     val dir = Files.createTempDirectory("quarantine").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
