@@ -2272,6 +2272,7 @@ object Documents {
       "src_orc_ingest",
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("orc_ingest").toString
+        try {
         Tables.documents(s, d)
           .select("doc_id", "lang", "source", "n_chars")
           .write.mode("overwrite").orc(dir)
@@ -2283,8 +2284,9 @@ object Documents {
             sum("doc_id").as("id_checksum"))
           .orderBy("lang")
         val rows = back.collect()
-        deleteDirRecursively(new java.io.File(dir))
         s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
+        // a failed collect must not strand the ORC copy of documents
+        } finally graft.core.Fs.deleteRecursively(new java.io.File(dir))
       },
       Some("""SELECT lang, count(*) AS n,
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -2294,10 +2296,6 @@ object Documents {
     ),
   )
 
-  private def deleteDirRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteDirRecursively))
-    f.delete(): Unit
-  }
 
   /** d19's BM25 chain (shared with ss19's fusion): query terms are the
     * deterministic frequency-rank picks (10/20/30); each (doc, term)

@@ -460,6 +460,7 @@ object Relational {
         val tmp = java.nio.file.Files.createTempDirectory("bucketed_join").toString
         s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
         s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        try {
         // repartition uses the SAME Murmur3 HashPartitioning bucketBy
         // assigns files with, so each write task holds exactly one
         // bucket: one sorted file per bucket (merge-ready, no Sort)
@@ -487,12 +488,14 @@ object Relational {
           .withColumn("shuffle_free_join", lit(shuffleFree))
           .orderBy("o_orderpriority")
         val rows = outDf.collect()
-        // tables + files served their purpose once the result is
-        // collected — reclaim both (catalog entry and temp parquet)
-        s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-        s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-        deleteDirRecursively(new java.io.File(tmp))
         s.createDataFrame(java.util.Arrays.asList(rows: _*), outDf.schema)
+        } finally {
+          // reclaim catalog entries AND temp parquet on every path — a
+          // failed collect must not strand a full lineitem+orders copy
+          s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+          s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+          graft.core.Fs.deleteRecursively(new java.io.File(tmp))
+        }
       },
       Some("""SELECT o_orderpriority, count(*) AS n_items,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
@@ -1449,7 +1452,7 @@ object Relational {
           try s2.count() finally s2.close()
         }
         // every read above has collected — reclaim the temp table
-        deleteDirRecursively(new java.io.File(dir))
+        graft.core.Fs.deleteRecursively(new java.io.File(dir))
         import s.implicits._
         Seq((n, fragBefore > 1, dirsAfter, sumBefore, sumAfter == sumBefore,
           pruned, pinnedOk, sumPostVacuum == sumBefore, diskDirs))
@@ -2070,7 +2073,7 @@ object Relational {
         follower.snapshot().unpersist()
         // every read above has collected — reclaim the temp table
         // (at 3M rows this is ~10² MB of dead parquet per run)
-        deleteDirRecursively(new java.io.File(dir))
+        graft.core.Fs.deleteRecursively(new java.io.File(dir))
         import s.implicits._
         Seq((n, total, d.getOrElse("update", 0L), d.getOrElse("insert", 0L),
           d.getOrElse("delete", 0L), pruned, mvOk))
@@ -2090,10 +2093,6 @@ object Relational {
     )
   }
 
-  private def deleteDirRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteDirRecursively))
-    f.delete(): Unit
-  }
 
   private def buildVtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = {
     {

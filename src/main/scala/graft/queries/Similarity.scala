@@ -555,9 +555,14 @@ object Similarity {
           .collect()(0).getAs[java.lang.Long](0)).map(_.longValue).getOrElse(-1L)
         require(maxId < 1000000L,
           s"dd13's fixed benchmark-id offsets need max vec_id < 1e6, got $maxId")
+        // self inner products are per-ROW quantities: compute them
+        // before the bucket join, not once per candidate pair (a hot
+        // bucket would otherwise pay c redundant 64-multiply sums per
+        // row appearing in c pairs)
         val train = Tables.embeddings(s, d).withColumn("f", fxCol)
           .withColumn("bucket", sigCol)
-          .select(col("vec_id").as("train_id"), col("f").as("ft"), col("bucket"))
+          .select(col("vec_id").as("train_id"), col("f").as("ft"), col("bucket"),
+            ip(col("f"), col("f")).as("na2"))
         val planted = Tables.embeddings(s, d).withColumn("f", fxCol)
           .filter(col("vec_id") % 97 === 0)
           .select((col("vec_id") + 1000000L).as("bid"),
@@ -568,12 +573,12 @@ object Similarity {
             ((col("id") * 104729L + j.cast("long") * 7919L + 1L) * 48271L) % 2097152L - 1048576L).as("f"))
         val bench = planted.unionByName(distract)
           .withColumn("bucket", sigCol)
-          .select(col("bid"), col("f").as("fb"), col("bucket"))
+          .select(col("bid"), col("f").as("fb"), col("bucket"),
+            ip(col("f"), col("f")).as("nb2"))
         train.join(broadcast(bench), Seq("bucket"))
           .select(col("train_id"), col("bid"),
             ip(col("ft"), col("fb")).as("ip"),
-            ip(col("ft"), col("ft")).as("na2"),
-            ip(col("fb"), col("fb")).as("nb2"))
+            col("na2"), col("nb2"))
           .filter(col("ip") > 0 &&
             col("ip").cast(dec) * col("ip").cast(dec) * lit(400L).cast(dec) >=
               col("na2").cast(dec) * col("nb2").cast(dec) * lit(361L).cast(dec))
@@ -1525,7 +1530,7 @@ object Similarity {
           .select("vec_id").collect().map(_.getLong(0)).toSet
         // every table read above has collected; reclaim the temp table
         // (the committed STORE is the cached artifact, not the vt)
-        deleteRecursively(new java.io.File(dir))
+        graft.core.Fs.deleteRecursively(new java.io.File(dir))
 
         val ex = exactL2Top10(corpus, q)
         val exIds = ex.select("vec_id").collect().map(_.getLong(0)).toSet
@@ -1768,10 +1773,6 @@ object Similarity {
     * atomic-rename publish. */
   private object IvfStoreLock
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
 
   /** content-fingerprint tag for a committed-store path (the
     * FixtureStore.dir discipline): any change to the canon string —
@@ -1792,7 +1793,7 @@ object Similarity {
         build(tmp)
         new java.io.File(tmp, "_OK").createNewFile()
         if (!new java.io.File(tmp).renameTo(new java.io.File(root)))
-          deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
+          graft.core.Fs.deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race
       }
     }
 
@@ -1831,16 +1832,22 @@ object Similarity {
     * by ss12 and ss16 (same key ⇒ same store). JVM-local build-once
     * under [[IvfStoreLock]]; cross-JVM races resolved by the same
     * pid-suffixed temp-dir + atomic-rename publish as ss14/ss15, so a
-    * reader can never observe a half-written store. The path carries a
-    * layout-version token (`b4v2`): under tmp+rename a crashed build
-    * never leaves a partial dir at the published path, and versioning
-    * makes any pre-rename-era layout simply unreachable — NO teardown
-    * of the published path ever runs (a delete would race another
-    * JVM's just-published store between the `_OK` check and the rm). */
+    * reader can never observe a half-written store. The path is the
+    * storeTag of a canon string folding in every build knob plus
+    * [[graft.operators.GraphAnn.BuildVersion]] (same content-
+    * fingerprint discipline as the ivfstore paths): a knob edit moves
+    * the path automatically, an algorithm edit moves it via the one
+    * constant that lives next to the algorithm — no remember-to-bump
+    * path literal here. Under tmp+rename a crashed build never leaves
+    * a partial dir at the published path, and re-keying makes any
+    * older layout simply unreachable — NO teardown of the published
+    * path ever runs (a delete would race another JVM's just-published
+    * store between the `_OK` check and the rm). */
   private def graphStoreFor(s: SparkSession, d: String, base: DataFrame): String = {
     import graft.operators.GraphAnn
-    val store = new java.io.File(
-      s"target/gstore/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/b4v2").getAbsolutePath
+    val canon = s"graphann|${GraphAnn.BuildVersion}|$d|fx=round1e7|vec_id>=4|" +
+      "degree=16|nBuckets=64|entry=buildEntryLayer"
+    val store = new java.io.File(s"target/gstore/shared_${storeTag(canon)}").getAbsolutePath
     publishStore(store) { tmp =>
       val cached = base.select("vec_id", "f").persist()
       GraphAnn.writeStores(cached, GraphAnn.buildGraph(cached, degree = 16), tmp, nBuckets = 64)
