@@ -824,6 +824,80 @@ object Documents {
       streamingDriver = true,
     ),
 
+    // st8 — streaming NEAR-dup ingest gate (the streaming cell of the
+    // dedup matrix, graft.streaming.StreamingNearDup): the committed
+    // corpus (doc_id % 10 ≠ 0) bootstraps bucket-partitioned
+    // signature/hash stores, then the held-out delta streams in 3
+    // arrival-ordered micro-batches; each batch is gated by
+    // directory-PRUNED store probes (pigeonhole block equi-join +
+    // hamming ≤ 3 for near, content hash for exact) plus batch-local
+    // earlier-arrival comparison, and its signatures append into the
+    // same layout — the write-time routing key is the read-time
+    // index, so a batch of B docs reads ≤ min(4B, 64) store dirs,
+    // never the whole store. Verdicts depend only on the arrival
+    // order `seq`, NOT on micro-batch boundaries
+    // (StreamingNearDupSpec pins 1-batch ≡ 3-batch ≡ foreachBatch
+    // stream), which is why the oracle can replay the whole run as
+    // one global similar-to-any-earlier SQL with no batch structure.
+    QueryDef(
+      "st8_stream_neardup",
+      (s, d) => {
+        import graft.streaming.StreamingNearDup
+        val docs = Tables.documents(s, d)
+        // seq packs (batch, doc_id) into one long: corpus far below
+        // every delta, batches 1e7 apart — needs doc_id < 1e7 (same
+        // loud-failure discipline as dd13's id-offset namespaces)
+        val maxId = Option(docs.agg(max("doc_id")).collect()(0)
+          .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(-1L)
+        require(maxId < 10000000L,
+          s"st8's arrival-order seq encoding needs max doc_id < 1e7, got $maxId")
+        val seqCol = when(col("doc_id") % 10 =!= 0, col("doc_id") - 1000000000L)
+          .otherwise(
+            (when(col("doc_id") % 30 === 0, 0L)
+              .when(col("doc_id") % 30 === 10, 1L)
+              .otherwise(2L)) * 10000000L + col("doc_id"))
+        val base = simhashDf(docs).join(contentHashes(docs), Seq("doc_id"))
+          .withColumn("seq", seqCol).persist()
+        val root = java.nio.file.Files.createTempDirectory("stream_neardup").toString
+        try {
+          StreamingNearDup.bootstrap(base.filter(col("doc_id") % 10 =!= 0), root)
+          (0 until 3).map { b =>
+            StreamingNearDup.processBatch(s,
+              base.filter(col("doc_id") % 30 === b * 10), root)
+          }.reduce(_ unionByName _).orderBy("doc_id")
+        } finally {
+          base.unpersist()
+          graft.core.Fs.deleteRecursively(new java.io.File(root))
+        }
+      },
+      Some(s"""WITH $SimhashSql,
+              |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |ordx AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 10 <> 0 THEN doc_id - 1000000000
+              |         ELSE (CASE doc_id % 30 WHEN 0 THEN 0 WHEN 10 THEN 1 ELSE 2 END) * 10000000 + doc_id
+              |    END AS seq
+              |  FROM documents),
+              |db AS (SELECT g.doc_id, o.seq, g.simhash, p, substring(g.simhash, p*8+1, 8) AS blk
+              |       FROM sig g JOIN ordx o ON o.doc_id = g.doc_id
+              |       CROSS JOIN (SELECT unnest(range(0,4)) AS p) ps),
+              |cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cid, a.simhash AS sig_a, b.simhash AS sig_b
+              |         FROM db a JOIN db b ON a.p = b.p AND a.blk = b.blk AND b.seq < a.seq
+              |         WHERE a.doc_id % 10 = 0),
+              |nr AS (SELECT doc_id, min(cid) AS nm FROM cand WHERE $hamming32 <= 3 GROUP BY doc_id),
+              |ho AS (SELECT h.doc_id, o.seq, h.h FROM hx h JOIN ordx o ON o.doc_id = h.doc_id),
+              |ex AS (SELECT a.doc_id, min(b.doc_id) AS em FROM ho a JOIN ho b ON a.h = b.h AND b.seq < a.seq
+              |       WHERE a.doc_id % 10 = 0 GROUP BY a.doc_id)
+              |SELECT d.doc_id,
+              |  CASE WHEN e.em IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.nm IS NOT NULL THEN 'near_dup' ELSE 'keep' END AS verdict,
+              |  COALESCE(e.em, n.nm, -1) AS match_id
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              |LEFT JOIN ex e ON e.doc_id = d.doc_id
+              |LEFT JOIN nr n ON n.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      streamingDriver = true,
+    ),
+
     // ------------------------------------------------------------------
     // dd1 — exact dedup: hash-groupBy on the content hash, keep the
     // smallest doc_id per group. Map-side partial agg means only one

@@ -1377,6 +1377,75 @@ object Relational {
              |FROM lineitem""".stripMargin),
     ),
 
+    // dq5 — corpus DRIFT monitor between two ingest windows:
+    // yesterday's snapshot (first half of documents by doc_id) vs
+    // today's (second half, with a planted language-mix shift — every
+    // 7th doc relabeled 'zh'), compared per feature as binned
+    // frequency profiles. The divergence is a chi-square-shaped score
+    // in EXACT integer arithmetic — per-bin rates scaled to ppm by
+    // floor division, contribution (pa−pb)² DIV (pa+pb+1), summed —
+    // so the SCORE itself hash-matches the oracle, not just a
+    // verdict; no float, no log. Expected split at every sf: lang
+    // drifts (planted, score ≥ 36k), source and the char histogram do
+    // not (≤ 8k) — threshold 20000 sits between with margin. Shape
+    // at 100 TB: one map-side stack + one shuffle on (feature, bin)
+    // with map-side partial counts, bin cardinality bounded (langs,
+    // sources, char-width buckets), per-feature totals broadcast
+    // back — profile each window once, compare profiles O(bins).
+    QueryDef(
+      "dq5_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val half = docs.agg(expr("(max(doc_id)+1) DIV 2").as("half"))
+        val lab = docs.crossJoin(broadcast(half))
+          .select(
+            (col("doc_id") < col("half")).as("is_ref"),
+            when(col("doc_id") >= col("half") && col("doc_id") % 7 === 0, "zh")
+              .otherwise(col("lang")).as("lang2"),
+            col("source"), col("n_chars"))
+        val long = lab.selectExpr("is_ref",
+          "stack(3, 'lang', lang2, 'source', source, " +
+            "'chars_bin', CAST(n_chars DIV 200 AS STRING)) AS (feature, bin)")
+        val counts = long.groupBy("feature", "bin").agg(
+          sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+        val tot = counts.groupBy("feature").agg(sum("a").as("ta"), sum("b").as("tb"))
+        counts.join(broadcast(tot), Seq("feature"))
+          .selectExpr("feature", "ta", "tb",
+            "a*1000000 DIV ta AS pa", "b*1000000 DIV tb AS pb")
+          .groupBy("feature")
+          .agg(count(lit(1)).as("n_bins"),
+            min("ta").as("ref_total"), min("tb").as("cur_total"),
+            sum(expr("(pa-pb)*(pa-pb) DIV (pa+pb+1)")).as("score"))
+          .withColumn("drifted", col("score") > 20000L)
+          .orderBy("feature")
+      },
+      Some("""WITH mx AS (SELECT (max(doc_id)+1)//2 AS half FROM documents),
+             |lab AS (
+             |  SELECT doc_id, doc_id < half AS is_ref,
+             |    CASE WHEN doc_id >= half AND doc_id % 7 = 0 THEN 'zh' ELSE lang END AS lang2,
+             |    source, n_chars
+             |  FROM documents, mx),
+             |lng AS (
+             |  SELECT is_ref, 'lang' AS feature, lang2 AS bin FROM lab
+             |  UNION ALL SELECT is_ref, 'source', source FROM lab
+             |  UNION ALL SELECT is_ref, 'chars_bin', CAST(n_chars // 200 AS VARCHAR) FROM lab),
+             |counts AS (
+             |  SELECT feature, bin,
+             |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+             |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS b
+             |  FROM lng GROUP BY feature, bin),
+             |tot AS (SELECT feature, SUM(a) AS ta, SUM(b) AS tb FROM counts GROUP BY feature),
+             |rates AS (
+             |  SELECT c.feature, ta, tb, a*1000000 // ta AS pa, b*1000000 // tb AS pb
+             |  FROM counts c JOIN tot t ON t.feature = c.feature)
+             |SELECT feature, count(*) AS n_bins,
+             |  CAST(min(ta) AS BIGINT) AS ref_total, CAST(min(tb) AS BIGINT) AS cur_total,
+             |  CAST(SUM((pa-pb)*(pa-pb) // (pa+pb+1)) AS BIGINT) AS score,
+             |  CAST(SUM((pa-pb)*(pa-pb) // (pa+pb+1)) AS BIGINT) > 20000 AS drifted
+             |FROM rates GROUP BY feature ORDER BY feature""".stripMargin),
+    ),
+
     // Time travel: snapshot read of the PRE-merge version of the
     // versioned table — later commits never disturb a pinned reader,
     // and the oracle restates exactly the base state. Paired with

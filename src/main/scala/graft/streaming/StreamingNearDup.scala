@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming NEAR-duplicate ingest gate over committed signature
+  * stores — the streaming cell of the dedup family matrix (exact
+  * streaming = [[StreamingDedup]], chunk streaming =
+  * [[StreamingChunkDedup]], incremental batch = dd10; this is the
+  * near-dup twin an ingest pipeline runs ON the stream).
+  *
+  * Content-agnostic: callers supply per-doc `(doc_id, seq, h,
+  * simhash)` where `seq` is the arrival total order (corpus docs
+  * strictly before every stream doc), `h` a content hash and
+  * `simhash` a 32-char '0'/'1' signature. Verdict per stream doc:
+  * `exact_dup` if some EARLIER-seen doc (committed corpus, an earlier
+  * micro-batch, or an earlier-`seq` batch-mate) carries the same
+  * content hash; `near_dup` if some earlier-seen signature is within
+  * Hamming distance 3 (4×8-bit pigeonhole blocking — ≤3 flips leave
+  * at least one block intact, so the block equi-join misses nothing);
+  * else `keep`. `match_id` is the smallest matching earlier doc id.
+  * Because the semantics depend only on `seq`, the verdicts are
+  * INDEPENDENT of micro-batch boundaries: one big batch and many
+  * small ones produce identical output (spec-pinned), which is what
+  * makes the backfill→live handoff safe.
+  *
+  * Store shape at 100 TB: both stores are parquet `partitionBy` a
+  * [[NBuckets]]-way bucket of the PROBE key (block value for
+  * signatures, content hash for exact), so a micro-batch of B docs
+  * reads ≤ min(4B, buckets) signature dirs and ≤ min(B, buckets)
+  * hash dirs — directory-pruned point lookups, never a full-store
+  * scan; appends land in the same layout. The write-time routing key
+  * IS the read-time index (the IvfIndex store discipline; bucket
+  * width is a knob — 64 here for the fixture, thousands for a real
+  * corpus, with periodic small-file compaction as in VersionedTable).
+  * Everything seen is indexed — kept or dropped — because "have I
+  * seen this before" must include previously dropped arrivals.
+  *
+  * Replay safety: probes exclude candidates at `seq` ≥ the probe's
+  * own (a retried micro-batch finds its own first-run rows at EQUAL
+  * seq and ignores them — verdicts recompute identically), and the
+  * append drops ids already present (no duplicate store rows).
+  */
+object StreamingNearDup {
+
+  /** partition fan-out of both stores (fixture-sized; a knob). */
+  val NBuckets = 64
+
+  /** Σ of per-position mismatch indicators over two 32-char
+    * signatures named sig_a/sig_b — same generated form as the batch
+    * dedup family uses, so stream and batch agree symbol-for-symbol. */
+  private val HammingSql: String = (1 to 32)
+    .map(i => s"(CASE WHEN substring(sig_a,$i,1) <> substring(sig_b,$i,1) THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  private def bucketOf(c: Column): Column = pmod(hash(c), lit(NBuckets))
+
+  /** one row per (doc, block): the signature store's at-rest shape. */
+  private def sigRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("seq"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
+      .withColumn("bucket", bucketOf(concat(col("k"), lit("|"), col("blk"))))
+
+  private def hashRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("seq"), col("h"))
+      .withColumn("bucket", bucketOf(col("h")))
+
+  /** commit the already-ingested corpus as the initial store state —
+    * the one batch pass over the past; the stream is O(delta) after. */
+  def bootstrap(corpus: DataFrame, root: String): Unit = {
+    sigRows(corpus).write.mode("overwrite").partitionBy("bucket").parquet(s"$root/sig")
+    hashRows(corpus).write.mode("overwrite").partitionBy("bucket").parquet(s"$root/hash")
+  }
+
+  /** pruned store read: the batch's distinct probe buckets (≤
+    * [[NBuckets]] ints — a bounded driver-side list by construction)
+    * pushed as a partition filter. The spec asserts the plan prunes
+    * at the directory level, not post-scan. */
+  def probeStore(s: SparkSession, dir: String, buckets: Seq[Int]): DataFrame =
+    s.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
+
+  /** Gate one micro-batch `(doc_id, seq, h, simhash)` against the
+    * store, append its rows, and return its verdict frame
+    * `(doc_id, verdict, match_id)` — materialized (localCheckpoint),
+    * so it stays valid after later batches mutate the store. */
+  def processBatch(s: SparkSession, batch: DataFrame, root: String): DataFrame = {
+    val b = batch.select("doc_id", "seq", "h", "simhash").persist()
+    val bs = sigRows(b).persist()
+    val bh = hashRows(b).persist()
+    val sigBuckets = bs.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val hashBuckets = bh.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+
+    val probeSide = bs.select(col("doc_id"), col("seq"),
+      col("simhash").as("sig_a"), col("k"), col("blk"))
+    val storeSide = probeStore(s, s"$root/sig", sigBuckets)
+      .select(col("doc_id").as("cid"), col("seq").as("cseq"),
+        col("simhash").as("sig_b"), col("k"), col("blk"))
+    val localSide = bs.select(col("doc_id").as("cid"), col("seq").as("cseq"),
+      col("simhash").as("sig_b"), col("k"), col("blk"))
+    // near candidates = block-mates strictly earlier by seq, from the
+    // store (corpus + prior batches) and from this batch itself; a
+    // doc in c candidate pairs is Hamming-checked c times but each
+    // check is 32 char compares — the blocking is what bounds c
+    val near = probeSide.join(storeSide, Seq("k", "blk"))
+      .unionByName(probeSide.join(localSide, Seq("k", "blk")))
+      .filter(col("cseq") < col("seq"))
+      .select("doc_id", "cid", "sig_a", "sig_b").distinct()
+      .filter(expr(HammingSql) <= 3)
+      .groupBy("doc_id").agg(min("cid").as("nm"))
+
+    val probeH = bh.select(col("doc_id"), col("seq"), col("h"))
+    val exact = probeH.join(
+        probeStore(s, s"$root/hash", hashBuckets)
+          .select(col("doc_id").as("cid"), col("seq").as("cseq"), col("h")), Seq("h"))
+      .unionByName(probeH.join(
+        bh.select(col("doc_id").as("cid"), col("seq").as("cseq"), col("h")), Seq("h")))
+      .filter(col("cseq") < col("seq"))
+      .groupBy("doc_id").agg(min("cid").as("em"))
+
+    val verdicts = b.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("em").isNotNull, "exact_dup")
+          .when(col("nm").isNotNull, "near_dup")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("em"), col("nm"), lit(-1L)).as("match_id"))
+      .localCheckpoint()
+
+    // idempotent append: only ids not already present (presence check
+    // is itself a pruned read — a doc's hash bucket is derivable from
+    // its content, so a replayed batch probes the same dirs)
+    val fresh = b.join(
+      probeStore(s, s"$root/hash", hashBuckets).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti").persist()
+    sigRows(fresh).write.mode("append").partitionBy("bucket").parquet(s"$root/sig")
+    hashRows(fresh).write.mode("append").partitionBy("bucket").parquet(s"$root/hash")
+    fresh.unpersist(); bs.unpersist(); bh.unpersist(); b.unpersist()
+    verdicts
+  }
+
+  /** foreachBatch sink: gate the micro-batch and append its verdicts
+    * under `root/verdicts` (the streaming query's output table). */
+  def sinkBatch(root: String)(batch: DataFrame, batchId: Long): Unit = {
+    processBatch(batch.sparkSession, batch, root)
+      .write.mode("append").parquet(s"$root/verdicts")
+    ()
+  }
+}

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StreamingNearDup contract: exact/near/keep gate semantics in
+  * arrival order, verdicts independent of micro-batch boundaries
+  * (1 batch ≡ 3 batches ≡ a real foreachBatch stream), replayed
+  * batches idempotent (same verdicts, no duplicate store rows), and
+  * store probes pruned at the partition-directory level. */
+object StreamingNearDupSpec {
+  final case class ND(doc_id: Long, seq: Long, h: String, simhash: String)
+}
+
+class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .appName("streaming-neardup-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  import StreamingNearDupSpec.ND
+
+  private def flip(sig: String, positions: Int*): String =
+    positions.foldLeft(sig) { (acc, p) =>
+      acc.updated(p, if (acc(p) == '0') '1' else '0')
+    }
+
+  private val sigA = "0" * 32
+  private val sigB = "1" * 16 + "0" * 16
+  private val sigD = "01" * 16
+  private val sigE = "0011" * 8
+
+  // corpus: doc 1 (sigA, h1). batch0: 10 exact-dup of 1; 20 within 2
+  // flips of A; 30 a fresh signature B; 40 exact-dup of 30 (batch-
+  // local, later seq); 50 four flips of B in ONE block (block-mate
+  // candidate, hamming 4 — must be filtered to keep). batch1: 60
+  // three flips of B (near-dup of 30 through the store; 7 from 50);
+  // 70 exact-dup of corpus doc 1.
+  private val corpus = Seq(ND(1L, -100L, "h1", sigA))
+  private val batch0 = Seq(
+    ND(10L, 10L, "h1", sigD),
+    ND(20L, 20L, "h20", flip(sigA, 0, 1)),
+    ND(30L, 30L, "h30", sigB),
+    ND(40L, 40L, "h30", sigE),
+    ND(50L, 50L, "h50", flip(sigB, 0, 1, 2, 3)))
+  private val batch1 = Seq(
+    ND(60L, 60L, "h60", flip(sigB, 8, 9, 10)),
+    ND(70L, 70L, "h1", sigD))
+  private val expected = Map(
+    10L -> ("exact_dup", 1L),
+    20L -> ("near_dup", 1L),
+    30L -> ("keep", -1L),
+    40L -> ("exact_dup", 30L),
+    50L -> ("keep", -1L),
+    60L -> ("near_dup", 30L),
+    70L -> ("exact_dup", 1L))
+
+  private def df(rows: Seq[ND]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF()
+  }
+
+  private def verdictMap(v: DataFrame): Map[Long, (String, Long)] =
+    v.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  private def withRoot(f: String => Unit): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("neardup_spec").toString
+    try f(root)
+    finally graft.core.Fs.deleteRecursively(new java.io.File(root))
+  }
+
+  test("gate semantics in arrival order; replay is idempotent; probes prune") {
+    withRoot { root =>
+      StreamingNearDup.bootstrap(df(corpus), root)
+      val v0 = verdictMap(StreamingNearDup.processBatch(spark, df(batch0), root))
+      val v1 = verdictMap(StreamingNearDup.processBatch(spark, df(batch1), root))
+      assert(v0 ++ v1 == expected)
+
+      val sigRows = spark.read.parquet(s"$root/sig").count()
+      val hashRows = spark.read.parquet(s"$root/hash").count()
+      assert(sigRows == (1 + 7) * 4 && hashRows == 1 + 7)
+
+      // replayed batch: identical verdicts (its own first-run rows sit
+      // at EQUAL seq and are ignored), zero new store rows
+      val r1 = verdictMap(StreamingNearDup.processBatch(spark, df(batch1), root))
+      assert(r1 == verdictMap(StreamingNearDup.processBatch(spark, df(batch1), root)) && r1 == v1)
+      assert(spark.read.parquet(s"$root/sig").count() == sigRows)
+      assert(spark.read.parquet(s"$root/hash").count() == hashRows)
+
+      // the probe's bucket filter must hit the partition layout — a
+      // post-scan filter would mean every batch reads the whole store
+      val plan = StreamingNearDup.probeStore(spark, s"$root/sig", Seq(0, 1, 2))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(1500))
+    }
+  }
+
+  test("verdicts are independent of micro-batch boundaries: one batch == two") {
+    withRoot { root =>
+      StreamingNearDup.bootstrap(df(corpus), root)
+      val one = verdictMap(StreamingNearDup.processBatch(spark, df(batch0 ++ batch1), root))
+      assert(one == expected)
+    }
+  }
+
+  test("foreachBatch stream over MemoryStream matches the batch loop") {
+    withRoot { root =>
+      StreamingNearDup.bootstrap(df(corpus), root)
+      val s = spark
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val es = MemoryStream[ND]
+      val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+      val q = es.toDS().toDF()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(StreamingNearDup.sinkBatch(root) _)
+        .start()
+      try {
+        es.addData(batch0); q.processAllAvailable()
+        es.addData(batch1); q.processAllAvailable()
+      } finally {
+        q.stop()
+        graft.core.Fs.deleteRecursively(new java.io.File(ckpt))
+      }
+      assert(verdictMap(spark.read.parquet(s"$root/verdicts")) == expected)
+    }
+  }
+}
