@@ -859,6 +859,16 @@ object Documents {
         val base = simhashDf(docs).join(contentHashes(docs), Seq("doc_id"))
           .withColumn("seq", seqCol).persist()
         val root = java.nio.file.Files.createTempDirectory("stream_neardup").toString
+        // micro-batch frames are tiny — 8 shuffle partitions carry
+        // them with a quarter of the per-stage overhead (the st7
+        // discipline; a real deployment sizes this to the executors)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // ~18 tiny stages across the 3 gates: AQE's per-stage
+        // materialize-then-replan barrier costs more than it saves on
+        // micro-batch-sized shuffles — run the gates non-adaptive
+        s.conf.set("spark.sql.adaptive.enabled", "false")
         try {
           StreamingNearDup.bootstrap(base.filter(col("doc_id") % 10 =!= 0), root)
           (0 until 3).map { b =>
@@ -866,6 +876,8 @@ object Documents {
               base.filter(col("doc_id") % 30 === b * 10), root)
           }.reduce(_ unionByName _).orderBy("doc_id")
         } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
           base.unpersist()
           graft.core.Fs.deleteRecursively(new java.io.File(root))
         }

@@ -43,8 +43,11 @@ import org.apache.spark.sql.functions._
   */
 object StreamingNearDup {
 
-  /** partition fan-out of both stores (fixture-sized; a knob). */
-  val NBuckets = 64
+  /** partition fan-out of both stores (fixture-sized; a real corpus
+    * raises it into the thousands — probe cost is per-touched-dir,
+    * append cost is per-dir commit, so the knob trades lookup
+    * selectivity against file-system overhead). */
+  val NBuckets = 16
 
   /** Σ of per-position mismatch indicators over two 32-char
     * signatures named sig_a/sig_b — same generated form as the batch
@@ -66,11 +69,21 @@ object StreamingNearDup {
     docs.select(col("doc_id"), col("seq"), col("h"))
       .withColumn("bucket", bucketOf(col("h")))
 
+  /** partitioned store write: repartition ON the partition column
+    * first so each bucket's rows land in ONE task = one file per
+    * bucket per write — without it every input partition opens a file
+    * in every bucket dir it touches (measured 32 tasks × 64 dirs ≈
+    * 2k files for an 18k-row store, and the probes then pay the
+    * listing on every micro-batch). */
+  private def writeStore(rows: DataFrame, dir: String, mode: String): Unit =
+    rows.repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(dir)
+
   /** commit the already-ingested corpus as the initial store state —
     * the one batch pass over the past; the stream is O(delta) after. */
   def bootstrap(corpus: DataFrame, root: String): Unit = {
-    sigRows(corpus).write.mode("overwrite").partitionBy("bucket").parquet(s"$root/sig")
-    hashRows(corpus).write.mode("overwrite").partitionBy("bucket").parquet(s"$root/hash")
+    writeStore(sigRows(corpus), s"$root/sig", "overwrite")
+    writeStore(hashRows(corpus), s"$root/hash", "overwrite")
   }
 
   /** pruned store read: the batch's distinct probe buckets (≤
@@ -85,11 +98,18 @@ object StreamingNearDup {
     * `(doc_id, verdict, match_id)` — materialized (localCheckpoint),
     * so it stays valid after later batches mutate the store. */
   def processBatch(s: SparkSession, batch: DataFrame, root: String): DataFrame = {
-    val b = batch.select("doc_id", "seq", "h", "simhash").persist()
+    // a micro-batch is small by definition — collapse it to a few
+    // partitions so the dozen downstream jobs don't each pay 32-task
+    // scheduling for a handful of rows
+    val b = batch.select("doc_id", "seq", "h", "simhash").coalesce(4).persist()
     val bs = sigRows(b).persist()
     val bh = hashRows(b).persist()
-    val sigBuckets = bs.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-    val hashBuckets = bh.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    // ONE job collects both probe-bucket lists (≤ 2·NBuckets ints)
+    val bks = bs.select(lit("s").as("t"), col("bucket"))
+      .unionByName(bh.select(lit("h").as("t"), col("bucket")))
+      .distinct().collect()
+    val sigBuckets = bks.collect { case r if r.getString(0) == "s" => r.getInt(1) }.toSeq
+    val hashBuckets = bks.collect { case r if r.getString(0) == "h" => r.getInt(1) }.toSeq
 
     val probeSide = bs.select(col("doc_id"), col("seq"),
       col("simhash").as("sig_a"), col("k"), col("blk"))
@@ -102,18 +122,28 @@ object StreamingNearDup {
     // store (corpus + prior batches) and from this batch itself; a
     // doc in c candidate pairs is Hamming-checked c times but each
     // check is 32 char compares — the blocking is what bounds c
-    val near = probeSide.join(storeSide, Seq("k", "blk"))
-      .unionByName(probeSide.join(localSide, Seq("k", "blk")))
+    // batch sides are broadcast: the STORE is the big side and must
+    // only be map-joined, never shuffled — at scale this is the whole
+    // point of the probe (matches, not the store, hit the shuffle)
+    val near = broadcast(probeSide).join(storeSide, Seq("k", "blk"))
+      .unionByName(broadcast(probeSide).join(localSide, Seq("k", "blk")))
       .filter(col("cseq") < col("seq"))
-      .select("doc_id", "cid", "sig_a", "sig_b").distinct()
+      // no distinct: a pair found via several blocks is Hamming-checked
+      // once per block (32 char compares), which is cheaper than the
+      // extra shuffle a dedup stage would cost — and min(cid) is
+      // insensitive to duplicates
+      .select("doc_id", "cid", "sig_a", "sig_b")
       .filter(expr(HammingSql) <= 3)
       .groupBy("doc_id").agg(min("cid").as("nm"))
 
+    // one pruned hash-store read serves BOTH the exact probe and the
+    // append's presence check (a second listing of the same dirs
+    // would double the per-batch file-system cost)
+    val storeHash = probeStore(s, s"$root/hash", hashBuckets).persist()
     val probeH = bh.select(col("doc_id"), col("seq"), col("h"))
-    val exact = probeH.join(
-        probeStore(s, s"$root/hash", hashBuckets)
-          .select(col("doc_id").as("cid"), col("seq").as("cseq"), col("h")), Seq("h"))
-      .unionByName(probeH.join(
+    val exact = broadcast(probeH).join(
+        storeHash.select(col("doc_id").as("cid"), col("seq").as("cseq"), col("h")), Seq("h"))
+      .unionByName(broadcast(probeH).join(
         bh.select(col("doc_id").as("cid"), col("seq").as("cseq"), col("h")), Seq("h")))
       .filter(col("cseq") < col("seq"))
       .groupBy("doc_id").agg(min("cid").as("em"))
@@ -132,11 +162,11 @@ object StreamingNearDup {
     // is itself a pruned read — a doc's hash bucket is derivable from
     // its content, so a replayed batch probes the same dirs)
     val fresh = b.join(
-      probeStore(s, s"$root/hash", hashBuckets).select("doc_id").distinct(),
+      storeHash.select("doc_id").distinct(),
       Seq("doc_id"), "left_anti").persist()
-    sigRows(fresh).write.mode("append").partitionBy("bucket").parquet(s"$root/sig")
-    hashRows(fresh).write.mode("append").partitionBy("bucket").parquet(s"$root/hash")
-    fresh.unpersist(); bs.unpersist(); bh.unpersist(); b.unpersist()
+    writeStore(sigRows(fresh), s"$root/sig", "append")
+    writeStore(hashRows(fresh), s"$root/hash", "append")
+    fresh.unpersist(); storeHash.unpersist(); bs.unpersist(); bh.unpersist(); b.unpersist()
     verdicts
   }
 
