@@ -86,12 +86,28 @@ object StreamingNearDup {
     writeStore(hashRows(corpus), s"$root/hash", "overwrite")
   }
 
+  import org.apache.spark.sql.types._
+
+  private val SigSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("seq", LongType),
+    StructField("simhash", StringType), StructField("k", IntegerType),
+    StructField("blk", StringType), StructField("bucket", IntegerType)))
+
+  private val HashSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("seq", LongType),
+    StructField("h", StringType), StructField("bucket", IntegerType)))
+
   /** pruned store read: the batch's distinct probe buckets (≤
     * [[NBuckets]] ints — a bounded driver-side list by construction)
     * pushed as a partition filter. The spec asserts the plan prunes
-    * at the directory level, not post-scan. */
-  def probeStore(s: SparkSession, dir: String, buckets: Seq[Int]): DataFrame =
-    s.read.parquet(dir).filter(col("bucket").isin(buckets: _*))
+    * at the directory level, not post-scan. The schema is explicit,
+    * not inferred: an EMPTY corpus bootstrap leaves a store dir with
+    * no data files, and the first micro-batch must read it as zero
+    * rows, not die in schema inference. */
+  def probeStore(s: SparkSession, dir: String, buckets: Seq[Int]): DataFrame = {
+    val schema = if (dir.endsWith("/hash")) HashSchema else SigSchema
+    s.read.schema(schema).parquet(dir).filter(col("bucket").isin(buckets: _*))
+  }
 
   /** Gate one micro-batch `(doc_id, seq, h, simhash)` against the
     * store, append its rows, and return its verdict frame

@@ -65,7 +65,8 @@ class EmptyInputSpec extends AnyFunSuite with BeforeAndAfterAll {
     "dd4_simhash_neardup", "ss1_topk_ip", "ss2_lsh_buckets",
     "ss3_ann_lsh_topk", "ss11_truncated_rerank",
     "agg_grouping_sets", "skew_aqe_join", "src_bucketed_join",
-    "src_orc_ingest", "dd14_cluster_split")
+    "src_orc_ingest", "dd14_cluster_split", "st8_stream_neardup",
+    "dq5_drift")
 
   test("fixture-backed registry queries survive empty tables") {
     val failures = fixtureBacked.flatMap { name =>
