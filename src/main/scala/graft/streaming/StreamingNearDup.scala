@@ -193,4 +193,28 @@ object StreamingNearDup {
       .write.mode("append").parquet(s"$root/verdicts")
     ()
   }
+
+  /** Store maintenance: every append adds one file per touched bucket
+    * dir, so a long-running gate accumulates small files and probe
+    * listings degrade linearly with stream age. Compaction rewrites
+    * each store into the same partition layout with one file per
+    * bucket (content byte-identical — probes before ≡ after, spec-
+    * pinned), the VersionedTable-compact discipline applied here.
+    * Stage-then-swap: the rewrite lands in a temp dir first so a
+    * crash mid-compact can't leave the live store half-written; the
+    * final swap is two renames. Run it between micro-batches (the
+    * caller owns that scheduling — same as any table OPTIMIZE). */
+  def compactStore(s: SparkSession, root: String): Unit = {
+    for (sub <- Seq("sig", "hash")) {
+      val live = new java.io.File(s"$root/$sub")
+      val tmp = new java.io.File(s"$root/$sub.compact")
+      val old = new java.io.File(s"$root/$sub.old")
+      writeStore(probeStore(s, live.getPath, 0 until NBuckets),
+        tmp.getPath, "overwrite")
+      graft.core.Fs.deleteRecursively(old)
+      if (!live.renameTo(old) || !tmp.renameTo(live))
+        throw new IllegalStateException(s"compactStore swap failed for $sub")
+      graft.core.Fs.deleteRecursively(old)
+    }
+  }
 }

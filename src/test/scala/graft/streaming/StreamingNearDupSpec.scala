@@ -118,6 +118,26 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compactStore: one file per bucket, content preserved, gate unchanged") {
+    withRoot { root =>
+      StreamingNearDup.bootstrap(df(corpus), root)
+      StreamingNearDup.processBatch(spark, df(batch0), root)
+      def files(sub: String): Seq[Int] =
+        new java.io.File(s"$root/$sub").listFiles().filter(_.isDirectory)
+          .map(d => d.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+      val before = spark.read.parquet(s"$root/sig").collect().map(_.toString).sorted.toSeq
+      // corpus doc 1 and batch0's near-dups share blocks, so shared
+      // bucket dirs hold a bootstrap file AND an append file
+      assert(files("sig").exists(_ > 1))
+      StreamingNearDup.compactStore(spark, root)
+      assert(files("sig").forall(_ <= 1) && files("hash").forall(_ <= 1))
+      val after = spark.read.parquet(s"$root/sig").collect().map(_.toString).sorted.toSeq
+      assert(after == before)
+      val v1 = verdictMap(StreamingNearDup.processBatch(spark, df(batch1), root))
+      assert(v1 == batch1.map(d => d.doc_id -> expected(d.doc_id)).toMap)
+    }
+  }
+
   test("foreachBatch stream over MemoryStream matches the batch loop") {
     withRoot { root =>
       StreamingNearDup.bootstrap(df(corpus), root)
