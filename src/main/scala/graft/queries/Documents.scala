@@ -133,12 +133,10 @@ object Documents {
       |  GROUP BY doc_id, p),
       |sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY p) AS simhash FROM bits GROUP BY doc_id)""".stripMargin
 
-  /** Σ of per-position mismatch indicators — generated once, used
-    * verbatim by both engines (no join over positions). */
-  private val hamming32: String =
-    (1 to 32)
-      .map(i => s"(CASE WHEN substring(sig_a,$i,1) <> substring(sig_b,$i,1) THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+  /** Σ of per-position mismatch indicators — the shared generator
+    * ([[graft.core.Hamming.sql32]]), used verbatim by both engines
+    * (no join over positions). */
+  private val hamming32: String = graft.core.Hamming.sql32
 
   /** 60-bit MinHash slot: the first 15 hex digits of md5("<seed>|sh")
     * as a BIGINT. Numeric order == hex-string lexicographic order, so
@@ -833,8 +831,8 @@ object Documents {
     // hamming ≤ 3 for near, content hash for exact) plus batch-local
     // earlier-arrival comparison, and its signatures append into the
     // same layout — the write-time routing key is the read-time
-    // index, so a batch of B docs reads ≤ min(4B, 64) store dirs,
-    // never the whole store. Verdicts depend only on the arrival
+    // index, so a batch of B docs reads ≤ min(4B, NBuckets) store
+    // dirs, never the whole store. Verdicts depend only on the arrival
     // order `seq`, NOT on micro-batch boundaries
     // (StreamingNearDupSpec pins 1-batch ≡ 3-batch ≡ foreachBatch
     // stream), which is why the oracle can replay the whole run as
@@ -856,7 +854,13 @@ object Documents {
             (when(col("doc_id") % 30 === 0, 0L)
               .when(col("doc_id") % 30 === 10, 1L)
               .otherwise(2L)) * 10000000L + col("doc_id"))
-        val base = simhashDf(docs).join(contentHashes(docs), Seq("doc_id"))
+        // the HASH derivation is the spine (every doc has a content
+        // hash); the signature joins LEFT because a token-less doc has
+        // no simhash row — it must still get a verdict (exact-dup
+        // semantics only), exactly as the oracle's sig CTE omits it
+        // while its hash CTE covers it
+        val base = contentHashes(docs)
+          .join(simhashDf(docs), Seq("doc_id"), "left")
           .withColumn("seq", seqCol).persist()
         val root = java.nio.file.Files.createTempDirectory("stream_neardup").toString
         // micro-batch frames are tiny — 8 shuffle partitions carry

@@ -1410,9 +1410,15 @@ object Relational {
           sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
         val tot = counts.groupBy("feature").agg(sum("a").as("ta"), sum("b").as("tb"))
+        // greatest(·,1): an EMPTY window means every bin count on that
+        // side is 0, so the guarded rates are all 0 and the score is 0
+        // ("no data" ⇒ "no drift evidence") — identically on both
+        // engines, instead of an ANSI divide-by-zero here and NULLs in
+        // DuckDB
         counts.join(broadcast(tot), Seq("feature"))
           .selectExpr("feature", "ta", "tb",
-            "a*1000000 DIV ta AS pa", "b*1000000 DIV tb AS pb")
+            "a*1000000 DIV greatest(ta, 1) AS pa",
+            "b*1000000 DIV greatest(tb, 1) AS pb")
           .groupBy("feature")
           .agg(count(lit(1)).as("n_bins"),
             min("ta").as("ref_total"), min("tb").as("cur_total"),
@@ -1437,7 +1443,8 @@ object Relational {
              |  FROM lng GROUP BY feature, bin),
              |tot AS (SELECT feature, SUM(a) AS ta, SUM(b) AS tb FROM counts GROUP BY feature),
              |rates AS (
-             |  SELECT c.feature, ta, tb, a*1000000 // ta AS pa, b*1000000 // tb AS pb
+             |  SELECT c.feature, ta, tb,
+             |    a*1000000 // greatest(ta, 1) AS pa, b*1000000 // greatest(tb, 1) AS pb
              |  FROM counts c JOIN tot t ON t.feature = c.feature)
              |SELECT feature, count(*) AS n_bins,
              |  CAST(min(ta) AS BIGINT) AS ref_total, CAST(min(tb) AS BIGINT) AS cur_total,

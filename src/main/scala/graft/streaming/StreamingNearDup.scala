@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Streaming NEAR-duplicate ingest gate over committed signature
   * stores — the streaming cell of the dedup family matrix (exact
@@ -12,55 +13,59 @@ import org.apache.spark.sql.functions._
   * Content-agnostic: callers supply per-doc `(doc_id, seq, h,
   * simhash)` where `seq` is the arrival total order (corpus docs
   * strictly before every stream doc), `h` a content hash and
-  * `simhash` a 32-char '0'/'1' signature. Verdict per stream doc:
-  * `exact_dup` if some EARLIER-seen doc (committed corpus, an earlier
-  * micro-batch, or an earlier-`seq` batch-mate) carries the same
-  * content hash; `near_dup` if some earlier-seen signature is within
-  * Hamming distance 3 (4×8-bit pigeonhole blocking — ≤3 flips leave
-  * at least one block intact, so the block equi-join misses nothing);
-  * else `keep`. `match_id` is the smallest matching earlier doc id.
-  * Because the semantics depend only on `seq`, the verdicts are
-  * INDEPENDENT of micro-batch boundaries: one big batch and many
-  * small ones produce identical output (spec-pinned), which is what
-  * makes the backfill→live handoff safe.
+  * `simhash` a 32-char '0'/'1' signature — or NULL for a doc that
+  * has no signature (e.g. token-less text): such docs participate in
+  * exact-dup only, exactly like the batch dedup family where the
+  * signature derivation emits no row for them. Verdict per stream
+  * doc: `exact_dup` if some EARLIER-seen doc (committed corpus, an
+  * earlier micro-batch, or an earlier-`seq` batch-mate) carries the
+  * same content hash; `near_dup` if some earlier-seen signature is
+  * within Hamming distance 3 (4×8-bit pigeonhole blocking — ≤3 flips
+  * leave at least one block intact, so the block equi-join misses
+  * nothing); else `keep`. `match_id` is the smallest matching
+  * earlier doc id. Because the semantics depend only on `seq`, the
+  * verdicts are INDEPENDENT of micro-batch boundaries: one big batch
+  * and many small ones produce identical output (spec-pinned), which
+  * is what makes the backfill→live handoff safe.
   *
   * Store shape at 100 TB: both stores are parquet `partitionBy` a
   * [[NBuckets]]-way bucket of the PROBE key (block value for
   * signatures, content hash for exact), so a micro-batch of B docs
-  * reads ≤ min(4B, buckets) signature dirs and ≤ min(B, buckets)
-  * hash dirs — directory-pruned point lookups, never a full-store
-  * scan; appends land in the same layout. The write-time routing key
-  * IS the read-time index (the IvfIndex store discipline; bucket
-  * width is a knob — 64 here for the fixture, thousands for a real
-  * corpus, with periodic small-file compaction as in VersionedTable).
-  * Everything seen is indexed — kept or dropped — because "have I
-  * seen this before" must include previously dropped arrivals.
+  * reads ≤ min(4B, [[NBuckets]]) signature dirs and ≤ min(B,
+  * [[NBuckets]]) hash dirs — directory-pruned point lookups, never a
+  * full-store scan; appends land in the same layout. The write-time
+  * routing key IS the read-time index (the IvfIndex store
+  * discipline). Everything seen is indexed — kept or dropped —
+  * because "have I seen this before" must include previously dropped
+  * arrivals.
   *
   * Replay safety: probes exclude candidates at `seq` ≥ the probe's
   * own (a retried micro-batch finds its own first-run rows at EQUAL
-  * seq and ignores them — verdicts recompute identically), and the
-  * append drops ids already present (no duplicate store rows).
+  * seq and ignores them — verdicts recompute identically), the store
+  * append drops ids already present (no duplicate store rows), and
+  * the verdict sink overwrites per batch id (no duplicate verdicts).
   */
 object StreamingNearDup {
 
-  /** partition fan-out of both stores (fixture-sized; a real corpus
-    * raises it into the thousands — probe cost is per-touched-dir,
-    * append cost is per-dir commit, so the knob trades lookup
-    * selectivity against file-system overhead). */
+  /** partition fan-out of both stores: 16 at fixture scale; a real
+    * corpus raises it into the thousands — probe cost is
+    * per-touched-dir, append cost is per-dir commit, so the knob
+    * trades lookup selectivity against file-system overhead. */
   val NBuckets = 16
 
-  /** Σ of per-position mismatch indicators over two 32-char
-    * signatures named sig_a/sig_b — same generated form as the batch
-    * dedup family uses, so stream and batch agree symbol-for-symbol. */
-  private val HammingSql: String = (1 to 32)
-    .map(i => s"(CASE WHEN substring(sig_a,$i,1) <> substring(sig_b,$i,1) THEN 1 ELSE 0 END)")
-    .mkString(" + ")
+  /** the shared 32-position mismatch sum ([[graft.core.Hamming]]) —
+    * ONE generator for batch and stream, so the two near-dup
+    * semantics cannot desynchronize. */
+  private val HammingSql: String = graft.core.Hamming.sql32
 
   private def bucketOf(c: Column): Column = pmod(hash(c), lit(NBuckets))
 
-  /** one row per (doc, block): the signature store's at-rest shape. */
+  /** one row per (doc, block): the signature store's at-rest shape.
+    * Null-signature docs emit NO rows — they are exact-only by
+    * contract (two signature-less docs are NOT near each other). */
   private def sigRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("seq"), col("simhash"),
+    docs.filter(col("simhash").isNotNull)
+      .select(col("doc_id"), col("seq"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
       .withColumn("bucket", bucketOf(concat(col("k"), lit("|"), col("blk"))))
@@ -71,10 +76,10 @@ object StreamingNearDup {
 
   /** partitioned store write: repartition ON the partition column
     * first so each bucket's rows land in ONE task = one file per
-    * bucket per write — without it every input partition opens a file
-    * in every bucket dir it touches (measured 32 tasks × 64 dirs ≈
-    * 2k files for an 18k-row store, and the probes then pay the
-    * listing on every micro-batch). */
+    * bucket per write — without it every input partition opens a
+    * file in every bucket dir it touches (measured ~2k files for an
+    * 18k-row store at 32 tasks × 64 dirs before this fix, with the
+    * probes then paying the listing on every micro-batch). */
   private def writeStore(rows: DataFrame, dir: String, mode: String): Unit =
     rows.repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(dir)
@@ -86,28 +91,26 @@ object StreamingNearDup {
     writeStore(hashRows(corpus), s"$root/hash", "overwrite")
   }
 
-  import org.apache.spark.sql.types._
-
-  private val SigSchema = StructType(Seq(
+  val SigSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("seq", LongType),
     StructField("simhash", StringType), StructField("k", IntegerType),
     StructField("blk", StringType), StructField("bucket", IntegerType)))
 
-  private val HashSchema = StructType(Seq(
+  val HashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("seq", LongType),
     StructField("h", StringType), StructField("bucket", IntegerType)))
 
   /** pruned store read: the batch's distinct probe buckets (≤
     * [[NBuckets]] ints — a bounded driver-side list by construction)
     * pushed as a partition filter. The spec asserts the plan prunes
-    * at the directory level, not post-scan. The schema is explicit,
-    * not inferred: an EMPTY corpus bootstrap leaves a store dir with
-    * no data files, and the first micro-batch must read it as zero
-    * rows, not die in schema inference. */
-  def probeStore(s: SparkSession, dir: String, buckets: Seq[Int]): DataFrame = {
-    val schema = if (dir.endsWith("/hash")) HashSchema else SigSchema
+    * at the directory level, not post-scan. The schema is the
+    * caller-stated store schema, not inferred: an EMPTY corpus
+    * bootstrap leaves a store dir with no data files, and the first
+    * micro-batch must read it as zero rows, not die in schema
+    * inference. */
+  def probeStore(s: SparkSession, dir: String, buckets: Seq[Int],
+                 schema: StructType): DataFrame =
     s.read.schema(schema).parquet(dir).filter(col("bucket").isin(buckets: _*))
-  }
 
   /** Gate one micro-batch `(doc_id, seq, h, simhash)` against the
     * store, append its rows, and return its verdict frame
@@ -129,7 +132,7 @@ object StreamingNearDup {
 
     val probeSide = bs.select(col("doc_id"), col("seq"),
       col("simhash").as("sig_a"), col("k"), col("blk"))
-    val storeSide = probeStore(s, s"$root/sig", sigBuckets)
+    val storeSide = probeStore(s, s"$root/sig", sigBuckets, SigSchema)
       .select(col("doc_id").as("cid"), col("seq").as("cseq"),
         col("simhash").as("sig_b"), col("k"), col("blk"))
     val localSide = bs.select(col("doc_id").as("cid"), col("seq").as("cseq"),
@@ -137,8 +140,8 @@ object StreamingNearDup {
     // near candidates = block-mates strictly earlier by seq, from the
     // store (corpus + prior batches) and from this batch itself; a
     // doc in c candidate pairs is Hamming-checked c times but each
-    // check is 32 char compares — the blocking is what bounds c
-    // batch sides are broadcast: the STORE is the big side and must
+    // check is 32 char compares — the blocking is what bounds c.
+    // Batch sides are broadcast: the STORE is the big side and must
     // only be map-joined, never shuffled — at scale this is the whole
     // point of the probe (matches, not the store, hit the shuffle)
     val near = broadcast(probeSide).join(storeSide, Seq("k", "blk"))
@@ -155,7 +158,7 @@ object StreamingNearDup {
     // one pruned hash-store read serves BOTH the exact probe and the
     // append's presence check (a second listing of the same dirs
     // would double the per-batch file-system cost)
-    val storeHash = probeStore(s, s"$root/hash", hashBuckets).persist()
+    val storeHash = probeStore(s, s"$root/hash", hashBuckets, HashSchema).persist()
     val probeH = bh.select(col("doc_id"), col("seq"), col("h"))
     val exact = broadcast(probeH).join(
         storeHash.select(col("doc_id").as("cid"), col("seq").as("cseq"), col("h")), Seq("h"))
@@ -186,11 +189,14 @@ object StreamingNearDup {
     verdicts
   }
 
-  /** foreachBatch sink: gate the micro-batch and append its verdicts
-    * under `root/verdicts` (the streaming query's output table). */
+  /** foreachBatch sink: gate the micro-batch and land its verdicts
+    * under `root/verdicts/batch_id=<id>` — OVERWRITE of the batch's
+    * own partition, so a redelivered micro-batch (stream failed after
+    * the write but before the checkpoint committed) replaces its
+    * first attempt instead of appending duplicate verdict rows. */
   def sinkBatch(root: String)(batch: DataFrame, batchId: Long): Unit = {
     processBatch(batch.sparkSession, batch, root)
-      .write.mode("append").parquet(s"$root/verdicts")
+      .write.mode("overwrite").parquet(s"$root/verdicts/batch_id=$batchId")
     ()
   }
 
@@ -198,22 +204,31 @@ object StreamingNearDup {
     * dir, so a long-running gate accumulates small files and probe
     * listings degrade linearly with stream age. Compaction rewrites
     * each store into the same partition layout with one file per
-    * bucket (content byte-identical — probes before ≡ after, spec-
-    * pinned), the VersionedTable-compact discipline applied here.
-    * Stage-then-swap: the rewrite lands in a temp dir first so a
-    * crash mid-compact can't leave the live store half-written; the
-    * final swap is two renames. Run it between micro-batches (the
-    * caller owns that scheduling — same as any table OPTIMIZE). */
+    * bucket (content identical — probes before ≡ after, spec-pinned),
+    * the VersionedTable-compact discipline applied here. The rewrite
+    * lands in a temp dir first, then swaps in via two renames with
+    * the pre-compact store parked at `<store>.old`; a crash between
+    * the renames is healed by the recovery preamble on the next call
+    * (live missing + old present ⇒ restore old), and a failed second
+    * rename rolls the old store back immediately. Single-writer by
+    * contract: the caller schedules compaction between micro-batches
+    * (same as any table OPTIMIZE). */
   def compactStore(s: SparkSession, root: String): Unit = {
-    for (sub <- Seq("sig", "hash")) {
+    for ((sub, schema) <- Seq("sig" -> SigSchema, "hash" -> HashSchema)) {
       val live = new java.io.File(s"$root/$sub")
       val tmp = new java.io.File(s"$root/$sub.compact")
       val old = new java.io.File(s"$root/$sub.old")
-      writeStore(probeStore(s, live.getPath, 0 until NBuckets),
+      if (!live.exists() && old.exists() && !old.renameTo(live))
+        throw new IllegalStateException(s"compactStore recovery failed for $sub")
+      writeStore(probeStore(s, live.getPath, 0 until NBuckets, schema),
         tmp.getPath, "overwrite")
       graft.core.Fs.deleteRecursively(old)
-      if (!live.renameTo(old) || !tmp.renameTo(live))
+      if (!live.renameTo(old))
+        throw new IllegalStateException(s"compactStore park failed for $sub")
+      if (!tmp.renameTo(live)) {
+        old.renameTo(live)
         throw new IllegalStateException(s"compactStore swap failed for $sub")
+      }
       graft.core.Fs.deleteRecursively(old)
     }
   }

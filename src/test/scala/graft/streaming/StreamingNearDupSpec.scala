@@ -103,10 +103,15 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.read.parquet(s"$root/hash").count() == hashRows)
 
       // the probe's bucket filter must hit the partition layout — a
-      // post-scan filter would mean every batch reads the whole store
-      val plan = StreamingNearDup.probeStore(spark, s"$root/sig", Seq(0, 1, 2))
+      // post-scan filter would mean every batch reads the whole store.
+      // The assertion matches a POPULATED PartitionFilters list naming
+      // bucket (an empty list prints 'PartitionFilters: []' and would
+      // also contain both substrings — vacuously)
+      val plan = StreamingNearDup.probeStore(spark, s"$root/sig", Seq(0, 1, 2),
+          StreamingNearDup.SigSchema)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(1500))
+      assert("""PartitionFilters: \[[^\]]*bucket[^\]]*IN""".r.findFirstIn(plan).isDefined,
+        plan.take(1500))
     }
   }
 
@@ -158,6 +163,11 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.core.Fs.deleteRecursively(new java.io.File(ckpt))
       }
       assert(verdictMap(spark.read.parquet(s"$root/verdicts")) == expected)
+      // a redelivered micro-batch overwrites its own batch_id
+      // partition — no duplicate verdict rows after a sink replay
+      StreamingNearDup.sinkBatch(root)(df(batch1).toDF(), 1L)
+      val v = spark.read.parquet(s"$root/verdicts")
+      assert(v.count() == expected.size && verdictMap(v) == expected)
     }
   }
 }
