@@ -1394,63 +1394,68 @@ object Relational {
     // back — profile each window once, compare profiles O(bins).
     QueryDef(
       "dq5_drift",
+      (s, d) => driftScoresDf(driftLong(driftLab(s, d))),
+      Some(driftOracleSql("")),
+    ),
+
+    // st9 — the drift monitor as a STREAM (streaming/StreamingDrift):
+    // the reference profile is computed once in batch; the CURRENT
+    // window arrives in 3 micro-batches and its profile is maintained
+    // as additive per-(feature, bin) counters — one distributed
+    // aggregation per micro-batch, then a bins-sized driver merge; no
+    // rescan of earlier batches, ever, because profile(b₁ ∪ b₂) =
+    // profile(b₁) + profile(b₂). The emitted rows are the BATCH
+    // twin's (the oracle recomputes every column) plus a
+    // stream_matches_batch verdict pinning that the incrementally
+    // maintained scores equal the batch scores exactly — the
+    // backfill→live shape for monitoring, like st7 for the pipeline
+    // and st8 for dedup. Driver state is the profile itself (bins,
+    // not stream length; StreamingDrift.MaxBins fails loudly on an
+    // unbounded feature).
+    QueryDef(
+      "st9_stream_drift",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val half = docs.agg(expr("(max(doc_id)+1) DIV 2").as("half"))
-        val lab = docs.crossJoin(broadcast(half))
-          .select(
-            (col("doc_id") < col("half")).as("is_ref"),
-            when(col("doc_id") >= col("half") && col("doc_id") % 7 === 0, "zh")
-              .otherwise(col("lang")).as("lang2"),
-            col("source"), col("n_chars"))
-        val long = lab.selectExpr("is_ref",
-          "stack(3, 'lang', lang2, 'source', source, " +
-            "'chars_bin', CAST(n_chars DIV 200 AS STRING)) AS (feature, bin)")
-        val counts = long.groupBy("feature", "bin").agg(
-          sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
-          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
-        val tot = counts.groupBy("feature").agg(sum("a").as("ta"), sum("b").as("tb"))
-        // greatest(·,1): an EMPTY window means every bin count on that
-        // side is 0, so the guarded rates are all 0 and the score is 0
-        // ("no data" ⇒ "no drift evidence") — identically on both
-        // engines, instead of an ANSI divide-by-zero here and NULLs in
-        // DuckDB
-        counts.join(broadcast(tot), Seq("feature"))
-          .selectExpr("feature", "ta", "tb",
-            "a*1000000 DIV greatest(ta, 1) AS pa",
-            "b*1000000 DIV greatest(tb, 1) AS pb")
-          .groupBy("feature")
-          .agg(count(lit(1)).as("n_bins"),
-            min("ta").as("ref_total"), min("tb").as("cur_total"),
-            sum(expr("(pa-pb)*(pa-pb) DIV (pa+pb+1)")).as("score"))
-          .withColumn("drifted", col("score") > 20000L)
+        import s.implicits._
+        val lab = driftLab(s, d).persist()
+        val long = driftLong(lab)
+        val batchRows = driftScoresDf(long).collect()
+        val refProfile = long.filter(col("is_ref"))
+          .groupBy("feature", "bin").agg(count(lit(1)).as("c")).collect()
+          .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("∅")) -> r.getLong(2))
+          .toMap
+        // the current window replayed in 3 id-ordered micro-batches
+        // (driver-side collect is fixture wiring — a real deployment
+        // reads the ingest log; batch boundaries are irrelevant by
+        // additivity)
+        val cur = long.filter(!col("is_ref")).select("doc_id", "feature", "bin")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+        val mv = new graft.streaming.StreamingDrift
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val es = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, String)]
+        val q = es.toDS().toDF("doc_id", "feature", "bin")
+          .writeStream.outputMode("append")
+          .foreachBatch((b: DataFrame, _: Long) => mv.processBatch(b))
+          .start()
+        try {
+          cur.grouped(math.max(1, cur.length / 3 + 1)).foreach { chunk =>
+            es.addData(chunk.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val streamed = mv.scores(refProfile)
+        val matches = streamed.size == batchRows.length && batchRows.forall { r =>
+          streamed.get(r.getString(0)).contains(
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        }
+        lab.unpersist()
+        batchRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getBoolean(5), matches))
+          .toDF("feature", "n_bins", "ref_total", "cur_total", "score",
+            "drifted", "stream_matches_batch")
           .orderBy("feature")
       },
-      Some("""WITH mx AS (SELECT (max(doc_id)+1)//2 AS half FROM documents),
-             |lab AS (
-             |  SELECT doc_id, doc_id < half AS is_ref,
-             |    CASE WHEN doc_id >= half AND doc_id % 7 = 0 THEN 'zh' ELSE lang END AS lang2,
-             |    source, n_chars
-             |  FROM documents, mx),
-             |lng AS (
-             |  SELECT is_ref, 'lang' AS feature, lang2 AS bin FROM lab
-             |  UNION ALL SELECT is_ref, 'source', source FROM lab
-             |  UNION ALL SELECT is_ref, 'chars_bin', CAST(n_chars // 200 AS VARCHAR) FROM lab),
-             |counts AS (
-             |  SELECT feature, bin,
-             |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
-             |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS b
-             |  FROM lng GROUP BY feature, bin),
-             |tot AS (SELECT feature, SUM(a) AS ta, SUM(b) AS tb FROM counts GROUP BY feature),
-             |rates AS (
-             |  SELECT c.feature, ta, tb,
-             |    a*1000000 // greatest(ta, 1) AS pa, b*1000000 // greatest(tb, 1) AS pb
-             |  FROM counts c JOIN tot t ON t.feature = c.feature)
-             |SELECT feature, count(*) AS n_bins,
-             |  CAST(min(ta) AS BIGINT) AS ref_total, CAST(min(tb) AS BIGINT) AS cur_total,
-             |  CAST(SUM((pa-pb)*(pa-pb) // (pa+pb+1)) AS BIGINT) AS score,
-             |  CAST(SUM((pa-pb)*(pa-pb) // (pa+pb+1)) AS BIGINT) > 20000 AS drifted
-             |FROM rates GROUP BY feature ORDER BY feature""".stripMargin),
+      Some(driftOracleSql(",\n  TRUE AS stream_matches_batch")),
+      streamingDriver = true,
     ),
 
     // Time travel: snapshot read of the PRE-merge version of the
@@ -2115,6 +2120,81 @@ object Relational {
     * machinery silently degraded to a full rewrite. The oracle replays
     * the fixture's MERGE rule in SQL: n/10 update keys (every 10th a
     * delete), n/50 fresh inserts, and the range count after deletes. */
+  /** dq5/st9 shared window labeling: reference = first half of
+    * documents by doc_id, current = second half with the planted
+    * language-mix shift (every 7th doc relabeled 'zh'). */
+  private def driftLab(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val half = docs.agg(expr("(max(doc_id)+1) DIV 2").as("half"))
+    docs.crossJoin(broadcast(half))
+      .select(col("doc_id"),
+        (col("doc_id") < col("half")).as("is_ref"),
+        when(col("doc_id") >= col("half") && col("doc_id") % 7 === 0, "zh")
+          .otherwise(col("lang")).as("lang2"),
+        col("source"), col("n_chars"))
+  }
+
+  /** the long-format (feature, bin) projection both monitors profile. */
+  private def driftLong(lab: DataFrame): DataFrame =
+    lab.selectExpr("doc_id", "is_ref",
+      "stack(3, 'lang', lang2, 'source', source, " +
+        "'chars_bin', CAST(n_chars DIV 200 AS STRING)) AS (feature, bin)")
+
+  /** the batch drift plan over the long frame — one bounded-
+    * cardinality shuffle on (feature, bin), per-feature totals
+    * broadcast back, chi-square-shaped score in EXACT integer
+    * arithmetic (ppm rates by floor division) so the score itself
+    * hash-matches the oracle. greatest(·,1): an EMPTY window means
+    * every bin count on that side is 0, so the guarded rates are all
+    * 0 and the score is 0 ("no data" ⇒ "no drift evidence") —
+    * identically on both engines, instead of an ANSI divide-by-zero
+    * here and NULLs in DuckDB. */
+  private def driftScoresDf(long: DataFrame): DataFrame = {
+    val counts = long.groupBy("feature", "bin").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+    val tot = counts.groupBy("feature").agg(sum("a").as("ta"), sum("b").as("tb"))
+    counts.join(broadcast(tot), Seq("feature"))
+      .selectExpr("feature", "ta", "tb",
+        "a*1000000 DIV greatest(ta, 1) AS pa",
+        "b*1000000 DIV greatest(tb, 1) AS pb")
+      .groupBy("feature")
+      .agg(count(lit(1)).as("n_bins"),
+        min("ta").as("ref_total"), min("tb").as("cur_total"),
+        sum(expr("(pa-pb)*(pa-pb) DIV (pa+pb+1)")).as("score"))
+      .withColumn("drifted", col("score") > 20000L)
+      .orderBy("feature")
+  }
+
+  /** the drift oracle, shared by dq5 and st9 (st9 appends its
+    * stream≡batch verdict column via `extraCols`). */
+  private def driftOracleSql(extraCols: String): String =
+    s"""WITH mx AS (SELECT (max(doc_id)+1)//2 AS half FROM documents),
+       |lab AS (
+       |  SELECT doc_id, doc_id < half AS is_ref,
+       |    CASE WHEN doc_id >= half AND doc_id % 7 = 0 THEN 'zh' ELSE lang END AS lang2,
+       |    source, n_chars
+       |  FROM documents, mx),
+       |lng AS (
+       |  SELECT is_ref, 'lang' AS feature, lang2 AS bin FROM lab
+       |  UNION ALL SELECT is_ref, 'source', source FROM lab
+       |  UNION ALL SELECT is_ref, 'chars_bin', CAST(n_chars // 200 AS VARCHAR) FROM lab),
+       |counts AS (
+       |  SELECT feature, bin,
+       |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
+       |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS b
+       |  FROM lng GROUP BY feature, bin),
+       |tot AS (SELECT feature, SUM(a) AS ta, SUM(b) AS tb FROM counts GROUP BY feature),
+       |rates AS (
+       |  SELECT c.feature, ta, tb,
+       |    a*1000000 // greatest(ta, 1) AS pa, b*1000000 // greatest(tb, 1) AS pb
+       |  FROM counts c JOIN tot t ON t.feature = c.feature)
+       |SELECT feature, count(*) AS n_bins,
+       |  CAST(min(ta) AS BIGINT) AS ref_total, CAST(min(tb) AS BIGINT) AS cur_total,
+       |  CAST(SUM((pa-pb)*(pa-pb) // (pa+pb+1)) AS BIGINT) AS score,
+       |  CAST(SUM((pa-pb)*(pa-pb) // (pa+pb+1)) AS BIGINT) > 20000 AS drifted$extraCols
+       |FROM rates GROUP BY feature ORDER BY feature""".stripMargin
+
   private def vtScaleQuery(name: String, n: Long, nBuckets: Int): QueryDef = {
     val prunedHi = n / 3 - 1
     QueryDef(

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained DRIFT profile — the streaming twin of the
+  * dq5 monitor: the reference window's binned frequency profile is
+  * computed once (batch), and the CURRENT window's profile is
+  * accumulated micro-batch by micro-batch as additive per-(feature,
+  * bin) counters — no rescan of earlier batches, ever. The score is
+  * then pure integer arithmetic over the two profiles (ppm rates by
+  * floor division, (pa−pb)² DIV (pa+pb+1)), identical to the batch
+  * formula symbol for symbol.
+  *
+  * Driver state is the current profile itself: one counter per
+  * (feature, bin), bounded by the PROFILE cardinality (languages,
+  * sources, histogram buckets — tens of entries), NOT by the stream
+  * length; [[MaxBins]] fails loudly if a feature column is
+  * accidentally high-cardinality (profiling an id column would
+  * otherwise grow driver state with the corpus). A real deployment
+  * would keep the same counters in a state store or a tiny table —
+  * the additivity is what matters: profile(b₁ ∪ b₂) =
+  * profile(b₁) + profile(b₂).
+  */
+final class StreamingDrift {
+
+  /** per-(feature, bin) ceiling on tracked bins — a drift profile is
+    * only meaningful over bounded-cardinality features. */
+  val MaxBins = 10000
+
+  private val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+
+  /** fold one micro-batch's (feature, bin) long-format rows into the
+    * profile: ONE distributed aggregation per batch (map-side partial
+    * counts), then a bins-sized merge on the driver. */
+  def processBatch(long: DataFrame): Unit = {
+    val deltas = long.groupBy("feature", "bin").agg(count(lit(1)).as("c")).collect()
+    this.synchronized {
+      deltas.foreach { r =>
+        val key = (r.getString(0), Option(r.getString(1)).getOrElse("∅"))
+        counts(key) = counts.getOrElse(key, 0L) + r.getLong(2)
+      }
+      require(counts.size <= MaxBins,
+        s"drift profile exceeded $MaxBins bins — feature cardinality is unbounded")
+    }
+  }
+
+  /** current-window profile snapshot. */
+  def profile: Map[(String, String), Long] = this.synchronized(counts.toMap)
+
+  /** the batch formula over (reference, current) profiles: per
+    * feature, ppm rates by floor division against each side's total
+    * (guarded like the batch twin), Σ (pa−pb)² DIV (pa+pb+1) over the
+    * UNION of bins present on either side. */
+  def scores(ref: Map[(String, String), Long]): Map[String, (Long, Long, Long, Long)] = {
+    val cur = profile
+    val feats = (ref.keySet ++ cur.keySet).map(_._1)
+    feats.map { f =>
+      val rb = ref.collect { case ((`f`, b), c) => b -> c }
+      val cb = cur.collect { case ((`f`, b), c) => b -> c }
+      val ta = math.max(rb.values.sum, 1L)
+      val tb = math.max(cb.values.sum, 1L)
+      val bins = rb.keySet ++ cb.keySet
+      val score = bins.toSeq.map { b =>
+        val pa = rb.getOrElse(b, 0L) * 1000000L / ta
+        val pb = cb.getOrElse(b, 0L) * 1000000L / tb
+        (pa - pb) * (pa - pb) / (pa + pb + 1)
+      }.sum
+      f -> (bins.size.toLong, rb.values.sum, cb.values.sum, score)
+    }.toMap
+  }
+}
