@@ -1,11 +1,14 @@
 package graft.core
 
-/** The one generator for the 32-position signature-mismatch sum used
-  * by every SimHash consumer (batch dedup family, the streaming
-  * near-dup gate, and their DuckDB oracles — the same text parses in
-  * both engines). One definition so stream and batch near-dup
-  * semantics cannot desynchronize: a change to the signature width or
-  * the mismatch expression lands everywhere or nowhere.
+/** The one generator for the 32-position signature-mismatch sum the
+  * DuckDB oracles replay (the same text parses in both engines when a
+  * Spark-side consumer wants the positional form). The Spark HOT
+  * paths use the equivalent integer formulation instead —
+  * `bit_count(conv(sig_a,2,10) ^ conv(sig_b,2,10))`, one xor+popcount
+  * per pair versus 32 substring compares; the two agree
+  * position-for-position on exactly-32-char '0'/'1' signatures. One
+  * definition so a change to the signature width or the mismatch
+  * expression lands everywhere or nowhere.
   */
 object Hamming {
 

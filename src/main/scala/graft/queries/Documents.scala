@@ -1247,17 +1247,22 @@ object Documents {
             hx.filter(!isDelta).select(col("doc_id").as("cid"), col("h")), Seq("h"))
           .groupBy("doc_id").agg(min("cid").as("em"))
 
-        val sig = simhashDf(docs).persist()
-        val blk = sig.select(col("doc_id"), col("simhash"),
+        // integer signature once per doc: the pair filter is one
+        // bit_count(xor) instead of 32 substring compares per
+        // candidate (the simhashPairs discipline)
+        val sig = simhashDf(docs)
+          .withColumn("sig_int", expr("CAST(conv(simhash, 2, 10) AS BIGINT)"))
+          .persist()
+        val blk = sig.select(col("doc_id"), col("simhash"), col("sig_int"),
             explode(sequence(lit(0), lit(3))).as("k"))
           .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
         val near = blk.filter(isDelta)
-          .select(col("doc_id"), col("simhash").as("sig_a"), col("k"), col("blk"))
+          .select(col("doc_id"), col("sig_int").as("ia"), col("k"), col("blk"))
           .join(blk.filter(!isDelta)
-            .select(col("doc_id").as("cid"), col("simhash").as("sig_b"), col("k"), col("blk")),
+            .select(col("doc_id").as("cid"), col("sig_int").as("ib"), col("k"), col("blk")),
             Seq("k", "blk"))
-          .select("doc_id", "cid", "sig_a", "sig_b").distinct()
-          .filter(expr(hamming32) <= 3)
+          .select("doc_id", "cid", "ia", "ib").distinct()
+          .filter(expr("bit_count(ia ^ ib)") <= 3)
           .groupBy("doc_id").agg(min("cid").as("nm"))
 
         docs.filter(isDelta).select("doc_id")

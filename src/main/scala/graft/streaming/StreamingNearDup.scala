@@ -53,10 +53,14 @@ object StreamingNearDup {
     * trades lookup selectivity against file-system overhead. */
   val NBuckets = 16
 
-  /** the shared 32-position mismatch sum ([[graft.core.Hamming]]) —
-    * ONE generator for batch and stream, so the two near-dup
-    * semantics cannot desynchronize. */
-  private val HammingSql: String = graft.core.Hamming.sql32
+  /** integer form of the 32-bit signature: the pair filter is one
+    * `bit_count(ia ^ ib)` instead of 32 substring compares per
+    * candidate — the same formulation the batch dedup family's hot
+    * path uses (simhashPairs), equivalent position-for-position to
+    * the oracle's [[graft.core.Hamming.sql32]] CASE chain on
+    * exactly-32-char '0'/'1' signatures. */
+  private def sigInt(simhash: Column): Column =
+    conv(simhash, 2, 10).cast("long")
 
   private def bucketOf(c: Column): Column = pmod(hash(c), lit(NBuckets))
 
@@ -131,12 +135,12 @@ object StreamingNearDup {
     val hashBuckets = bks.collect { case r if r.getString(0) == "h" => r.getInt(1) }.toSeq
 
     val probeSide = bs.select(col("doc_id"), col("seq"),
-      col("simhash").as("sig_a"), col("k"), col("blk"))
+      sigInt(col("simhash")).as("ia"), col("k"), col("blk"))
     val storeSide = probeStore(s, s"$root/sig", sigBuckets, SigSchema)
       .select(col("doc_id").as("cid"), col("seq").as("cseq"),
-        col("simhash").as("sig_b"), col("k"), col("blk"))
+        sigInt(col("simhash")).as("ib"), col("k"), col("blk"))
     val localSide = bs.select(col("doc_id").as("cid"), col("seq").as("cseq"),
-      col("simhash").as("sig_b"), col("k"), col("blk"))
+      sigInt(col("simhash")).as("ib"), col("k"), col("blk"))
     // near candidates = block-mates strictly earlier by seq, from the
     // store (corpus + prior batches) and from this batch itself; a
     // doc in c candidate pairs is Hamming-checked c times but each
@@ -148,11 +152,11 @@ object StreamingNearDup {
       .unionByName(broadcast(probeSide).join(localSide, Seq("k", "blk")))
       .filter(col("cseq") < col("seq"))
       // no distinct: a pair found via several blocks is Hamming-checked
-      // once per block (32 char compares), which is cheaper than the
+      // once per block (one xor+popcount), which is cheaper than the
       // extra shuffle a dedup stage would cost — and min(cid) is
       // insensitive to duplicates
-      .select("doc_id", "cid", "sig_a", "sig_b")
-      .filter(expr(HammingSql) <= 3)
+      .select("doc_id", "cid", "ia", "ib")
+      .filter(expr("bit_count(ia ^ ib)") <= 3)
       .groupBy("doc_id").agg(min("cid").as("nm"))
 
     // one pruned hash-store read serves BOTH the exact probe and the
