@@ -32,9 +32,12 @@ final class StreamingDrift {
 
   /** fold one micro-batch's (feature, bin) long-format rows into the
     * profile: ONE distributed aggregation per batch (map-side partial
-    * counts), then a bins-sized merge on the driver. */
+    * counts), then a bins-sized merge on the driver. The collect is
+    * LIMIT-bounded so an unbounded feature fails the require below
+    * instead of OOMing the driver on the fetch itself. */
   def processBatch(long: DataFrame): Unit = {
-    val deltas = long.groupBy("feature", "bin").agg(count(lit(1)).as("c")).collect()
+    val deltas = long.groupBy("feature", "bin").agg(count(lit(1)).as("c"))
+      .limit(MaxBins + 1).collect()
     this.synchronized {
       deltas.foreach { r =>
         val key = (r.getString(0), Option(r.getString(1)).getOrElse("∅"))
