@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // ~184 registry queries share one JVM in Bench/Verify; 8g caused
+  // ~185 registry queries share one JVM in Bench/Verify; 8g caused
   // storage-cache eviction + GC contention visible as ~2x inflation on
   // the shuffle-heavy scale queries when run inside the full suite,
   // and at 16g the round-7 additions (streaming state stores, the

@@ -1281,6 +1281,76 @@ object Similarity {
              |FROM pairs ORDER BY doc_a, doc_b""".stripMargin),
     ),
 
+    // mm8 — the LAKE-INGEST path for media: real files on disk read
+    // through Spark's `binaryFile` source (path/length/content
+    // metadata columns), ids recovered from file names, containers
+    // parsed by the same byte-level MediaParsers as mm3 — proving the
+    // from-disk half of the multimodal story (mm3 forges in memory).
+    // Two source-level contracts ride in the row: `png_glob_rows`
+    // (a pathGlobFilter read lists ONLY *.png — file-list pruning at
+    // the source, the binary analog of partition pruning) and
+    // `len_ok` (the source's length metadata column equals the
+    // actual payload byte count on every file). The oracle recomputes
+    // everything from the mm3 fixture arithmetic. At 100 TB this is
+    // how image/audio corpora actually arrive: millions of files
+    // listed in parallel, globs pruning the listing, content bytes
+    // decoded executor-side — never through the driver.
+    QueryDef(
+      "mm8_binary_ingest",
+      (s, _) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val n = 200
+        val dir = java.nio.file.Files.createTempDirectory("binary_ingest")
+        try {
+          // forge the files on disk (driver-side fixture wiring: 200
+          // tiny files; a real lake already holds them)
+          Multimodal.mediaFixture(s, n).collect().foreach { r =>
+            val ext = (r.doc_id % 4) match {
+              case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"; case _ => "wav"
+            }
+            java.nio.file.Files.write(
+              dir.resolve(f"img_${r.doc_id}%05d.$ext"), r.payload): Unit
+          }
+          val all = s.read.format("binaryFile").load(dir.toString)
+          val pngRows = s.read.format("binaryFile")
+            .option("pathGlobFilter", "*.png").load(dir.toString).count()
+          val lenOk = all.agg(expr("bool_and(length(content) = length)"))
+            .head.getBoolean(0)
+          val out = Multimodal.extractContainerMeta(
+            all.select(
+              expr("CAST(regexp_extract(path, 'img_(\\\\d+)', 1) AS BIGINT)").as("doc_id"),
+              col("content").as("payload")).as[Multimodal.MediaRecord])
+            .toDF()
+            .groupBy("format")
+            .agg(count(lit(1)).as("n"),
+              sum(when(col("parsed"), 1L).otherwise(0L)).as("n_parsed"),
+              max("width").as("max_w"), max("height").as("max_h"),
+              max("sample_rate").as("max_rate"))
+            .withColumn("png_glob_rows", lit(pngRows))
+            .withColumn("len_ok", lit(lenOk))
+            .orderBy("format")
+          val rows = out.collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally graft.core.Fs.deleteRecursively(dir.toFile)
+      },
+      Some("""WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 200)),
+             |m AS (SELECT i,
+             |  CASE i % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+             |  CASE i % 4 WHEN 0 THEN 16 + i % 64 WHEN 1 THEN 32 + i % 128
+             |       WHEN 2 THEN 8 + i % 32 ELSE -1 END AS w,
+             |  CASE i % 4 WHEN 0 THEN 16 + (i * 7) % 64 WHEN 1 THEN 32 + (i * 3) % 128
+             |       WHEN 2 THEN 8 + (i * 5) % 32 ELSE -1 END AS h,
+             |  CASE i % 4 WHEN 3 THEN 8000 + (i % 3) * 4000 ELSE -1 END AS rate
+             |  FROM ids)
+             |SELECT format, count(*) AS n, count(*) AS n_parsed,
+             |  CAST(max(w) AS INTEGER) AS max_w, CAST(max(h) AS INTEGER) AS max_h,
+             |  CAST(max(rate) AS INTEGER) AS max_rate,
+             |  CAST((SELECT count(*) FROM m WHERE format = 'png') AS BIGINT) AS png_glob_rows,
+             |  TRUE AS len_ok
+             |FROM m GROUP BY format ORDER BY format""".stripMargin),
+    ),
+
     // ss13 — k-means corpus clustering (the cluster step of
     // SemDeDup-style semantic curation: partition the embedding space
     // so downstream work — dedup, diversity sampling, per-topic
