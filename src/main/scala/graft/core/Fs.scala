@@ -7,9 +7,13 @@ package graft.core
   */
 object Fs {
 
-  /** best-effort recursive delete of our own temp trees. */
+  /** best-effort recursive delete of our own temp trees. A directory
+    * SYMLINK is deleted as a link, never followed — `listFiles` on a
+    * link returns the TARGET's children, so recursing would delete
+    * data outside the tree (e.g. a tmpdir on a symlinked mount). */
   def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 }

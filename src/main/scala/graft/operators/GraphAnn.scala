@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
+  /** fingerprint token for committed stores built by this code: bump
+    * on ANY change to the build algorithm or store layout so that
+    * canon-keyed store paths (Similarity.graphStoreFor) change and a
+    * previously published store can't be served stale. Knob values
+    * are folded into the canon separately — this token only covers
+    * what the knobs can't see (the algorithm itself). */
+  val BuildVersion = "gb5"
+
   /** deterministic ±1 hyperplanes (md5-derived), one independent
     * matrix per hash table `t` — independent instance from the
     * similarity queries' buckets, the graph does not need to share
@@ -78,14 +86,6 @@ object GraphAnn {
     * navigable. Cost: `tables` bucketed self-joins, each
     * Σ bucket² ≈ n·cap — linear in n at fixed cap. `nPlanes` < 0
     * auto-sizes from the corpus via [[planesForBuild]]. */
-  /** fingerprint token for committed stores built by this code: bump
-    * on ANY change to the build algorithm or store layout so that
-    * canon-keyed store paths (Similarity.graphStoreFor) change and a
-    * previously published store can't be served stale. Knob values
-    * are folded into the canon separately — this token only covers
-    * what the knobs can't see (the algorithm itself). */
-  val BuildVersion = "gb5"
-
   def buildGraph(fx: DataFrame, degree: Int = 8, nPlanes: Int = -1, dims: Int = 64,
                  tables: Int = 3, refine: Int = 2): DataFrame = {
     val p = if (nPlanes > 0) nPlanes else planesForBuild(fx.count())

@@ -762,7 +762,7 @@ object Documents {
         // executor count, same as any stateful stream)
         import graft.streaming.StreamingPipeline
         implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevParts = s.conf.getOption("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "8")
         val es = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[StreamingPipeline.Doc]
@@ -776,7 +776,10 @@ object Documents {
           }
         } finally {
           q.stop()
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          prevParts match {
+            case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+            case None => s.conf.unset("spark.sql.shuffle.partitions")
+          }
         }
         val st = mv.state
         val matches = st.nDocs == nKept &&
@@ -866,8 +869,11 @@ object Documents {
         // micro-batch frames are tiny — 8 shuffle partitions carry
         // them with a quarter of the per-stage overhead (the st7
         // discipline; a real deployment sizes this to the executors)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+        // getOption/unset save-restore (the skew_aqe_join discipline):
+        // a defaulted conf must come back DEFAULTED, not pinned to its
+        // default's value as an explicit session setting
+        val touched = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+        val saved = touched.map(k => k -> s.conf.getOption(k))
         s.conf.set("spark.sql.shuffle.partitions", "8")
         // ~18 tiny stages across the 3 gates: AQE's per-stage
         // materialize-then-replan barrier costs more than it saves on
@@ -880,8 +886,10 @@ object Documents {
               base.filter(col("doc_id") % 30 === b * 10), root)
           }.reduce(_ unionByName _).orderBy("doc_id")
         } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          saved.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
           base.unpersist()
           graft.core.Fs.deleteRecursively(new java.io.File(root))
         }
@@ -1251,11 +1259,11 @@ object Documents {
         // bit_count(xor) instead of 32 substring compares per
         // candidate (the simhashPairs discipline)
         val sig = simhashDf(docs)
-          .withColumn("sig_int", expr("CAST(conv(simhash, 2, 10) AS BIGINT)"))
+          .withColumn("sig_int", graft.core.Hamming.sigIntCol(col("simhash")))
           .persist()
         val blk = sig.select(col("doc_id"), col("simhash"), col("sig_int"),
-            explode(sequence(lit(0), lit(3))).as("k"))
-          .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
+            explode(sequence(lit(0), lit(graft.core.Hamming.Blocks - 1))).as("k"))
+          .withColumn("blk", expr(graft.core.Hamming.blkSql("simhash", "k")))
         val near = blk.filter(isDelta)
           .select(col("doc_id"), col("sig_int").as("ia"), col("k"), col("blk"))
           .join(blk.filter(!isDelta)
@@ -2668,13 +2676,14 @@ object Documents {
     val sig = simhashDf(Tables.documents(s, d))
       // integer form of the signature: hamming becomes one
       // bit_count(xor) instead of 32 substring compares
-      .withColumn("sig_int", expr("CAST(conv(simhash, 2, 10) AS BIGINT)"))
+      .withColumn("sig_int", graft.core.Hamming.sigIntCol(col("simhash")))
       // tiny (one row per doc) and feeds both join sides above the
       // aggregation, which ReuseExchange alone would recompute
       .persist()
     val blk = sig
-      .select(col("doc_id"), col("simhash"), col("sig_int"), explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
+      .select(col("doc_id"), col("simhash"), col("sig_int"),
+        explode(sequence(lit(0), lit(graft.core.Hamming.Blocks - 1))).as("k"))
+      .withColumn("blk", expr(graft.core.Hamming.blkSql("simhash", "k")))
     val cand = blk.select(col("doc_id").as("doc_a"), col("sig_int").as("ia"), col("k"), col("blk"))
       .join(blk.select(col("doc_id").as("doc_b"), col("sig_int").as("ib"), col("k"), col("blk")),
         Seq("k", "blk"))

@@ -2134,11 +2134,15 @@ object Relational {
         col("source"), col("n_chars"))
   }
 
-  /** the long-format (feature, bin) projection both monitors profile. */
+  /** the long-format (feature, bin) projection both monitors profile.
+    * NULL feature values coalesce to the '∅' bin HERE, identically in
+    * the oracle SQL, so batch, stream, and DuckDB group a null the
+    * same way (and the streaming side's driver map never sees a null
+    * key). */
   private def driftLong(lab: DataFrame): DataFrame =
     lab.selectExpr("doc_id", "is_ref",
-      "stack(3, 'lang', lang2, 'source', source, " +
-        "'chars_bin', CAST(n_chars DIV 200 AS STRING)) AS (feature, bin)")
+      "stack(3, 'lang', coalesce(lang2, '∅'), 'source', coalesce(source, '∅'), " +
+        "'chars_bin', coalesce(CAST(n_chars DIV 200 AS STRING), '∅')) AS (feature, bin)")
 
   /** the batch drift plan over the long frame — one bounded-
     * cardinality shuffle on (feature, bin), per-feature totals
@@ -2176,9 +2180,9 @@ object Relational {
        |    source, n_chars
        |  FROM documents, mx),
        |lng AS (
-       |  SELECT is_ref, 'lang' AS feature, lang2 AS bin FROM lab
-       |  UNION ALL SELECT is_ref, 'source', source FROM lab
-       |  UNION ALL SELECT is_ref, 'chars_bin', CAST(n_chars // 200 AS VARCHAR) FROM lab),
+       |  SELECT is_ref, 'lang' AS feature, coalesce(lang2, '∅') AS bin FROM lab
+       |  UNION ALL SELECT is_ref, 'source', coalesce(source, '∅') FROM lab
+       |  UNION ALL SELECT is_ref, 'chars_bin', coalesce(CAST(n_chars // 200 AS VARCHAR), '∅') FROM lab),
        |counts AS (
        |  SELECT feature, bin,
        |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,

@@ -117,14 +117,18 @@ object Similarity {
 
   /** sign-projection bucket signature at any width (Spark side).
     * The plane entries are ±1, so each plane's inner product is a
-    * plain ± sum over `element_at` reads — flat codegen arithmetic
+    * plain ± sum over element reads — flat codegen arithmetic
     * instead of one `zip_with` array allocation per plane per row
-    * (which dominated the 1M-row scale pass). */
+    * (which dominated the 1M-row scale pass). `try_element_at` +
+    * coalesce-to-0 keeps the OLD zip_with null-pad semantics for an
+    * array shorter than [[Dims]]: the row buckets on its partial sum
+    * instead of aborting the whole query under ANSI
+    * (INVALID_ARRAY_INDEX) on one malformed embedding. */
   private def sigColN(nPlanes: Int): Column = {
     val m = planeMatrix(nPlanes)
     concat((0 until nPlanes).map { j =>
       val s = (0 until Dims).map { i =>
-        val e = element_at(col("f"), i + 1)
+        val e = coalesce(try_element_at(col("f"), lit(i + 1)), lit(0L))
         if (m(j)(i) > 0) e else -e
       }.reduce(_ + _)
       when(s >= 0, lit("1")).otherwise(lit("0"))
@@ -1860,7 +1864,13 @@ object Similarity {
     IvfStoreLock.synchronized {
       if (!new java.io.File(root, "_OK").exists()) {
         val tmp = root + ".tmp-" + ProcessHandle.current().pid()
-        build(tmp)
+        // a FAILED build must not strand the partial temp store (a
+        // retry in a new JVM gets a new pid suffix and would never
+        // reclaim this one)
+        try build(tmp)
+        catch { case t: Throwable =>
+          graft.core.Fs.deleteRecursively(new java.io.File(tmp)); throw t
+        }
         new java.io.File(tmp, "_OK").createNewFile()
         if (!new java.io.File(tmp).renameTo(new java.io.File(root)))
           graft.core.Fs.deleteRecursively(new java.io.File(tmp)) // lost the cross-JVM race

@@ -60,7 +60,7 @@ object StreamingNearDup {
     * the oracle's [[graft.core.Hamming.sql32]] CASE chain on
     * exactly-32-char '0'/'1' signatures. */
   private def sigInt(simhash: Column): Column =
-    conv(simhash, 2, 10).cast("long")
+    graft.core.Hamming.sigIntCol(simhash)
 
   private def bucketOf(c: Column): Column = pmod(hash(c), lit(NBuckets))
 
@@ -70,8 +70,8 @@ object StreamingNearDup {
   private def sigRows(docs: DataFrame): DataFrame =
     docs.filter(col("simhash").isNotNull)
       .select(col("doc_id"), col("seq"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("blk", expr("substring(simhash, k*8+1, 8)"))
+        explode(sequence(lit(0), lit(graft.core.Hamming.Blocks - 1))).as("k"))
+      .withColumn("blk", expr(graft.core.Hamming.blkSql("simhash", "k")))
       .withColumn("bucket", bucketOf(concat(col("k"), lit("|"), col("blk"))))
 
   private def hashRows(docs: DataFrame): DataFrame =
