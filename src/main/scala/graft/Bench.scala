@@ -9,6 +9,10 @@ object Bench {
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI pinned ON (Spark 4 default, but the correctness gate must
+      // not silently lose it to a default flip or ambient conf): abort
+      // on overflow/bad cast instead of silent-null arithmetic.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -28,6 +28,10 @@ object Graft {
       .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI pinned ON (Spark 4 default, but the correctness gate must
+      // not silently lose it to a default flip or ambient conf): abort
+      // on overflow/bad cast instead of silent-null arithmetic.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     graft.functions.GraftFunctions.register(s)

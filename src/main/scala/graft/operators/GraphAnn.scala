@@ -500,6 +500,34 @@ object GraphAnn {
     }
   }
 
+  /** ENTRY-LAYER MAINTENANCE for a committed store: recompute the
+    * component-guaranteed entry layer ([[buildEntryLayerConnected]])
+    * from the CURRENT committed fx/edges tables and overwrite
+    * `dir/<entryName>`. [[appendStore]] repairs neighborhoods but
+    * never touches the entry layer — a long append stream that births
+    * a NEW component (a delta batch whose vectors are all nearer each
+    * other than any resident survives link-pruning as an island) would
+    * leave that island unreachable at ANY search budget under the
+    * build-time entries. Run this after appends that may introduce new
+    * regions (or every N appends — the refreshQuantizer drift-gate
+    * pattern); cost is one ConnectedComponents pass over the edge
+    * table (capped-hybrid: driver union-find under the 5M-edge cap,
+    * star contraction above) — entry refresh, never a graph rebuild.
+    * GraphAnnSpec pins the scenario: a planted post-append island is
+    * unreachable under the stale entries and exactly-searchable after
+    * the refresh. */
+  def refreshEntryLayer(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
+                        entryName: String = "entry",
+                        nPlanes: Int = 5, dims: Int = 64): Unit = {
+    val fx = spark.read.parquet(s"${store.dir}/fx").select("vec_id", "f")
+    val edges = spark.read.parquet(s"${store.dir}/edges").select("src", "dst")
+    buildEntryLayerConnected(fx, edges, nPlanes, dims)
+      // materialize before overwriting a path the plan may read from
+      // (entryName could shadow an input on a re-run)
+      .localCheckpoint(eager = true)
+      .write.mode("overwrite").parquet(s"${store.dir}/$entryName")
+  }
+
   /** Ingest an arbitrarily large delta by deterministic RANGE
     * BISECTION into ≤ `pieceCap` pieces: count the id range, recurse
     * on halves until each piece fits, append left-to-right — later

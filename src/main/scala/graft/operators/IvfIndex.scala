@@ -105,8 +105,10 @@ object IvfIndex {
     * filter becomes directory-level partition pruning — the probe
     * reads nprobe/nlist of the data from disk, which is the entire
     * point of IVF at 100 TB. */
-  def writeStore(assigned: DataFrame, dir: String): Unit =
+  def writeStore(assigned: DataFrame, dir: String): Unit = {
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    refreshStats(assigned.sparkSession, dir)
+  }
 
   /** Incremental maintenance: assign a delta under the EXISTING model
     * and append it into the per-list directories — no rebuild, no
@@ -117,8 +119,30 @@ object IvfIndex {
   def appendStore(delta: DataFrame, model: Model, dir: String): Unit =
     writeAppend(assign(delta, model), dir)
 
-  private def writeAppend(assigned: DataFrame, dir: String): Unit =
+  private def writeAppend(assigned: DataFrame, dir: String): Unit = {
     assigned.write.mode("append").partitionBy("list_id").parquet(dir)
+    refreshStats(assigned.sparkSession, dir)
+  }
+
+  /** `_stats` manifest maintained at write/append time: the committed
+    * row count of the store, refreshed from the just-written files'
+    * parquet footers (count(*) over a parquet scan materializes no
+    * columns — row-group metadata only). Serve paths that size knobs
+    * by corpus size read THIS instead of re-counting the store: at
+    * 100 TB a per-query count() is a full-store job for a number that
+    * is a property of the committed index. Underscore prefix keeps it
+    * invisible to [[readStore]]'s data scan, like `_model`. */
+  private def refreshStats(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val total = spark.read.parquet(dir).count()
+    Seq(total).toDF("n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_stats")
+  }
+
+  /** committed store size from the `_stats` manifest (one tiny file —
+    * no scan of the store itself). */
+  def storedCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    spark.read.parquet(s"$dir/_stats").collect()(0).getLong(0)
 
   /** read the at-rest layout back (list_id is the partition column). */
   def readStore(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

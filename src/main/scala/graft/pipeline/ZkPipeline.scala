@@ -237,6 +237,58 @@ object ZkPipeline {
     (ids, checks)
   }
 
+  /** BATCHED Query2 serving: answer a TABLE of revelation requests
+    * `(qid, owner_pad: binary(32), min_b, max_b)` in ONE pass over the
+    * entries fact — the reference proves one `(owner, range)` query
+    * per invocation (api.rs:325-341); a deployment answers many, and
+    * N per-query invocations are N scans of a 100-TB fact for work
+    * that shares everything but the predicate. The request table
+    * broadcasts (requests are human-issued — always the small side),
+    * the fact is scanned once, and each query's consistency rule /
+    * top-L / qualified-count evaluates per `qid` group. Emits one row
+    * per request — queries with no qualifying id included (zero
+    * count, zero-padded id vector), like the per-query plan's empty
+    * revelation — with the same fields the per-query loop derives:
+    * `num_entries`, the L zero-padded sorted ids, and the A2
+    * key-only range digest (ZkPipelineSpec pins batch ≡ per-query
+    * [[query2]] loop field-for-field; the registry twin
+    * `zk_query2_batch` oracles the relational spine per request). */
+  def query2Batch(entries: DataFrame, queries: DataFrame, contract: Array[Byte],
+                  slot: Int, limit: Int = 5): DataFrame = {
+    val q = queries.select(col("qid"), col("owner_pad"), col("min_b"), col("max_b"))
+    val scoped = entries
+      .filter(col("contract") === lit(contract) && col("mapping_slot") === slot)
+    val owned = scoped.join(broadcast(q),
+      scoped("value") === q("owner_pad") &&
+        scoped("block_number").between(q("min_b"), q("max_b")))
+    val perKey = owned
+      .groupBy(col("qid"), col("min_b"), col("max_b"), col("mapping_key"))
+      .agg(countDistinct(col("block_number")).as("nb"))
+      .filter(col("nb") === col("max_b") - col("min_b") + 1)
+      .withColumn("key_digest", keyOnlyDigest(col("mapping_key")))
+      .withColumn("nft_id", bytesToLong(expr("substring(mapping_key, 29, 4)")))
+    val w = Window.partitionBy("qid").orderBy(col("nft_id").asc)
+    val perQid = perKey
+      .withColumn("rk", row_number().over(w))
+      .groupBy("qid")
+      .agg(
+        count(lit(1)).as("num_entries"),
+        // collect_list skips the over-limit NULLs: exactly the top-L
+        sort_array(collect_list(when(col("rk") <= limit, col("nft_id")))).as("ids_raw"),
+        Aggregators.digestAgg(col("key_digest")).as("range_digest"))
+    q.select("qid").join(perQid, Seq("qid"), "left")
+      .withColumn("ids0", coalesce(col("ids_raw"), expr("array_repeat(0L, 0)")))
+      .select(
+        col("qid"),
+        coalesce(col("num_entries"), lit(0L)).as("num_entries"),
+        expr(s"concat(ids0, array_repeat(0L, $limit - size(ids0)))").as("nft_ids"),
+        // an empty revelation's digest is the aggregator's neutral —
+        // exactly what the per-query loop's digestAgg over zero rows
+        // emits
+        coalesce(col("range_digest"), lit(Commitments.DigestIdentity)).as("range_digest"))
+      .orderBy("qid")
+  }
+
   /** §3.2 step 4 — the fixed-width revelation record: block range,
     * the L result ids (zero-padded like the reference's fixed result
     * array), entry count, re-derived key digest, the proving block's

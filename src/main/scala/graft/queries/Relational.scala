@@ -1417,6 +1417,7 @@ object Relational {
       (s, d) => {
         import s.implicits._
         val lab = driftLab(s, d).persist()
+        try {
         val long = driftLong(lab)
         val batchRows = driftScoresDf(long).collect()
         val refProfile = long.filter(col("is_ref"))
@@ -1447,12 +1448,12 @@ object Relational {
           streamed.get(r.getString(0)).contains(
             (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         }
-        lab.unpersist()
         batchRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
             r.getLong(3), r.getLong(4), r.getBoolean(5), matches))
           .toDF("feature", "n_bins", "ref_total", "cur_total", "score",
             "drifted", "stream_matches_batch")
           .orderBy("feature")
+        } finally lab.unpersist()
       },
       Some(driftOracleSql(",\n  TRUE AS stream_matches_batch")),
       streamingDriver = true,

@@ -119,20 +119,33 @@ object Similarity {
     * The plane entries are ±1, so each plane's inner product is a
     * plain ± sum over element reads — flat codegen arithmetic
     * instead of one `zip_with` array allocation per plane per row
-    * (which dominated the 1M-row scale pass). `try_element_at` +
-    * coalesce-to-0 keeps the OLD zip_with null-pad semantics for an
-    * array shorter than [[Dims]]: the row buckets on its partial sum
-    * instead of aborting the whole query under ANSI
-    * (INVALID_ARRAY_INDEX) on one malformed embedding. */
+    * (which dominated the 1M-row scale pass). `try_element_at` keeps
+    * the query alive under ANSI (no INVALID_ARRAY_INDEX abort), but a
+    * malformed (shorter-than-[[Dims]]) embedding is a data-corruption
+    * signal, not a bucketing input: such rows route to a dedicated
+    * `MALFORMED:<size>|…` bucket namespace that no well-formed
+    * signature can collide with (real signatures are '0'/'1' only), so
+    * corruption is VISIBLE in the bucket histogram — and quarantined
+    * in candidate joins (a malformed row can only ever meet another
+    * malformed row) — instead of silently placed on a partial sum. */
   private def sigColN(nPlanes: Int): Column = {
     val m = planeMatrix(nPlanes)
-    concat((0 until nPlanes).map { j =>
+    val sig = concat((0 until nPlanes).map { j =>
       val s = (0 until Dims).map { i =>
         val e = coalesce(try_element_at(col("f"), lit(i + 1)), lit(0L))
         if (m(j)(i) > 0) e else -e
       }.reduce(_ + _)
       when(s >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
+    // quarantine as a concat PREFIX, not a CASE around the signature:
+    // janino cannot method-split code inside a CASE-WHEN branch, and
+    // the 64-element ± sum wrapped in a branch blows the 64 KB method
+    // limit (whole-stage codegen bails out for every consumer). As a
+    // top-level concat operand the sum stays splittable and codegen'd.
+    val quarantine = when(size(col("f")) >= Dims, lit(""))
+      .otherwise(concat(lit("MALFORMED:"),
+        coalesce(size(col("f")), lit(-1)), lit("|")))
+    concat(quarantine, sig)
   }
 
   /** the fixed 8-bit signature the oracled queries use. */
@@ -787,11 +800,15 @@ object Similarity {
       (s, d) => {
         import graft.operators.{PqIndex, QuantizerCache}
         val emb = Tables.embeddings(s, d)
-        val model = QuantizerCache.pq(s, d, emb, m = 8, ksub = 16)
+        // the rerank shortlist is sized from the TRAIN-TIME corpus
+        // stats persisted with the codebooks — no corpus count() on
+        // the serve path (at 100 TB that is a full scan per query for
+        // a property of the committed index)
+        val (model, nIdx) = QuantizerCache.pqStats(s, d, emb, m = 8, ksub = 16)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         val enc = PqIndex.encode(emb.filter(col("vec_id") =!= 0), model)
-        val ann = PqIndex.search(enc, model, q, shortlist = shortlistFor(emb.count()), k = 10)
+        val ann = PqIndex.search(enc, model, q, shortlist = shortlistFor(nIdx), k = 10)
         val encStats = enc.agg(
           count(lit(1)).as("n_encoded"),
           min(size(col("code")) === 8 &&
@@ -819,13 +836,14 @@ object Similarity {
       (s, d) => {
         import graft.operators.{IvfPq, QuantizerCache}
         val emb = Tables.embeddings(s, d)
-        val model = QuantizerCache.ivfPq(s, d, emb, nlist = 16, m = 8, ksub = 16)
+        // probe width + shortlist sized from the committed index's
+        // train-time stats — no corpus count() on the serve path
+        val (model, nIdx) = QuantizerCache.ivfPqStats(s, d, emb, nlist = 16, m = 8, ksub = 16)
         val q = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
         val enc = IvfPq.encode(emb.filter(col("vec_id") =!= 0), model)
-        val n = emb.count()
-        val ann = IvfPq.search(enc, model, q, nprobe = nprobeFor(n, 16, 8),
-          shortlist = shortlistFor(n), k = 10)
+        val ann = IvfPq.search(enc, model, q, nprobe = nprobeFor(nIdx, 16, 8),
+          shortlist = shortlistFor(nIdx), k = 10)
         val encStats = enc.agg(
           count(lit(1)).as("n_encoded"),
           min(col("list_id") >= 0 && col("list_id") < 16 &&
@@ -1540,7 +1558,7 @@ object Similarity {
         // training-code change re-keys the store instead of silently
         // serving a model built by the old path
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
-          s"|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42"
+          s"|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42|layout=stats1"
         val store = new java.io.File(s"target/ivfstore/planted_${storeTag(canon)}").getAbsolutePath
         publishStore(store) { tmp =>
           val base = corpus.filter(col("vec_id") < nBase)
@@ -1557,7 +1575,11 @@ object Similarity {
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val rebuilt = IvfIndex.probeL2(IvfIndex.assign(corpus, model), model, q, nprobe = 8, k = 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        val nStore = stored.count()
+        // committed-size from the store's _stats manifest (maintained
+        // at write/append time) — the n_store_rows contract cell now
+        // ALSO verifies the manifest bookkeeping against the oracle's
+        // pinned literal, and no serve-path job scans the store for it
+        val nStore = IvfIndex.storedCount(s, store)
         // exact spine: the shared integer-L2 ground truth, the same
         // portable arithmetic the oracle replays
         val ex = exactL2Top10(corpus, q)
@@ -1613,7 +1635,7 @@ object Similarity {
         // delta appended from the change feed (ss14's canon/cache
         // discipline, separate key so the two paths can't alias)
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
-          s"|ss17|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42"
+          s"|ss17|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42|layout=stats1"
         val store = new java.io.File(s"target/ivfstore/cdcfollow_${storeTag(canon)}").getAbsolutePath
         publishStore(store) { tmp =>
           val v0 = vt.read(Some(0)).get
@@ -1782,7 +1804,11 @@ object Similarity {
         val emb = Tables.embeddings(s, d)
         val e = emb.withColumn("f", fxCol)
         val base = e.filter(col("vec_id") >= 4).persist()
-        val n = base.count()
+        // corpus size for the knob/budget math comes from the
+        // committed coarse quantizer's train-time stats (the table
+        // count, queries included — the same n ss5/ss6/ss10 size
+        // their knobs by), not a serve-time count() of the corpus
+        val (ivfModel, n) = QuantizerCache.ivfStats(s, d, emb, nlist = 16)
         val qF = e.filter(col("vec_id") === 0).select("f").collect()(0).getSeq[Long](0).toArray
         val qEmb = emb.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
@@ -1805,7 +1831,6 @@ object Similarity {
           .collect().map(_.getLong(0)).toSeq
 
         // IVF: 8 of 16 posting lists, exact rerank inside them
-        val ivfModel = QuantizerCache.ivf(s, d, emb, nlist = 16)
         val assigned = IvfIndex.assign(emb, ivfModel).filter(col("vec_id") >= 4)
         val probed = ivfModel.nearest(qEmb, 8)
         val ivfScored = assigned.filter(col("list_id").isin(probed: _*)).count()

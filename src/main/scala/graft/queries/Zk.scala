@@ -571,6 +571,63 @@ object Zk {
               |  '${FixtureStore.goldenBlockDbRootHex}' AS block_db_root""".stripMargin),
     ),
 
+    // BATCHED revelation serving: six Query2 requests (different
+    // owners, different/partial ranges, one with no qualifying id)
+    // answered in ONE scan of the entries fact — the reference proves
+    // one (owner, range) per invocation (api.rs:325-341); a deployment
+    // answers many, and the broadcast-request/one-scan shape is the
+    // ss7 batching discipline applied to the zk surface. The oracle
+    // replays every request's consistency rule / top-5 / qualified
+    // count from ground truth; ZkPipelineSpec additionally pins
+    // batch ≡ the per-query query2 loop INCLUDING the A2 digest, and
+    // PLANS_r8 carries the single-scan plan.
+    QueryDef(
+      "zk_query2_batch",
+      (s, _) => {
+        FixtureStore.ensure(s)
+        val sess = s
+        import sess.implicits._
+        val reqs = Seq((0L, 0, b0, b1), (1L, 6, b0, b1), (2L, 7, b0 + 2, b1),
+          (3L, 8, b0, b1 - 3), (4L, 1, b0, b1), (5L, 0, b0 + 5, b1))
+        val qdf = reqs.map { case (qid, u, lo, hi) =>
+          (qid, graft.core.Bytes.leftPad32(Fixtures.userAddr(u)), lo, hi)
+        }.toDF("qid", "owner_pad", "min_b", "max_b")
+        ZkPipeline.query2Batch(Fixtures.entries(s, cfg), qdf,
+            Fixtures.contractAddr(0), cfg.nftSlot)
+          .select(col("qid"), col("num_entries"),
+            concat_ws("/", col("nft_ids")).as("nft_ids"))
+      },
+      Some(s"""WITH qs AS (SELECT * FROM (VALUES
+              |  (0, '${FixtureStore.userPad32Hex(0)}', $b0, $b1),
+              |  (1, '${FixtureStore.userPad32Hex(6)}', $b0, $b1),
+              |  (2, '${FixtureStore.userPad32Hex(7)}', ${b0 + 2}, $b1),
+              |  (3, '${FixtureStore.userPad32Hex(8)}', $b0, ${b1 - 3}),
+              |  (4, '${FixtureStore.userPad32Hex(1)}', $b0, $b1),
+              |  (5, '${FixtureStore.userPad32Hex(0)}', ${b0 + 5}, $b1)
+              |  ) t(qid, owner, min_b, max_b)),
+              |qual AS (
+              |  SELECT qs.qid, qs.min_b, qs.max_b, e.nft_id
+              |  FROM $E e JOIN qs ON e.value = qs.owner
+              |   AND e.block_number BETWEEN qs.min_b AND qs.max_b
+              |  WHERE e.contract = '${FixtureStore.contractHex(0)}'
+              |    AND e.mapping_slot = ${cfg.nftSlot}
+              |  GROUP BY qs.qid, qs.min_b, qs.max_b, e.nft_id
+              |  HAVING count(DISTINCT e.block_number) = qs.max_b - qs.min_b + 1),
+              |top AS (SELECT qid, nft_id,
+              |        row_number() OVER (PARTITION BY qid ORDER BY nft_id) AS rk,
+              |        count(*) OVER (PARTITION BY qid) AS nq FROM qual),
+              |agg AS (SELECT qid, max(nq) AS num_entries,
+              |        string_agg(CASE WHEN rk <= 5 THEN CAST(nft_id AS VARCHAR) END,
+              |                   '/' ORDER BY nft_id) AS ids,
+              |        count(CASE WHEN rk <= 5 THEN 1 END) AS k
+              |        FROM top GROUP BY qid)
+              |SELECT CAST(qs.qid AS BIGINT) AS qid,
+              |  CAST(COALESCE(a.num_entries, 0) AS BIGINT) AS num_entries,
+              |  CASE WHEN a.ids IS NULL THEN '0' || repeat('/0', 4)
+              |       ELSE a.ids || repeat('/0', 5 - CAST(a.k AS INTEGER)) END AS nft_ids
+              |FROM qs LEFT JOIN agg a USING (qid) ORDER BY qs.qid""".stripMargin),
+    ),
+
     // §3.2 step 5 — the result-attestation manifest (S6 analog of the
     // reference's Groth16 wrap): the revelation record re-verified and
     // sealed. digest_ok re-derives the aggregate EcGFp5 digest FROM

@@ -22,29 +22,58 @@ import org.apache.spark.sql.functions._
   * the additivity is what matters: profile(b₁ ∪ b₂) =
   * profile(b₁) + profile(b₂).
   */
-final class StreamingDrift {
+final class StreamingDrift(stateDir: Option[String] = None) {
 
   /** per-(feature, bin) ceiling on tracked bins — a drift profile is
     * only meaningful over bounded-cardinality features. */
   val MaxBins = 10000
 
+  private val stateFile = stateDir.map(d => java.nio.file.Paths.get(d, "drift_state"))
   private val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+  // last folded micro-batch id (replay detection); MinValue = none
+  private var lastBatch = Long.MinValue
+  stateFile.foreach { p =>
+    DriverState.read(p) { in =>
+      lastBatch = in.readLong()
+      val n = in.readInt()
+      (0 until n).foreach { _ =>
+        counts((in.readUTF(), in.readUTF())) = in.readLong()
+      }
+    }
+  }
 
   /** fold one micro-batch's (feature, bin) long-format rows into the
     * profile: ONE distributed aggregation per batch (map-side partial
     * counts), then a bins-sized merge on the driver. The collect is
     * LIMIT-bounded so an unbounded feature fails the require below
-    * instead of OOMing the driver on the fetch itself. */
-  def processBatch(long: DataFrame): Unit = {
+    * instead of OOMing the driver on the fetch itself.
+    *
+    * Crash recovery (with a `stateDir`): the profile + last batch id
+    * persist atomically after every fold — additivity makes the
+    * resumed profile exact, and a REDELIVERED batch id is skipped
+    * instead of double-counted (StreamingDriftSpec pins kill →
+    * restart ≡ uninterrupted). */
+  def processBatch(long: DataFrame, batchId: Long = Long.MinValue): Unit = {
     val deltas = long.groupBy("feature", "bin").agg(count(lit(1)).as("c"))
       .limit(MaxBins + 1).collect()
     this.synchronized {
+      if (batchId != Long.MinValue && batchId <= lastBatch) return
       deltas.foreach { r =>
         val key = (r.getString(0), Option(r.getString(1)).getOrElse("∅"))
         counts(key) = counts.getOrElse(key, 0L) + r.getLong(2)
       }
       require(counts.size <= MaxBins,
         s"drift profile exceeded $MaxBins bins — feature cardinality is unbounded")
+      if (batchId != Long.MinValue) lastBatch = batchId
+      stateFile.foreach { p =>
+        DriverState.writeAtomic(p) { out =>
+          out.writeLong(lastBatch)
+          out.writeInt(counts.size)
+          counts.foreach { case ((f, b), c) =>
+            out.writeUTF(f); out.writeUTF(b); out.writeLong(c)
+          }
+        }
+      }
     }
   }
 

@@ -88,11 +88,29 @@ object StreamingNearDup {
     rows.repartition(col("bucket"))
       .write.mode(mode).partitionBy("bucket").parquet(dir)
 
+  /** crash-recovery preamble for the compactStore rename pair: a
+    * crash between the park and swap renames leaves the live store
+    * path absent with the pre-compact copy parked at `<store>.old`.
+    * Run from EVERY store-touching entry point (not just the next
+    * compactStore call), so a restarted stream's first micro-batch
+    * heals the store instead of dying on a missing parquet path. */
+  private def recoverStores(root: String): Unit =
+    for (sub <- Seq("sig", "hash")) {
+      val live = new java.io.File(s"$root/$sub")
+      val old = new java.io.File(s"$root/$sub.old")
+      if (!live.exists() && old.exists() && !old.renameTo(live))
+        throw new IllegalStateException(s"store recovery failed for $sub")
+    }
+
   /** commit the already-ingested corpus as the initial store state —
     * the one batch pass over the past; the stream is O(delta) after. */
   def bootstrap(corpus: DataFrame, root: String): Unit = {
     writeStore(sigRows(corpus), s"$root/sig", "overwrite")
     writeStore(hashRows(corpus), s"$root/hash", "overwrite")
+    // a bootstrap over a crashed-compaction layout must not leave the
+    // stale parked copy behind to be "recovered" over the new state
+    for (sub <- Seq("sig", "hash"))
+      graft.core.Fs.deleteRecursively(new java.io.File(s"$root/$sub.old"))
   }
 
   val SigSchema: StructType = StructType(Seq(
@@ -121,6 +139,7 @@ object StreamingNearDup {
     * `(doc_id, verdict, match_id)` — materialized (localCheckpoint),
     * so it stays valid after later batches mutate the store. */
   def processBatch(s: SparkSession, batch: DataFrame, root: String): DataFrame = {
+    recoverStores(root)
     // a micro-batch is small by definition — collapse it to a few
     // partitions so the dozen downstream jobs don't each pay 32-task
     // scheduling for a handful of rows
@@ -181,12 +200,20 @@ object StreamingNearDup {
         coalesce(col("em"), col("nm"), lit(-1L)).as("match_id"))
       .localCheckpoint()
 
-    // idempotent append: only ids not already present (presence check
-    // is itself a pruned read — a doc's hash bucket is derivable from
-    // its content, so a replayed batch probes the same dirs)
+    // idempotent append: only (doc_id, h) pairs not already present.
+    // Presence is keyed on the PAIR, not doc_id alone — the store read
+    // is pruned to this batch's h-derived buckets, so a doc_id-only
+    // match could only ever see prior rows whose h lands in those same
+    // buckets; keying on (doc_id, h) makes the check exact for the
+    // replay contract (Spark redelivers micro-batches byte-identical,
+    // so a retried doc probes the same bucket and finds its pair) and
+    // deterministic outside it: a doc_id reused with DIFFERENT content
+    // is a new observation and gets indexed — "everything seen is
+    // indexed" — rather than silently skipped or kept depending on
+    // which bucket its new hash happens to route to.
     val fresh = b.join(
-      storeHash.select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti").persist()
+      storeHash.select("doc_id", "h").distinct(),
+      Seq("doc_id", "h"), "left_anti").persist()
     writeStore(sigRows(fresh), s"$root/sig", "append")
     writeStore(hashRows(fresh), s"$root/hash", "append")
     fresh.unpersist(); storeHash.unpersist(); bs.unpersist(); bh.unpersist(); b.unpersist()
@@ -212,18 +239,19 @@ object StreamingNearDup {
     * the VersionedTable-compact discipline applied here. The rewrite
     * lands in a temp dir first, then swaps in via two renames with
     * the pre-compact store parked at `<store>.old`; a crash between
-    * the renames is healed by the recovery preamble on the next call
-    * (live missing + old present ⇒ restore old), and a failed second
-    * rename rolls the old store back immediately. Single-writer by
+    * the renames is healed by [[recoverStores]] — which runs at the
+    * top of EVERY store-touching entry point (processBatch and here),
+    * so a restarted stream heals without waiting for the next
+    * compaction — and a failed second rename rolls the old store back
+    * immediately. Single-writer by
     * contract: the caller schedules compaction between micro-batches
     * (same as any table OPTIMIZE). */
   def compactStore(s: SparkSession, root: String): Unit = {
+    recoverStores(root)
     for ((sub, schema) <- Seq("sig" -> SigSchema, "hash" -> HashSchema)) {
       val live = new java.io.File(s"$root/$sub")
       val tmp = new java.io.File(s"$root/$sub.compact")
       val old = new java.io.File(s"$root/$sub.old")
-      if (!live.exists() && old.exists() && !old.renameTo(live))
-        throw new IllegalStateException(s"compactStore recovery failed for $sub")
       writeStore(probeStore(s, live.getPath, 0 until NBuckets, schema),
         tmp.getPath, "overwrite")
       graft.core.Fs.deleteRecursively(old)

@@ -73,14 +73,34 @@ object StreamingPipeline {
   /** stage 4 — the incremental packing MV. Call [[advance]] from a
     * foreachBatch sink; micro-batches arrive sequentially, so the
     * running offset threads through without locking beyond the
-    * defensive synchronized. */
-  final class PackingMv(cap: Long = 512L, chunk: Long = 1024L) {
+    * defensive synchronized.
+    *
+    * Crash recovery: with a `stateDir` the manifest (plus the ingest
+    * high-water doc id and the last folded batch id) persists via
+    * [[DriverState]] after every fold — a maintainer constructed over
+    * the same dir after a killed JVM resumes exactly where the crash
+    * left it, and a micro-batch REDELIVERED by the restarted stream
+    * (crash after the fold, before the checkpoint commit) is
+    * recognized by its batch id and skipped instead of double-counted.
+    * StreamingPipelineSpec pins kill → restart ≡ uninterrupted. */
+  final class PackingMv(cap: Long = 512L, chunk: Long = 1024L,
+                        stateDir: Option[String] = None) {
+    private val stateFile = stateDir.map(d => java.nio.file.Paths.get(d, "pack_state"))
     @volatile private var st = PackState(0L, 0L, 0L)
     // highest doc_id already placed: the layout is only batch-equal
     // under id-ordered ingest ACROSS micro-batches, so a late smaller
     // id must fail the batch loudly instead of silently producing a
     // manifest no batch run can reproduce
     @volatile private var lastDoc = Long.MinValue
+    // last folded micro-batch id (replay detection); MinValue = none
+    @volatile private var lastBatch = Long.MinValue
+    stateFile.foreach { p =>
+      DriverState.read(p) { in =>
+        st = PackState(in.readLong(), in.readLong(), in.readLong())
+        lastDoc = in.readLong()
+        lastBatch = in.readLong()
+      }
+    }
     def state: PackState = st
 
     /** place one micro-batch of (doc_id, n_tokens) rows at the running
@@ -89,8 +109,12 @@ object StreamingPipeline {
       * to the running offset — and fold its bin contributions into
       * the state. The only driver-resident data is the per-chunk
       * subtotal map (|batch|/chunk entries — metadata). */
-    def advance(batch: DataFrame): PackState = synchronized {
+    def advance(batch: DataFrame, batchId: Long = Long.MinValue): PackState = synchronized {
       import graft.operators.CorpusPipeline
+      // a redelivered micro-batch (restart replayed it after a crash
+      // landed the fold but not the checkpoint) is already in the
+      // state — folding it again would double-count
+      if (batchId != Long.MinValue && batchId <= lastBatch) return st
       val base = st.totalTokens
       val byChunk = CorpusPipeline
         .chunked(batch.select(col("doc_id"), col("n_tokens")), chunk).persist()
@@ -108,17 +132,32 @@ object StreamingPipeline {
           st = PackState(st.nDocs + stats.docs, base + stats.tokens, st.checksum + ck)
           lastDoc = stats.maxDoc
         }
+        if (batchId != Long.MinValue) lastBatch = batchId
+        stateFile.foreach { p =>
+          DriverState.writeAtomic(p) { out =>
+            out.writeLong(st.nDocs); out.writeLong(st.totalTokens)
+            out.writeLong(st.checksum); out.writeLong(lastDoc)
+            out.writeLong(lastBatch)
+          }
+        }
         st
       } finally { byChunk.unpersist(); () }
     }
   }
 
   /** end-to-end runner: dedup → gate/mix → incremental packing MV.
-    * Returns the started streaming query; `mv` carries the manifest. */
-  def run(docs: Dataset[Doc], mv: PackingMv, minTokens: Long = 30L)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    gateAndMix(dedup(docs), minTokens)
+    * Returns the started streaming query; `mv` carries the manifest.
+    * With a `checkpointDir` (and an MV built over a stateDir) the
+    * composition is restartable: the dedup stage's
+    * flatMapGroupsWithState store recovers from the checkpoint, the
+    * MV from its own state file, and replayed batches are skipped by
+    * batch id. */
+  def run(docs: Dataset[Doc], mv: PackingMv, minTokens: Long = 30L,
+          checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = gateAndMix(dedup(docs), minTokens)
       .writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) => mv.advance(b); () }
-      .start()
+      .foreachBatch { (b: DataFrame, id: Long) => mv.advance(b, id); () }
+    checkpointDir.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }

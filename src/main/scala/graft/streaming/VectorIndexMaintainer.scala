@@ -47,8 +47,11 @@ class VectorIndexMaintainer(spark: SparkSession, baseDir: String,
     * construction, so a restarted maintainer serves the refreshed
     * quantizer, not the bootstrap one. */
   @volatile private var _model: IvfIndex.Model =
-    QuantizerStore.loadIvf(spark, quantizerDir).getOrElse {
-      try QuantizerStore.save(spark, quantizerDir, Some(initialModel), None)
+    QuantizerStore.loadIvf(spark, quantizerDir).map(_._1).getOrElse {
+      // nCorpus = -1: the bootstrap fit happened caller-side, its
+      // corpus size is unknown here; refreshQuantizer records the real
+      // snapshot count when it retrains
+      try QuantizerStore.save(spark, quantizerDir, Some(initialModel), None, -1L)
       catch { case _: RuntimeException => () } // lost save race: identical content
       initialModel
     }
@@ -104,16 +107,18 @@ class VectorIndexMaintainer(spark: SparkSession, baseDir: String,
     var attempts = 0
     var committed = -1
     var fresh: IvfIndex.Model = null
+    var nSnap = -1L
     while (committed < 0) {
       attempts += 1
       val base = table.currentVersion()
       val snap = table.read(base).getOrElse(
         throw new IllegalStateException("index is empty — nothing to rebuild")).drop("list_id")
+      nSnap = snap.count()
       fresh = IvfIndex.train(snap, nlist, seed)
       try committed = table.overwrite(IvfIndex.assign(snap, fresh), Seq("vec_id"), base)
       catch { case _: table.CommitConflict if attempts < 5 => }
     }
-    try QuantizerStore.save(spark, quantizerDir, Some(fresh), None)
+    try QuantizerStore.save(spark, quantizerDir, Some(fresh), None, nSnap)
     catch { case _: RuntimeException => () } // lost save race; serving model still swaps
     _model = fresh
     recordBaseline()

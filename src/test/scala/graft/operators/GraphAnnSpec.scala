@@ -300,6 +300,53 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     graph.unpersist(); baseDf.unpersist()
   }
 
+  test("refreshEntryLayer: a component born by an append becomes reachable") {
+    val s2 = spark
+    import s2.implicits._
+    val baseRows = (4L until 2000L).map(id => (id, planted(id, 8)))
+    // the appended ISLAND: mutually nearest (near-identical direction,
+    // tiny jitter) and far from every resident in L2 — appendStore's
+    // per-vector top-degree link keeps only island-mates (59 mates at
+    // cos ≈ 1 beat every resident), so the publish lands a NEW
+    // connected component the committed entry layer knows nothing
+    // about: exactly the long-append failure mode under test
+    val islandRows = (3000L until 3060L).map { id =>
+      (id, Array.tabulate(16)(j => 50000000L + ((id * 31 + j * 7) % 1000L)))
+    }
+    val islandIds = islandRows.map(_._1).toSet
+    val baseDf = baseRows.toDF("vec_id", "f").persist()
+    val nB = 16
+    val dir = java.nio.file.Files.createTempDirectory("gann_entry_refresh").toString
+    val graph = GraphAnn.buildGraph(baseDf, degree = 16, dims = 16).persist()
+    GraphAnn.writeStores(baseDf, graph, dir, nB)
+    GraphAnn.buildEntryLayerConnected(baseDf, graph, dims = 16)
+      .write.mode("overwrite").parquet(s"$dir/entry")
+    val stale = spark.read.parquet(s"$dir/entry").collect().map(_.getLong(0)).toSeq
+    GraphAnn.appendStore(spark, GraphAnn.StoredIndex(dir, nB),
+      islandRows.toDF("vec_id", "f"), degree = 16, entryIds = stale, metric = "l2")
+
+    val qf = Array.fill(16)(50000500L)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = (baseRows ++ islandRows).map { case (id, f) => (id, d2(f, qf)) }
+      .sortBy { case (id, s) => (s, id) }.take(10).map(_._1).toSet
+    assert(want.subsetOf(islandIds), "fixture: the exact top-10 must live on the island")
+
+    def probe(entry: Seq[Long]): Set[Long] =
+      GraphAnn.searchStoredWithBudget(spark, GraphAnn.StoredIndex(dir, nB),
+        Seq(7L -> qf), k = 10, ef = 48, maxExpand = 80, batch = 8,
+        entryIds = entry, metric = "l2")._1
+        .collect().map(_.getLong(1)).toSet
+    assert(probe(stale).intersect(islandIds).isEmpty,
+      "premise: under the stale entry layer the island must be unreachable")
+
+    GraphAnn.refreshEntryLayer(spark, GraphAnn.StoredIndex(dir, nB), dims = 16)
+    val fresh = spark.read.parquet(s"$dir/entry").collect().map(_.getLong(0)).toSeq
+    assert(probe(fresh) == want,
+      "after the entry refresh the island must be exactly searchable")
+    graph.unpersist(); baseDf.unpersist()
+  }
+
   test("stored search shards above ServeBatchCap with identical results") {
     val s2 = spark
     import s2.implicits._

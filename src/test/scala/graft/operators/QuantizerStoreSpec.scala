@@ -34,9 +34,11 @@ class QuantizerStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("qstore").toString
 
     val ivfPq = IvfPq.train(emb, nlist = 8, m = 8, ksub = 16)
-    val v0 = QuantizerStore.save(spark, dir, Some(ivfPq.ivf), Some(ivfPq.pq))
+    val v0 = QuantizerStore.save(spark, dir, Some(ivfPq.ivf), Some(ivfPq.pq), nCorpus = 500L)
 
-    val loaded = QuantizerStore.loadIvfPq(spark, dir).get
+    val (loaded, nLoaded) = QuantizerStore.loadIvfPq(spark, dir).get
+    assert(nLoaded == 500L,
+      "train-time corpus stats must round-trip with the codebooks")
     assert(loaded.ivf.centroids.map(_._1).toSeq == ivfPq.ivf.centroids.map(_._1).toSeq)
     assert(loaded.ivf.centroids.map(_._2.toSeq).toSeq == ivfPq.ivf.centroids.map(_._2.toSeq).toSeq,
       "IVF centroids must survive the store byte-for-byte")
@@ -55,10 +57,30 @@ class QuantizerStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // refresh: a different fit commits as the next version and wins
     val fresh = IvfIndex.train(emb, nlist = 8, seed = 7L)
-    val v1 = QuantizerStore.save(spark, dir, Some(fresh), None)
+    val v1 = QuantizerStore.save(spark, dir, Some(fresh), None, nCorpus = 600L)
     assert(v1 == v0 + 1)
-    val latest = QuantizerStore.loadIvf(spark, dir).get
+    val (latest, nLatest) = QuantizerStore.loadIvf(spark, dir).get
     assert(latest.centroids.map(_._2.toSeq).toSeq == fresh.centroids.map(_._2.toSeq).toSeq,
       "latest snapshot must serve the refreshed quantizer")
+    assert(nLatest == 600L, "a refresh must also refresh the corpus stats")
+  }
+
+  test("warm serve path reads model + stats without touching the corpus") {
+    // unique pseudo-sf key so the cache cannot be warm from another test
+    val key = Files.createTempDirectory("qcache_sf").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val expected = emb.count()
+    val (m1, n1) = QuantizerCache.pqStats(spark, key, emb, m = 8, ksub = 16)
+    assert(n1 == expected, "train path must persist the real corpus count")
+    // drop the in-JVM memo: the next lookup must be served ENTIRELY by
+    // the committed store — the corpus argument is by-name, and a
+    // poisoned corpus proves no serve-path action (count or otherwise)
+    // ever runs against it
+    QuantizerCache.invalidate()
+    val (m2, n2) = QuantizerCache.pqStats(spark, key,
+      sys.error("serve path must not evaluate the corpus"), m = 8, ksub = 16)
+    assert(n2 == n1, "committed stats must round-trip through the cache")
+    assert(m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
   }
 }

@@ -236,6 +236,46 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bytes.toHex(chk.getAs[Array[Byte]]("range_digest")) == Bytes.toHex(expected))
   }
 
+  test("query2Batch: one-scan batch equals the per-query loop field-for-field, digest included") {
+    val s2 = spark
+    import s2.implicits._
+    val b0 = cfg.firstBlock
+    val b1 = cfg.firstBlock + cfg.nBlocks - 1
+    // owners with full, partial, and empty result sets; overlapping
+    // and clamped ranges — the per-request variety a serving batch has
+    val reqs = Seq((0L, 0, b0, b1), (1L, 6, b0, b1), (2L, 7, b0 + 2, b1),
+      (3L, 8, b0, b1 - 3), (4L, 1, b0, b1), (5L, 0, b0 + 5, b1))
+    val qdf = reqs.map { case (qid, u, lo, hi) =>
+      (qid, Bytes.leftPad32(Fixtures.userAddr(u)), lo, hi)
+    }.toDF("qid", "owner_pad", "min_b", "max_b")
+    val entries = Fixtures.entries(spark, cfg)
+    val batch = ZkPipeline.query2Batch(entries, qdf, Fixtures.contractAddr(0), cfg.nftSlot)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[scala.collection.Seq[Long]]("nft_ids").toSeq,
+          Bytes.toHex(r.getAs[Array[Byte]]("range_digest"))))).toMap
+    assert(batch.keySet == reqs.map(_._1).toSet, "one output row per request, empties included")
+    reqs.foreach { case (qid, u, lo, hi) =>
+      val (ids, checks) = ZkPipeline.query2(entries, Fixtures.contractAddr(0),
+        cfg.nftSlot, Fixtures.userAddr(u), lo, hi)
+      val loopIds = ids.collect().map(_.getLong(0)).toSeq
+      val padded = loopIds ++ Seq.fill(5 - loopIds.size)(0L)
+      val chk = checks.collect()(0)
+      val (bN, bIds, bDig) = batch(qid)
+      assert(bN == chk.getAs[Long]("n_qualified"), s"qid=$qid count")
+      assert(bIds == padded, s"qid=$qid ids")
+      assert(bDig == Bytes.toHex(chk.getAs[Array[Byte]]("range_digest")), s"qid=$qid digest")
+    }
+    // the whole point of batching: ONE scan of the entries fact for
+    // all six requests (the per-query loop above ran six)
+    val plan = ZkPipeline.query2Batch(entries, qdf, Fixtures.contractAddr(0), cfg.nftSlot)
+      .queryExecution.optimizedPlan
+    // the fact relation is the only leaf carrying mapping_key; the
+    // request table may appear twice (probe + the left-join spine)
+    val entryScans = plan.collectLeaves()
+      .count(_.output.exists(_.name == "mapping_key"))
+    assert(entryScans == 1, s"batch plan must scan the fact once, saw $entryScans:\n$plan")
+  }
+
   test("Query2 revelation record: padded ids, bounds, proving hash, block-DB root") {
     val rec = ZkPipeline.query2Revelation(
       Fixtures.entries(spark, cfg), Fixtures.headers(spark, cfg),

@@ -50,6 +50,33 @@ class StreamingDriftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.scores(Map(("lang", "l0") -> 90L)).apply("lang")._4 > 20000L)
   }
 
+  test("killed mid-stream + restart resumes the exact profile; replayed batch ids are no-ops") {
+    val stateDir = java.nio.file.Files.createTempDirectory("drift_state").toString
+    val chunks = rows.grouped(45).toSeq // 4 micro-batches
+
+    val mv1 = new StreamingDrift(Some(stateDir))
+    mv1.processBatch(df(chunks(0)), batchId = 0L)
+    mv1.processBatch(df(chunks(1)), batchId = 1L)
+    val atCrash = mv1.profile
+    // the kill: a FRESH monitor over the same state dir resumes exactly
+    val mv2 = new StreamingDrift(Some(stateDir))
+    assert(mv2.profile == atCrash, "persisted profile must survive the kill")
+    // crash landed the fold of batch 1 but not the checkpoint — the
+    // restarted stream REDELIVERS it; additivity would double-count
+    // without the batch-id gate
+    mv2.processBatch(df(chunks(1)), batchId = 1L)
+    assert(mv2.profile == atCrash, "replayed batch id must be a no-op")
+    mv2.processBatch(df(chunks(2)), batchId = 2L)
+    mv2.processBatch(df(chunks(3)), batchId = 3L)
+
+    val uninterrupted = new StreamingDrift
+    chunks.foreach(c => uninterrupted.processBatch(df(c)))
+    assert(mv2.profile == uninterrupted.profile,
+      "restarted run must end bit-identical to uninterrupted")
+    val ref = rows.groupBy(r => (r._2, r._3)).map { case (k, v) => k -> v.size.toLong }
+    assert(mv2.scores(ref) == uninterrupted.scores(ref))
+  }
+
   test("null bins key deterministically") {
     val mv = new StreamingDrift
     mv.processBatch(df(Seq((1L, "lang", null), (2L, "lang", null))))

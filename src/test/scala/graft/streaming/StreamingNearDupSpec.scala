@@ -170,4 +170,60 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(v.count() == expected.size && verdictMap(v) == expected)
     }
   }
+
+  test("killed JVM mid-stream: restart from checkpoint redelivers, stores stay idempotent") {
+    withRoot { root =>
+      StreamingNearDup.bootstrap(df(corpus), root)
+      val s = spark
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("neardup_kill_ckpt").toString
+      try {
+        val es = MemoryStream[ND]
+        def startQuery() = es.toDS().toDF()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch(StreamingNearDup.sinkBatch(root) _)
+          .start()
+        val q1 = startQuery()
+        es.addData(batch0); q1.processAllAvailable() // batch 0 committed
+        es.addData(batch1)
+        q1.stop() // the kill: batch 1 offsets exist, commit may be missing
+        // the crash window: the first attempt's SINK write landed
+        // (stores appended, verdicts written) but the checkpoint never
+        // committed — the restarted stream WILL redeliver batch 1
+        StreamingNearDup.sinkBatch(root)(df(batch1), 1L)
+        val sigRows = spark.read.parquet(s"$root/sig").count()
+        val hashRows = spark.read.parquet(s"$root/hash").count()
+
+        val q2 = startQuery() // the restart, same checkpoint
+        try q2.processAllAvailable() finally q2.stop()
+
+        // redelivery must change nothing: same verdicts, zero new
+        // store rows — the uninterrupted run's counts exactly
+        assert(verdictMap(spark.read.parquet(s"$root/verdicts")) == expected)
+        assert(spark.read.parquet(s"$root/sig").count() == sigRows)
+        assert(spark.read.parquet(s"$root/hash").count() == hashRows)
+        assert(sigRows == (1 + 7) * 4 && hashRows == 1 + 7,
+          "post-restart stores must hold exactly the uninterrupted run's rows")
+      } finally graft.core.Fs.deleteRecursively(new java.io.File(ckpt))
+    }
+  }
+
+  test("a crash between compaction renames is healed by the next processBatch, not only by compactStore") {
+    withRoot { root =>
+      StreamingNearDup.bootstrap(df(corpus), root)
+      StreamingNearDup.processBatch(spark, df(batch0), root)
+      // simulate the torn swap: live parked at .old, nothing live
+      for (sub <- Seq("sig", "hash")) {
+        assert(new java.io.File(s"$root/$sub")
+          .renameTo(new java.io.File(s"$root/$sub.old")))
+      }
+      // a restarted stream's first micro-batch must heal and gate
+      // correctly — no operator intervention (compactStore) required
+      val v1 = verdictMap(StreamingNearDup.processBatch(spark, df(batch1), root))
+      assert(v1 == batch1.map(d => d.doc_id -> expected(d.doc_id)).toMap)
+      assert(new java.io.File(s"$root/sig").exists() &&
+        !new java.io.File(s"$root/sig.old").exists())
+    }
+  }
 }

@@ -133,6 +133,50 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("killed mid-ingest + restart from checkpoint ends bit-identical to uninterrupted") {
+    val s = spark
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val all = corpus(200)
+    val batches = all.grouped(50).toSeq
+    val (nDocs, total, ck) = batchManifest(all)
+
+    val stateDir = java.nio.file.Files.createTempDirectory("pack_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pack_ckpt").toString
+    val es = MemoryStream[StreamingPipeline.Doc]
+    val mv1 = new StreamingPipeline.PackingMv(cap = 512L, chunk = 16L, Some(stateDir))
+    val q1 = StreamingPipeline.run(es.toDS(), mv1, checkpointDir = Some(ckpt))
+    try {
+      batches.take(2).foreach { b => es.addData(b); q1.processAllAvailable() }
+    } finally q1.stop() // the kill: driver gone mid-ingest
+    val atCrash = mv1.state
+
+    // data kept arriving while the pipeline was down
+    es.addData(batches(2))
+
+    // restart: a FRESH MV over the same state dir must resume exactly
+    // where the crash left it, and a fresh query over the same
+    // checkpoint must drain the backlog
+    val mv2 = new StreamingPipeline.PackingMv(cap = 512L, chunk = 16L, Some(stateDir))
+    assert(mv2.state === atCrash, "persisted manifest must survive the kill")
+    val q2 = StreamingPipeline.run(es.toDS(), mv2, checkpointDir = Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      es.addData(batches(3)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(mv2.state.nDocs === nDocs)
+    assert(mv2.state.totalTokens === total)
+    assert(mv2.state.checksum === ck, "restarted run must end bit-identical to uninterrupted")
+
+    // a REDELIVERED micro-batch (crash after fold, before checkpoint
+    // commit) carries an already-folded batch id — must be a no-op
+    val replay = batches(0).toDF("doc_id", "text")
+      .withColumn("n_tokens", lit(100L)).select("doc_id", "n_tokens")
+    val after = mv2.advance(replay, batchId = 0L)
+    assert(after === mv2.state && after.nDocs === nDocs,
+      "replayed batch id must not double-count")
+  }
+
   test("empty and gate-failing batches advance nothing") {
     val shortDoc = StreamingPipeline.Doc(0L, "too short") // < 30 tokens
     val (st, _) = runStream(Seq(Seq(shortDoc), Seq.empty))
