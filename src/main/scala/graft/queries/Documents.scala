@@ -1425,6 +1425,150 @@ object Documents {
              |  TRUE AS clusters_ok""".stripMargin),
     ),
 
+    // dd_scale_10m — the NEXT DECADE of the dedup family: 10M docs
+    // through the same exact + SimHash-banded path, with the pigeonhole
+    // knob sizing ITSELF from the corpus ([[blockBitsFor]]): at 10M the
+    // 16-bit blocks dd_scale_1m uses would hold ~150 docs per bucket
+    // (4 × 65536 buckets × 150²/2 ≈ 3 B candidate pairs — quadratic
+    // death), so the knob doubles the block to 32 bits, which widens
+    // the signature to 4 × 32 = 128 bits (two longs) — bucket
+    // occupancy drops to ~0.002 and the candidate join is linear
+    // again. Pigeonhole is preserved: 4 blocks still guarantee a
+    // hamming≤3 pair shares at least one block. Same planted
+    // structure as the 1M row (every 97th doc an exact copy, every
+    // 101st/next a one-word-changed near copy), so every contract is
+    // deterministic; per-doc wall-time vs dd_scale_1m is the decade
+    // comparison BASELINE.md records.
+    QueryDef(
+      "dd_scale_10m",
+      (s, _) => {
+        val n = 10000000L
+        val bb = blockBitsFor(n) // = 32 ⇒ 128-bit signature in two longs
+        val docs = s.range(n).select(
+          col("id").as("doc_id"),
+          expr("CASE WHEN id % 97 = 96 THEN id - 1 ELSE id END").as("uid"))
+          .select(col("doc_id"),
+            expr("CASE WHEN uid % 101 <= 1 THEN uid - (uid % 101) ELSE uid END").as("seed"),
+            col("uid"))
+        val text = concat_ws(" ",
+          (1 to 19).map(j => concat(lit("w"), pmod(xxhash64(col("seed"), lit(j)), lit(50000L)))) :+
+            concat(lit("u"), col("uid")): _*)
+        val corpus = docs.select(col("doc_id"), text.as("text"))
+
+        // the dd_scale_1m lane trick, twice: each 64-bit half gets its
+        // own independent word hash (xxhash64(w) / xxhash64(w, 1)) and
+        // its own 8-lane byte-packed majority counters. Two deliberate
+        // departures from the 1M row, both measured on this corpus:
+        // (1) the lanes are FLAT COLUMN ARITHMETIC, not a
+        // transform/aggregate chain — higher-order-function lambdas
+        // evaluate interpreted per element (~10⁹ interpreted evals
+        // here dominated the first cut ~3x); the fixed 20-word shape
+        // keeps the whole signature inside whole-stage codegen (a
+        // variable-width corpus would keep the HOF form); and (2) the
+        // majority vote is a SWAR byte-parallel threshold — add
+        // (128 − nWords/2) to all eight byte counters of a lane at
+        // once and collect the high bits — instead of 128 CASE
+        // branches with ANSI-checked adds (~1.5x on the stage). Byte 7
+        // votes separately so the parallel add can never carry into
+        // the sign bit. The signature table lands in a TEMP PARQUET
+        // (three long columns): it is read three times below, and at
+        // 10M rows the columnar cache build costs more than the
+        // parquet round-trip.
+        val nWords = 20
+        val laneMask = java.lang.Long.parseLong("0101010101010101", 16)
+        val withH = corpus
+          .withColumn("ws", split(col("text"), " "))
+          .select(col("doc_id") +:
+            ((1 to nWords).map(j =>
+              xxhash64(element_at(col("ws"), lit(j))).as(s"h${j}_lo")) ++
+             (1 to nWords).map(j =>
+               xxhash64(element_at(col("ws"), lit(j)), lit(1)).as(s"h${j}_hi"))): _*)
+        def lanes(half: String) = (0 until 8).map { i =>
+          (1 to nWords).map(j => expr(s"(h${j}_$half >> $i) & $laneMask"))
+            .reduce(_ + _).as(s"l${i}_$half")
+        }
+        val withLanes = withH.select(
+          col("doc_id") +: (lanes("lo") ++ lanes("hi")): _*)
+        val loMask = 0x00FFFFFFFFFFFFFFL
+        val addT = {
+          val t = (128 - nWords / 2).toLong
+          (0 until 7).map(b => t << (8 * b)).reduce(_ | _)
+        }
+        val vMask = 0x0001010101010101L
+        def sigCol(half: String): Column = (0 until 8).map { i =>
+          val l = s"l${i}_$half"
+          expr(s"shiftleft(((((($l & $loMask) + $addT) >> 7) & $vMask) | " +
+            s"shiftleft((((($l >> 56) + ${128 - nWords / 2}) >> 7) & 1), 56)), $i)")
+        }.reduce(_ bitwiseOR _)
+        val sigDir = java.nio.file.Files.createTempDirectory("dd10m_sig").toFile
+        try {
+        withLanes
+          .select(col("doc_id"), sigCol("lo").as("lo"), sigCol("hi").as("hi"))
+          .write.mode("overwrite").parquet(sigDir.getPath)
+        val sig = s.read.parquet(sigDir.getPath)
+        val nExact = corpus.select(md5(col("text").cast("binary")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(sum(col("c") - 1)).head().getLong(0)
+
+        // candidate join shuffles ONLY (bkey, doc_id) — 80M narrow
+        // rows, and the two sides are the SAME exchange (ReuseExchange
+        // dedupes the shuffle write); the signatures rejoin on the
+        // ~10⁵-row candidate set (broadcast, probing the signature
+        // parquet — zero extra shuffle) where the hamming filter
+        // evaluates
+        val blk = sig.select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("k"), col("lo"), col("hi"))
+          .select(col("doc_id"), expr(
+            "shiftleft(CAST(k AS BIGINT), 32) | (CASE WHEN k < 2 THEN (lo >> (k * 32)) " +
+              "ELSE (hi >> ((k - 2) * 32)) END & 4294967295)").as("bkey"))
+        val cand = blk.select(col("doc_id").as("a"), col("bkey"))
+          .join(blk.select(col("doc_id").as("b"), col("bkey")), Seq("bkey"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+          .persist() // referenced twice below — never recompute the 80M-row join
+        val pairs = sig.select(col("doc_id").as("a"), col("lo").as("la"), col("hi").as("ha"))
+          .join(broadcast(cand), Seq("a"))
+          .join(broadcast(sig.select(col("doc_id").as("b"), col("lo").as("lb"), col("hi").as("hb"))
+            .join(broadcast(cand.select("b").distinct()), Seq("b"))), Seq("b"))
+          .filter(expr("bit_count(la ^ lb) + bit_count(ha ^ hb)") <= 3)
+          .select("a", "b")
+          .persist()
+        val cls = pairs.select(
+          expr("CASE WHEN a % 97 = 96 THEN a - 1 ELSE a END").as("ua"),
+          expr("CASE WHEN b % 97 = 96 THEN b - 1 ELSE b END").as("ub"))
+          .select(col("ua"), col("ub"),
+            expr("CASE WHEN ua % 101 <= 1 THEN ua - ua % 101 ELSE ua END").as("sa"),
+            expr("CASE WHEN ub % 101 <= 1 THEN ub - ub % 101 ELSE ub END").as("sb"))
+          .agg(
+            sum(when(col("ua") === col("ub"), 1L).otherwise(0L)).as("ex"),
+            sum(when(col("ua") =!= col("ub") && col("sa") === col("sb"), 1L).otherwise(0L)).as("nr"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("sp"))
+          .head()
+        val (nExactFound, nNearFound, nSpurious) =
+          (cls.getLong(0), cls.getLong(1), cls.getLong(2))
+        val nPairs = nExactFound + nNearFound + nSpurious
+        val nClusters = graft.operators.ConnectedComponents.run(s, pairs)
+          .select("component").distinct().count()
+        cand.unpersist(); pairs.unpersist()
+        val nExactPlanted = (n - 97) / 97 + 1 // ids ≡ 96 (mod 97)
+
+        import s.implicits._
+        Seq((n, bb, nExact,
+          nExactFound == nExactPlanted, // identical sigs share every block
+          nSpurious == 0L,              // precision 1.0: nothing unplanted
+          nClusters >= nExactPlanted && nClusters <= nPairs))
+          .toDF("n_docs", "block_bits", "n_exact_dup_docs",
+            "exact_recall_ok", "no_false_positives", "clusters_ok")
+        } finally graft.core.Fs.deleteRecursively(sigDir)
+      },
+      Some("""SELECT CAST(10000000 AS BIGINT) AS n_docs,
+             |  CAST(32 AS INTEGER) AS block_bits,
+             |  (SELECT count(*) FROM (SELECT unnest(range(10000000)) AS id)
+             |   WHERE id % 97 = 96) AS n_exact_dup_docs,
+             |  TRUE AS exact_recall_ok, TRUE AS no_false_positives,
+             |  TRUE AS clusters_ok""".stripMargin),
+    ),
+
     // dd2_scale_banded — the MinHash banding KNOB proven at 200k docs:
     // bandsFor(200k) widens the signature to r=4 rows × 6 bands (24
     // affine slots over one md5 base digest) so unrelated docs yield a
@@ -2499,6 +2643,19 @@ object Documents {
     * fixture scale this returns exactly the oracled dd2 config
     * (r = 2, b = 4), making the fixed 8-hash/4-band query the
     * documented special case of the scale rule. */
+  /** pigeonhole block width for hamming≤3 SimHash banding, sized by
+    * the corpus — the SimHash analog of [[bandsFor]]. Four blocks is
+    * the MINIMUM for h = 3 (h+1 blocks guarantee a clean one), so the
+    * knob widens the BLOCK — and with it the signature, 4×blockBits —
+    * until expected bucket occupancy n/2^bits stays ≤ `occupancy` and
+    * the candidate equi-join stays linear in n. 16-bit blocks (the
+    * dd4 / dd_scale_1m 64-bit signature) hold to ~1M docs; past that
+    * the blocks double to 32 bits (a 128-bit signature in two longs:
+    * at 10M docs occupancy is ~0.002 vs ~150 under 16-bit blocks,
+    * where the join would be ~3B candidate pairs). */
+  def blockBitsFor(n: Long, occupancy: Long = 16L): Int =
+    if (n <= (occupancy << 16)) 16 else 32
+
   def bandsFor(n: Long, cap: Long = 2000L, s0: Double = 0.3,
                tHi: Double = 0.8, recall: Double = 0.95): (Int, Int) = {
     val r = math.max(2,
