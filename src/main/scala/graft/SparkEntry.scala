@@ -12,7 +12,12 @@ object SparkEntry {
 
   def registry: Seq[QueryDef] =
     graft.queries.Relational.all ++
+      graft.queries.Tpch.all ++
+      graft.queries.VersionedTables.all ++
+      graft.queries.DataQuality.all ++
       graft.queries.Documents.all ++
+      graft.queries.Dedup.all ++
+      graft.queries.StreamIngest.all ++
       graft.queries.Similarity.all ++
       graft.queries.Zk.all
 

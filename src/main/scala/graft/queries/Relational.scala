@@ -27,47 +27,9 @@ import graft.{QueryDef, Tables}
 object Relational {
 
   /** exact-sum helper: DOUBLE -> DECIMAL(18,2) -> SUM -> DOUBLE */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
-
-  /** the profiled lineitem measure columns (dq2/dq2b). */
-  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-
-  /** shared unpivot-exact profiling core: ONE scan of the measure
-    * columns → the (col_name, value, cnt) distinct-value universe,
-    * from which both profilers derive everything. */
-  private def profileUniverse(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .selectExpr("stack(4, " +
-        ProfileCols.map(c => s"'$c', CAST($c AS DECIMAL(18,2))").mkString(", ") +
-        ") AS (col_name, value)")
-      .groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
-
-  /** the exact per-column aggregates over [[profileUniverse]]; mean =
-    * exact decimal sum then ONE double division (decimal division
-    * scale rules differ across engines, double division does not). */
-  private def profileExactAggs: Seq[Column] = Seq(
-    sum("cnt").as("n_rows"),
-    sum(when(col("value").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
-    count(col("value")).as("n_distinct"),
-    min(col("value")).cast("double").as("min_v"),
-    max(col("value")).cast("double").as("max_v"),
-    (sum(col("value") * col("cnt")).cast("double") /
-      sum("cnt").cast("double")).as("mean_v"))
-
-  /** the matching DuckDB oracle (one UNION ALL branch per column);
-    * `extraCols` appends verdict columns for the sketch twin. */
-  private def profileOracleSql(extraCols: String): String =
-    ProfileCols.map { c =>
-      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         |  count(DISTINCT $c) AS n_distinct,
-         |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
-         |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_v$extraCols
-         |FROM lineitem""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  private[queries] def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
   val all: Seq[QueryDef] = Seq(
-
     // ------------------------------------------------------------------
     // S1 — projected, filtered parquet scan. Both the shipdate filter and
     // the 3-column projection reach the parquet reader (PushedFilters +
@@ -98,73 +60,6 @@ object Relational {
              |WHERE value IS NOT NULL AND value >= 0
              |  AND event_type IN ('click','view','purchase')
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
-    ),
-
-    // ------------------------------------------------------------------
-    // A1 + A6 — grouped COUNT + exact SUM (partial/final agg = the
-    // reference's child-proof merge tree). TPC-H Q1 shape.
-    QueryDef(
-      "q1_agg",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast("double").as("sum_disc_price"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-             |  count(*) AS n
-             |FROM lineitem GROUP BY l_returnflag, l_linestatus
-             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
-      headline = true,
-    ),
-
-    // P5 + P6 — selective predicate folded ahead of a scalar aggregate
-    // (TPC-H Q6 shape; the reference's owner-filter + block-range filter).
-    QueryDef(
-      "q6_filter",
-      (s, d) => Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            col("l_discount").cast(DecimalType(18, 2)))
-          .cast("double").as("revenue")),
-      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM lineitem
-             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
-      headline = true,
-    ),
-
-    // ------------------------------------------------------------------
-    // J3 — multi-way equi-join binding fact to two dimensions (the
-    // reference's storage⋈account⋈header linking). nation is tiny →
-    // broadcast; customer⋈orders shuffles on the fk.
-    QueryDef(
-      "q3_join_agg",
-      (s, d) => {
-        val c = Tables.customer(s, d)
-        val o = Tables.orders(s, d)
-        val n = Tables.nation(s, d)
-        c.join(o, c("c_custkey") === o("o_custkey"))
-          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-          .groupBy("n_name")
-          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
-          .orderBy("n_name")
-      },
-      Some("""SELECT n_name, count(*) AS n_orders,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-             |FROM customer JOIN orders ON c_custkey = o_custkey
-             |JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY n_name ORDER BY n_name""".stripMargin),
-      headline = true,
     ),
 
     // J4 — broadcast join of a big fact against a small dimension (the
@@ -248,6 +143,7 @@ object Relational {
              |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin),
     ),
+
     QueryDef(
       "anti_join",
       (s, d) => {
@@ -633,6 +529,7 @@ object Relational {
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
     ),
+
     QueryDef(
       "a8_count_distinct",
       (s, d) => Tables.lineitem(s, d)
@@ -667,6 +564,7 @@ object Relational {
              |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+
     QueryDef(
       "f_datetime",
       (s, d) => Tables.orders(s, d)
@@ -677,6 +575,7 @@ object Relational {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
+
     QueryDef(
       "f_string_ops",
       (s, d) => Tables.customer(s, d)
@@ -691,208 +590,6 @@ object Relational {
              |  length(c_name) AS name_len,
              |  concat_ws('-', c_mktsegment, c_nationkey) AS seg
              |FROM customer WHERE length(c_name) > 0 ORDER BY c_custkey""".stripMargin),
-    ),
-
-    // TPC-H Q4 shape: EXISTS subquery as a semi-join feeding a grouped
-    // count.
-    QueryDef(
-      "q4_order_priority",
-      (s, d) => {
-        val o = Tables.orders(s, d)
-        val li = Tables.lineitem(s, d).filter(col("l_discount") > 0.06)
-        o.filter(year(col("o_orderdate")) === 1996)
-          .join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("order_count"))
-          .orderBy("o_orderpriority")
-      },
-      Some("""SELECT o_orderpriority, count(*) AS order_count
-             |FROM orders
-             |WHERE year(o_orderdate) = 1996 AND EXISTS (
-             |  SELECT 1 FROM lineitem
-             |  WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
-    ),
-
-    // TPC-H Q5 shape: 5-way join through the full dimension chain, two
-    // broadcasts (nation, region) and fk shuffles for the rest.
-    QueryDef(
-      "q5_local_suppliers",
-      (s, d) => {
-        val c = Tables.customer(s, d)
-        val o = Tables.orders(s, d)
-        val li = Tables.lineitem(s, d)
-        val sup = Tables.supplier(s, d)
-        val n = Tables.nation(s, d)
-        c.join(o, c("c_custkey") === o("o_custkey"))
-          .join(li, o("o_orderkey") === li("l_orderkey"))
-          .join(sup, li("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
-          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-          .groupBy("n_name")
-          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast("double").as("revenue"))
-          .orderBy("n_name")
-      },
-      Some("""SELECT n_name,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-             |FROM customer
-             |JOIN orders ON c_custkey = o_custkey
-             |JOIN lineitem ON o_orderkey = l_orderkey
-             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-             |JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY n_name ORDER BY n_name""".stripMargin),
-      headline = true,
-    ),
-
-    // TPC-H Q7 shape: fact joined through two different dimension
-    // paths (customer nation × supplier nation), grouped on the pair.
-    QueryDef(
-      "q7_nation_volume",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val o = Tables.orders(s, d)
-        val c = Tables.customer(s, d)
-        val sup = Tables.supplier(s, d)
-        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(c, o("o_custkey") === c("c_custkey"))
-          .join(sup, li("l_suppkey") === sup("s_suppkey"))
-          .join(broadcast(n1), c("c_nationkey") === n1("c_nk"))
-          .join(broadcast(n2), sup("s_nationkey") === n2("s_nk"))
-          .filter(col("cust_nation") =!= col("supp_nation"))
-          .groupBy("cust_nation", "supp_nation")
-          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("volume"))
-          .orderBy("cust_nation", "supp_nation")
-      },
-      Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation, count(*) AS n,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS volume
-             |FROM lineitem
-             |JOIN orders ON l_orderkey = o_orderkey
-             |JOIN customer ON o_custkey = c_custkey
-             |JOIN supplier ON l_suppkey = s_suppkey
-             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
-             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-             |WHERE n1.n_name <> n2.n_name
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    ),
-
-    // TPC-H Q10 shape: returned-item top customers (filter + 3-way
-    // join + grouped revenue + top-k).
-    QueryDef(
-      "q10_returned_items",
-      (s, d) => {
-        val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
-        val o = Tables.orders(s, d)
-        val c = Tables.customer(s, d)
-        c.join(o, c("c_custkey") === o("o_custkey"))
-          .join(li, o("o_orderkey") === li("l_orderkey"))
-          .groupBy("c_custkey", "c_name")
-          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast("double").as("revenue"))
-          .orderBy(col("revenue").desc, col("c_custkey"))
-          .limit(20)
-      },
-      Some("""SELECT c_custkey, c_name,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
-             |FROM customer
-             |JOIN orders ON c_custkey = o_custkey
-             |JOIN lineitem ON o_orderkey = l_orderkey
-             |WHERE l_returnflag = 'R'
-             |GROUP BY c_custkey, c_name
-             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
-    ),
-
-    // TPC-H Q17 shape: correlated scalar aggregate (per-part average
-    // quantity), decorrelated into a grouped join — rows below 0.2×
-    // their part's average contribute to the total.
-    QueryDef(
-      "q17_small_quantity",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val avgq = li.groupBy(col("l_partkey").as("ap_partkey"))
-          .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
-            count(lit(1)).cast("double")).as("avg_qty"))
-        li.join(avgq, li("l_partkey") === avgq("ap_partkey"))
-          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
-      },
-      Some("""WITH avgq AS (
-             |  SELECT l_partkey AS ap_partkey,
-             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty
-             |  FROM lineitem GROUP BY l_partkey)
-             |SELECT count(*) AS n,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-             |FROM lineitem JOIN avgq ON l_partkey = ap_partkey
-             |WHERE l_quantity < 0.2 * avg_qty""".stripMargin),
-    ),
-
-    // TPC-H Q19 shape: disjunction of conjunctive range predicates —
-    // the optimizer must still push the common join key and fold the
-    // OR branches into the scan.
-    QueryDef(
-      "q19_disjunctive",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val p = Tables.part(s, d)
-        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
-          .filter(
-            (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
-              (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20)) ||
-              (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30)))
-          .agg(count(lit(1)).as("n"),
-            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
-      },
-      Some("""SELECT count(*) AS n,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
-             |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
-             |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
-    ),
-
-    // TPC-H Q12 shape: conditional aggregation (CASE inside SUM).
-    QueryDef(
-      "q12_shipmode",
-      (s, d) => Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .groupBy("l_returnflag")
-        .agg(
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
-        .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag,
-             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
-    ),
-
-    // TPC-H Q14 shape: ratio of conditional to total aggregate — two
-    // decimal sums in one pass, one double division at the end.
-    QueryDef(
-      "q14_promo_share",
-      (s, d) => Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-        .agg(
-          sum(when(col("p_type").startsWith("PROMO"),
-            col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("promo"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast("double").as("total"))
-        .select((col("promo") / col("total")).as("promo_share")),
-      Some("""WITH t AS (SELECT
-             |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
-             |FROM lineitem JOIN part ON l_partkey = p_partkey)
-             |SELECT promo / total AS promo_share FROM t""".stripMargin),
     ),
 
     // As-of join (graft.operators.AsOfJoin): for each purchase, the
@@ -957,137 +654,6 @@ object Relational {
              |ORDER BY o.o_orderkey""".stripMargin),
     ),
 
-    // MERGE (upsert) through the transactional versioned sink: base
-    // table → merge(updates with update/insert/delete) → snapshot
-    // read-back. Exercises the whole table-format path end-to-end
-    // (bucket copy-on-write, manifest commit, snapshot read); the
-    // oracle states MERGE semantics directly in SQL (replace matched
-    // keys, insert unmatched, drop delete-flagged).
-    QueryDef(
-      "vt_merge",
-      (s, d) => vtFixture(s, d).read().get.orderBy("o_orderkey"),
-      Some("""WITH base AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
-             |upd AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
-             |         (o_orderkey % 15 = 0) AS del
-             |  FROM orders WHERE o_orderkey % 3 = 0),
-             |kept AS (
-             |  SELECT b.* FROM base b
-             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
-             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del)
-             |SELECT * FROM kept UNION ALL SELECT * FROM ins
-             |ORDER BY o_orderkey""".stripMargin),
-    ),
-
-    // CDC read on the versioned sink: the classified row-level delta
-    // between two committed versions, computed from ONLY the buckets
-    // whose manifest entries changed. Same base/updates derivation as
-    // vt_merge; the oracle restates insert/delete/update semantics
-    // directly over the source table.
-    QueryDef(
-      "vt_diff",
-      (s, d) => vtFixture(s, d).diff(Seq("o_orderkey"), 0, 1).orderBy("o_orderkey"),
-      Some("""WITH base AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
-             |upd AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
-             |         (o_orderkey % 15 = 0) AS del
-             |  FROM orders WHERE o_orderkey % 3 = 0),
-             |ins AS (
-             |  SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, 'insert' AS change_type
-             |  FROM upd u WHERE NOT u.del
-             |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = u.o_orderkey)),
-             |dels AS (
-             |  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, 'delete' AS change_type
-             |  FROM base b JOIN upd u ON u.o_orderkey = b.o_orderkey WHERE u.del),
-             |upds AS (
-             |  SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, 'update' AS change_type
-             |  FROM base b JOIN upd u ON u.o_orderkey = b.o_orderkey
-             |  WHERE NOT u.del
-             |    AND (b.o_custkey <> u.o_custkey OR b.o_totalprice <> u.o_totalprice))
-             |SELECT * FROM ins UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM upds
-             |ORDER BY o_orderkey""".stripMargin),
-    ),
-
-    // Incremental materialized-view maintenance over CDC: the per-
-    // customer order aggregate is computed ONCE on v0, then advanced
-    // to v1 by applying ONLY the cdc() delta (insert/update_postimage
-    // add, delete/update_preimage retract) — never recomputing from
-    // the v1 table. Cost per version step is O(changed buckets) +
-    // O(touched groups), not O(table) — the only maintenance shape
-    // that survives a 100-TB base table with small daily deltas. The
-    // oracle recomputes the aggregate from the v1 state directly, so
-    // a hash match proves delta application ≡ full recompute.
-    // Exact DECIMAL sums make the incremental adds order-insensitive.
-    QueryDef(
-      "vt_incr_mv",
-      (s, d) => {
-        val vt = vtFixture(s, d)
-        val dec = DecimalType(18, 2)
-        val mv0 = vt.read(Some(0)).get
-          .groupBy("o_custkey")
-          .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(dec)).as("total"))
-        val delta = vt.cdc(Seq("o_orderkey"), 0, 1)
-          .withColumn("sgn",
-            when(col("change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L))
-          .groupBy("o_custkey")
-          .agg(sum(col("sgn")).as("dn"),
-            sum(col("sgn").cast(dec) * col("o_totalprice").cast(dec)).as("dt"))
-        mv0.join(delta, Seq("o_custkey"), "full_outer")
-          .select(col("o_custkey"),
-            (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
-            (coalesce(col("total"), lit(0).cast(dec)) + coalesce(col("dt"), lit(0).cast(dec))).as("total"))
-          .filter(col("n_orders") > 0)
-          .select(col("o_custkey"), col("n_orders"),
-            col("total").cast("double").as("total"))
-          .orderBy("o_custkey")
-      },
-      Some("""WITH base AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
-             |upd AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
-             |         (o_orderkey % 15 = 0) AS del
-             |  FROM orders WHERE o_orderkey % 3 = 0),
-             |kept AS (
-             |  SELECT b.* FROM base b
-             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
-             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del),
-             |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
-             |SELECT o_custkey, count(*) AS n_orders,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-             |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
-      headline = true,
-    ),
-
-    // Point-lookup serving path on the versioned table: k probe keys
-    // open at most min(k, nBuckets) hash-bucket directories — the
-    // write-time routing hash IS the read-time index, no scan of the
-    // other buckets ever happens. Probes keys that were inserted,
-    // updated, AND deleted by the merge; the oracle restates the
-    // final table state filtered to the probe set.
-    QueryDef(
-      "vt_lookup",
-      (s, d) => {
-        val vt = vtFixture(s, d)
-        val probe = Tables.orders(s, d)
-          .filter(col("o_orderkey") % 97 === 1).select("o_orderkey")
-        vt.lookup(probe, Seq("o_orderkey")).get.orderBy("o_orderkey")
-      },
-      Some("""WITH base AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
-             |upd AS (
-             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
-             |         (o_orderkey % 15 = 0) AS del
-             |  FROM orders WHERE o_orderkey % 3 = 0),
-             |kept AS (
-             |  SELECT b.* FROM base b
-             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
-             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del),
-             |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
-             |SELECT * FROM final WHERE o_orderkey % 97 = 1 ORDER BY o_orderkey""".stripMargin),
-    ),
-
     // ------------------------------------------------------------------
     // §2.6 set operations (the reference only has digest-based set
     // *equality*; union/intersect/except come free with Spark and are
@@ -1105,6 +671,7 @@ object Relational {
              |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
              |ORDER BY o_custkey""".stripMargin),
     ),
+
     QueryDef(
       "set_intersect",
       (s, d) => {
@@ -1118,6 +685,7 @@ object Relational {
              |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
              |ORDER BY o_custkey""".stripMargin),
     ),
+
     QueryDef(
       "set_union",
       (s, d) => {
@@ -1145,6 +713,7 @@ object Relational {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
     ),
+
     QueryDef(
       "agg_cube",
       (s, d) => Tables.orders(s, d)
@@ -1155,6 +724,7 @@ object Relational {
              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus, o_orderpriority""".stripMargin),
     ),
+
     // The general form of the lattice: explicit GROUPING SETS — the
     // exact subtotal combinations a report needs ((status, priority),
     // (status), ()) without cube's full powerset. Same single-pass
@@ -1276,332 +846,6 @@ object Relational {
            |FROM lineitem
            |ORDER BY z, l_orderkey, l_linenumber LIMIT 1000""".stripMargin
       },
-    ),
-
-    // Data profiling: per-column summary statistics (nulls, distinct
-    // cardinality, min/max, exact-decimal mean) — the "what is in
-    // this table" report a pipeline runs before trusting a new
-    // source. UNPIVOT-EXACT shape ([[profileUniverse]]): multiple
-    // countDistincts in one agg would compile to an Expand that
-    // replays the scan per column (the original formulation here — a
-    // 4× scan at 100 TB); instead unpivot to (col_name, value),
-    // collapse to the distinct-value universe with one map-side-
-    // combined agg, and derive every statistic exactly from it,
-    // reweighted by group multiplicity. ONE scan, no Expand (PlanSpec
-    // pins it), bit-identical output. Mean goes through an exact
-    // DECIMAL sum then one double division, so it is bit-stable
-    // across engines and partitionings.
-    QueryDef(
-      "dq2_profile",
-      (s, d) => profileUniverse(s, d)
-        .groupBy("col_name")
-        .agg(profileExactAggs.head, profileExactAggs.tail: _*)
-        .orderBy("col_name"),
-      Some(profileOracleSql(extraCols = "")),
-      headline = true,
-    ),
-
-    // The sketch-profiling twin of dq2: the SAME shared unpivot core,
-    // plus the HLL cardinality sketch (rsd 2%, the a8_approx_distinct
-    // error contract) riding the deduped frame — at 100 TB the exact
-    // distinct-value universe of a high-cardinality column is itself
-    // a heavy shuffle, and the sketch path is what a profiler
-    // actually ships; its within-5%-of-exact verdict goes through the
-    // driver hash. No Expand, no second scan — PlanSpec pins both.
-    QueryDef(
-      "dq2b_profile_approx",
-      (s, d) => profileUniverse(s, d)
-        .groupBy("col_name")
-        .agg(profileExactAggs.head,
-          (profileExactAggs.tail :+ approx_count_distinct(col("value"), 0.02).as("approx_nd")): _*)
-        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
-          col("min_v"), col("max_v"), col("mean_v"),
-          when(col("n_distinct") === 0, lit(true))
-            .otherwise(abs(col("approx_nd") - col("n_distinct")).cast("double") /
-              col("n_distinct").cast("double") <= 0.05).as("within_5pct"))
-        .orderBy("col_name"),
-      Some(profileOracleSql(extraCols = ",\n  TRUE AS within_5pct")),
-      headline = true,
-    ),
-
-    // Histogram profiling: fixed-width value-distribution buckets over
-    // o_totalprice (plain floor arithmetic — portable across engines,
-    // unlike width_bucket which DuckDB lacks). One groupBy with
-    // map-side combine; bucket count is the knob, independent of rows.
-    QueryDef(
-      "dq3_histogram",
-      (s, d) => Tables.orders(s, d)
-        .select((floor(col("o_totalprice") / 25000).cast("long")).as("bucket"),
-          col("o_totalprice"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"),
-          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
-        .orderBy("bucket"),
-      Some("""SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
-             |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
-    ),
-
-    // Approximate-quantile error contract: percentile_approx (the
-    // Greenwald-Khanna sketch — what a 100 TB profiler ships, since
-    // exact per-group percentiles need a sort) carries a RANK
-    // guarantee: the returned value's rank is within ε·n of q·n. That
-    // guarantee is verified IN-PLAN: the sketch runs at accuracy 10⁴
-    // (ε = 10⁻⁴), the 1-row result broadcasts back over the column,
-    // and count(v ≤ approx_q) must land within n/100 of q·n — a 100×
-    // slack over the sketch's own bound, robust to duplicate values.
-    // The quantile VALUES stay engine-local (sketch internals differ);
-    // the rank verdicts + exact row count go through the driver hash
-    // (the a8/dq2b error-contract pattern applied to quantiles).
-    QueryDef(
-      "dq4_approx_quantile",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_extendedprice").cast("double").as("v"))
-        val sk = li.agg(
-          count(lit(1)).as("n_rows"),
-          percentile_approx(col("v"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
-        li.crossJoin(broadcast(sk))
-          .agg(
-            first("n_rows").as("n_rows"),
-            sum(when(col("v") <= element_at(col("qs"), 1), 1L).otherwise(0L)).as("r50"),
-            sum(when(col("v") <= element_at(col("qs"), 2), 1L).otherwise(0L)).as("r90"),
-            sum(when(col("v") <= element_at(col("qs"), 3), 1L).otherwise(0L)).as("r99"))
-          .select(col("n_rows"),
-            (abs(col("r50") - col("n_rows") * 0.5) <= col("n_rows") / lit(100.0)).as("rank_ok_50"),
-            (abs(col("r90") - col("n_rows") * 0.9) <= col("n_rows") / lit(100.0)).as("rank_ok_90"),
-            (abs(col("r99") - col("n_rows") * 0.99) <= col("n_rows") / lit(100.0)).as("rank_ok_99"))
-      },
-      Some("""SELECT count(*) AS n_rows, TRUE AS rank_ok_50,
-             |  TRUE AS rank_ok_90, TRUE AS rank_ok_99
-             |FROM lineitem""".stripMargin),
-    ),
-
-    // dq5 — corpus DRIFT monitor between two ingest windows:
-    // yesterday's snapshot (first half of documents by doc_id) vs
-    // today's (second half, with a planted language-mix shift — every
-    // 7th doc relabeled 'zh'), compared per feature as binned
-    // frequency profiles. The divergence is a chi-square-shaped score
-    // in EXACT integer arithmetic — per-bin rates scaled to ppm by
-    // floor division, contribution (pa−pb)² DIV (pa+pb+1), summed —
-    // so the SCORE itself hash-matches the oracle, not just a
-    // verdict; no float, no log. Expected split at every sf: lang
-    // drifts (planted, score ≥ 36k), source and the char histogram do
-    // not (≤ 8k) — threshold 20000 sits between with margin. Shape
-    // at 100 TB: one map-side stack + one shuffle on (feature, bin)
-    // with map-side partial counts, bin cardinality bounded (langs,
-    // sources, char-width buckets), per-feature totals broadcast
-    // back — profile each window once, compare profiles O(bins).
-    QueryDef(
-      "dq5_drift",
-      (s, d) => driftScoresDf(driftLong(driftLab(s, d))),
-      Some(driftOracleSql("")),
-    ),
-
-    // st9 — the drift monitor as a STREAM (streaming/StreamingDrift):
-    // the reference profile is computed once in batch; the CURRENT
-    // window arrives in 3 micro-batches and its profile is maintained
-    // as additive per-(feature, bin) counters — one distributed
-    // aggregation per micro-batch, then a bins-sized driver merge; no
-    // rescan of earlier batches, ever, because profile(b₁ ∪ b₂) =
-    // profile(b₁) + profile(b₂). The emitted rows are the BATCH
-    // twin's (the oracle recomputes every column) plus a
-    // stream_matches_batch verdict pinning that the incrementally
-    // maintained scores equal the batch scores exactly — the
-    // backfill→live shape for monitoring, like st7 for the pipeline
-    // and st8 for dedup. Driver state is the profile itself (bins,
-    // not stream length; StreamingDrift.MaxBins fails loudly on an
-    // unbounded feature).
-    QueryDef(
-      "st9_stream_drift",
-      (s, d) => {
-        import s.implicits._
-        val lab = driftLab(s, d).persist()
-        try {
-        val long = driftLong(lab)
-        val batchRows = driftScoresDf(long).collect()
-        val refProfile = long.filter(col("is_ref"))
-          .groupBy("feature", "bin").agg(count(lit(1)).as("c")).collect()
-          .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("∅")) -> r.getLong(2))
-          .toMap
-        // the current window replayed in 3 id-ordered micro-batches
-        // (driver-side collect is fixture wiring — a real deployment
-        // reads the ingest log; batch boundaries are irrelevant by
-        // additivity)
-        val cur = long.filter(!col("is_ref")).select("doc_id", "feature", "bin")
-          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
-        val mv = new graft.streaming.StreamingDrift
-        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-        val es = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String, String)]
-        val q = es.toDS().toDF("doc_id", "feature", "bin")
-          .writeStream.outputMode("append")
-          .foreachBatch((b: DataFrame, _: Long) => mv.processBatch(b))
-          .start()
-        try {
-          cur.grouped(math.max(1, cur.length / 3 + 1)).foreach { chunk =>
-            es.addData(chunk.toSeq); q.processAllAvailable()
-          }
-        } finally q.stop()
-        val streamed = mv.scores(refProfile)
-        val matches = streamed.size == batchRows.length && batchRows.forall { r =>
-          streamed.get(r.getString(0)).contains(
-            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-        }
-        batchRows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-            r.getLong(3), r.getLong(4), r.getBoolean(5), matches))
-          .toDF("feature", "n_bins", "ref_total", "cur_total", "score",
-            "drifted", "stream_matches_batch")
-          .orderBy("feature")
-        } finally lab.unpersist()
-      },
-      Some(driftOracleSql(",\n  TRUE AS stream_matches_batch")),
-      streamingDriver = true,
-    ),
-
-    // Time travel: snapshot read of the PRE-merge version of the
-    // versioned table — later commits never disturb a pinned reader,
-    // and the oracle restates exactly the base state. Paired with
-    // vt_merge (v1) this checks both ends of the version axis through
-    // the driver gate.
-    QueryDef(
-      "vt_time_travel",
-      (s, d) => vtFixture(s, d).read(Some(0)).get.orderBy("o_orderkey"),
-      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin),
-    ),
-
-    // Table-format scale benchmark: 1M executor-born rows through the
-    // FULL transactional path — bucketed commit with zone maps, a 10%
-    // MERGE (update/insert/delete), CDC classification of the step,
-    // zone-map-pruned read, and incremental MV advance via the CDC
-    // follower — with the planted change counts pinned in the result
-    // row. This is the dd_scale_1m/ss_scale_1m discipline applied to
-    // the storage layer: every step is O(dirty buckets)/O(delta)
-    // except the initial commit, and the counts prove none of the
-    // machinery silently degraded to a full rewrite.
-    vtScaleQuery("vt_scale_300k", 300000L, nBuckets = 32),
-
-    // Task-9 decade stretch: the SAME transactional contract at 3M rows
-    // / 64 buckets — proves the dirty-bucket / O(delta) claims hold one
-    // order of magnitude up (commit cost grows linearly; MERGE, CDC,
-    // MV advance and the pruned read stay delta/bucket-bounded).
-    vtScaleQuery("vt_scale_3m", 3000000L, nBuckets = 64),
-
-    // Table-maintenance lifecycle as a driver-checked contract: five
-    // narrow merges fragment the table across version directories
-    // (copy-on-write leaves untouched buckets behind in older dirs),
-    // COMPACT rewrites every bucket into one fresh dir with a z-order
-    // layout sort (clustering applied exactly where a table format
-    // applies it), the zone-map-pruned serving read still works on the
-    // compacted layout, a reader pinned to the pre-compact version is
-    // undisturbed, and VACUUM reclaims every dead directory while the
-    // live snapshot stays bit-identical (checksum pinned by the oracle's
-    // replay of the merge rule — at 100 TB this dance is what keeps a
-    // thousand-commit table from dissolving into millions of files).
-    QueryDef(
-      "vt_compact",
-      (s, _) => {
-        val n = 50000L
-        val dir = java.nio.file.Files.createTempDirectory("vt_compact").toString
-        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
-        val base = s.range(n).select(col("id").as("k"),
-          (col("id") % 100).as("grp"), (col("id") % 97).cast("double").as("v"))
-        vt.commit(base, Seq("k"), None, statsCols = Seq("k"))
-        // each merge touches exactly two keys — a handful of dirty
-        // buckets per version, so the current snapshot spans many dirs
-        (1 to 5).foreach { i =>
-          val upd = s.range(2).select((col("id") + i * 1000L).as("k"),
-            ((col("id") + i * 1000L) % 100).as("grp"), lit(-i.toDouble).as("v"))
-          vt.merge(upd, Seq("k"), Some(i - 1), statsCols = Seq("k"))
-        }
-        val fragBefore = vt.dataDirCount()
-        val sumBefore = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
-        vt.compact(Seq("k"), Some(5), statsCols = Seq("k"),
-          layoutSort = Seq(graft.operators.ZOrder.zorderCol(
-            Seq(col("grp"), pmod(col("k"), lit(1024L))), bits = 10)))
-        val dirsAfter = vt.dataDirCount().toLong
-        val sumAfter = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
-        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(9999)).get
-          .filter(col("k") <= 9999L).count()
-        // a reader pinned to the pre-compact version is undisturbed
-        val pinnedOk = vt.read(Some(5)).get.count() == n
-        vt.vacuum(keepVersions = 1, removeOrphans = true)
-        val sumPostVacuum = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
-        val diskDirs = {
-          val p = java.nio.file.Paths.get(dir, "data")
-          val s2 = java.nio.file.Files.list(p)
-          try s2.count() finally s2.close()
-        }
-        // every read above has collected — reclaim the temp table
-        graft.core.Fs.deleteRecursively(new java.io.File(dir))
-        import s.implicits._
-        Seq((n, fragBefore > 1, dirsAfter, sumBefore, sumAfter == sumBefore,
-          pruned, pinnedOk, sumPostVacuum == sumBefore, diskDirs))
-          .toDF("n_rows", "frag_before", "n_dirs_after_compact", "v_checksum",
-            "compact_preserves", "n_pruned_read", "pinned_ok",
-            "vacuum_preserves", "n_disk_dirs_after_vacuum")
-      },
-      // v_checksum replays the five 2-key merges in closed form; every
-      // value in the double sum is an integer < 2^53, so float addition
-      // is exact and order-independent on both engines
-      Some("""SELECT CAST(50000 AS BIGINT) AS n_rows, TRUE AS frag_before,
-             |  CAST(1 AS BIGINT) AS n_dirs_after_compact,
-             |  (SELECT sum(CASE
-             |     WHEN id IN (1000, 1001) THEN -1.0 WHEN id IN (2000, 2001) THEN -2.0
-             |     WHEN id IN (3000, 3001) THEN -3.0 WHEN id IN (4000, 4001) THEN -4.0
-             |     WHEN id IN (5000, 5001) THEN -5.0
-             |     ELSE CAST(id % 97 AS DOUBLE) END)
-             |   FROM range(50000) t(id)) AS v_checksum,
-             |  TRUE AS compact_preserves, CAST(10000 AS BIGINT) AS n_pruned_read,
-             |  TRUE AS pinned_ok, TRUE AS vacuum_preserves,
-             |  CAST(1 AS BIGINT) AS n_disk_dirs_after_vacuum""".stripMargin),
-    ),
-
-    // Data-quality constraint report (operators.Constraints — the
-    // reference's integrity checks generalized): null checks, key
-    // uniqueness, value ranges, referential integrity, dense
-    // per-group sequencing, in one union of aggregates.
-    QueryDef(
-      "dq_constraints",
-      (s, d) => {
-        import graft.operators.Constraints._
-        val li = Tables.lineitem(s, d)
-        val o = Tables.orders(s, d)
-        notNull(li, Seq("l_orderkey", "l_quantity"))
-          .unionByName(unique(li, Seq("l_orderkey", "l_linenumber")))
-          .unionByName(inRange(li, "l_discount", 0.0, 0.5))
-          .unionByName(refIntegrity(li, "l_orderkey", o, "o_orderkey"))
-          .unionByName(denseSequence(li, "l_orderkey", "l_linenumber"))
-          // the reference's fixed-depth circuit bound (state DB depth
-          // ≤ 5 ⇒ ≤ 2^5 leaves per group) as a generic constraint
-          .unionByName(maxGroupSize(li, Seq("l_orderkey"), 32))
-          .orderBy("check_name")
-      },
-      Some("""SELECT 'not_null(l_orderkey,l_quantity)' AS check_name,
-             |  CAST(sum(CASE WHEN l_orderkey IS NULL OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
-             |FROM lineitem
-             |UNION ALL
-             |SELECT 'unique(l_orderkey,l_linenumber)',
-             |  CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT)
-             |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) t
-             |UNION ALL
-             |SELECT 'in_range(l_discount,0.0,0.5)',
-             |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-             |FROM lineitem
-             |UNION ALL
-             |SELECT 'ref_integrity(l_orderkey->o_orderkey)', count(*)
-             |FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
-             |UNION ALL
-             |SELECT 'dense_sequence(l_orderkey,l_linenumber)',
-             |  CAST(sum(CASE WHEN lo <> 1 OR hi <> n THEN 1 ELSE 0 END) AS BIGINT)
-             |FROM (SELECT count(*) AS n, min(l_linenumber) AS lo, max(l_linenumber) AS hi
-             |      FROM lineitem GROUP BY l_orderkey) t
-             |UNION ALL
-             |SELECT 'max_group_size(l_orderkey,32)',
-             |  CAST(coalesce(sum(CASE WHEN n > 32 THEN 1 ELSE 0 END), 0) AS BIGINT)
-             |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey) t
-             |ORDER BY check_name""".stripMargin),
     ),
 
     // Exact interpolated percentiles (both engines implement the
@@ -1731,547 +975,6 @@ object Relational {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, w_start""".stripMargin),
     ),
-
-    // ------------------------------------------------------------------
-    // TPC-H Q8 shape: national market share — 6-table snowflake join,
-    // conditional aggregation (share = national volume / total). The
-    // dims (nation, region, part-filter) broadcast; the one shuffle is
-    // the grouped year aggregation.
-    QueryDef(
-      "q8_market_share",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val o = Tables.orders(s, d)
-        val cu = Tables.customer(s, d)
-        val su = Tables.supplier(s, d)
-        val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
-        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
-        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
-        val r = Tables.region(s, d).filter(col("r_name") === "AMERICA")
-        val vol = (col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(cu, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
-          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .join(su, col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
-          .groupBy(year(col("o_orderdate")).as("o_year"))
-          // exact decimal sums; the ratio is taken in IEEE double on
-          // both engines (decimal-division rounding rules differ)
-          .agg((sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast(DecimalType(18, 2))))
-            .cast("double") / sum(vol).cast("double")).as("mkt_share"))
-          .orderBy("o_year")
-      },
-      Some("""SELECT year(o_orderdate) AS o_year,
-             |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
-             |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-             |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
-             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
-             |FROM lineitem
-             |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
-             |JOIN orders ON l_orderkey = o_orderkey
-             |JOIN customer ON o_custkey = c_custkey
-             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
-             |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
-             |JOIN supplier ON l_suppkey = s_suppkey
-             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin),
-    ),
-
-    // TPC-H Q9 shape (adapted: the corpus has no partsupp, so profit
-    // is revenue-only): per-nation per-year revenue over a part-name
-    // subset — the classic "profit" rollup join tree.
-    QueryDef(
-      "q9_nation_profit",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val o = Tables.orders(s, d)
-        val su = Tables.supplier(s, d)
-        val p = Tables.part(s, d).filter(col("p_name").contains("a"))
-        val n = Tables.nation(s, d)
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .join(su, col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-          .join(o, col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast("double").as("sum_profit"))
-          .orderBy(col("nation"), col("o_year").desc)
-      },
-      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
-             |FROM lineitem
-             |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
-             |JOIN supplier ON l_suppkey = s_suppkey
-             |JOIN nation ON s_nationkey = n_nationkey
-             |JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin),
-    ),
-
-    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
-    // join (zero-order customers must appear), two-level aggregation.
-    QueryDef(
-      "q13_order_distribution",
-      (s, d) => {
-        val cu = Tables.customer(s, d)
-        val o = Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
-        cu.join(o, cu("c_custkey") === o("o_custkey"), "left_outer")
-          .groupBy(col("c_custkey"))
-          .agg(count(col("o_orderkey")).as("c_count"))
-          .groupBy(col("c_count"))
-          .agg(count(lit(1)).as("custdist"))
-          .orderBy(col("custdist").desc, col("c_count").desc)
-      },
-      Some("""SELECT c_count, count(*) AS custdist FROM (
-             |  SELECT c_custkey, count(o_orderkey) AS c_count
-             |  FROM customer LEFT OUTER JOIN orders
-             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-             |  GROUP BY c_custkey)
-             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
-    ),
-
-    // TPC-H Q15 shape: top supplier — revenue CTE consumed twice (per-
-    // supplier revenue ⋈ its global max); the max side is a 1-row
-    // broadcast, no correlated re-evaluation.
-    QueryDef(
-      "q15_top_supplier",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .filter(year(col("l_shipdate")) === 2000)
-        val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
-          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
-            .as("total_revenue_d"))
-        val top = rev.agg(max("total_revenue_d").as("max_rev"))
-        val su = Tables.supplier(s, d)
-        rev.join(broadcast(top), col("total_revenue_d") === col("max_rev"))
-          .join(su, col("supplier_no") === col("s_suppkey"))
-          .select(col("s_suppkey"), col("s_name"),
-            col("total_revenue_d").cast("double").as("total_revenue"))
-          .orderBy("s_suppkey")
-      },
-      Some("""WITH revenue AS (
-             |  SELECT l_suppkey AS supplier_no,
-             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue_d
-             |  FROM lineitem WHERE year(l_shipdate) = 2000 GROUP BY l_suppkey)
-             |SELECT s_suppkey, s_name, CAST(total_revenue_d AS DOUBLE) AS total_revenue
-             |FROM revenue JOIN supplier ON supplier_no = s_suppkey
-             |WHERE total_revenue_d = (SELECT MAX(total_revenue_d) FROM revenue)
-             |ORDER BY s_suppkey""".stripMargin),
-    ),
-
-    // TPC-H Q18 shape: large-volume customers — grouped HAVING on the
-    // fact, then semi-joined back through orders/customer. The HAVING
-    // side is tiny after aggregation → broadcast.
-    QueryDef(
-      "q18_large_orders",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val o = Tables.orders(s, d)
-        val cu = Tables.customer(s, d)
-        val big = li.groupBy("l_orderkey")
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
-          .filter(col("sum_qty") > 150)
-        cu.join(o, cu("c_custkey") === o("o_custkey"))
-          .join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
-          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-            col("o_totalprice").cast("double").as("o_totalprice"),
-            col("sum_qty").cast("double").as("sum_qty"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-          .limit(100)
-      },
-      Some("""SELECT c_custkey, c_name, o_orderkey,
-             |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
-             |FROM customer
-             |JOIN orders ON c_custkey = o_custkey
-             |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
-             |      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
-             |  ON o_orderkey = big.l_orderkey
-             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
-    ),
-
-    // TPC-H Q21 shape (adapted: no commit/receipt dates in the corpus,
-    // "late" := shipped >90 days after the order date): suppliers who
-    // were the ONLY late supplier on a multi-supplier order — the
-    // classic EXISTS + NOT EXISTS double self-correlation, decorrelated
-    // to a semi-join plus an anti-join on the same grouped frame.
-    QueryDef(
-      "q21_waiting_supplier",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-        val su = Tables.supplier(s, d)
-        val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .withColumn("is_late", col("l_shipdate") > date_add(col("o_orderdate"), 90))
-        val l1 = late.filter(col("is_late"))
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        // another supplier exists on the order (late or not)
-        val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-        // no OTHER supplier was late
-        val otherLate = late.filter(col("is_late"))
-          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
-        l1.join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
-          .join(otherLate, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
-          .join(su, col("sk") === col("s_suppkey"))
-          .groupBy(col("s_name"))
-          .agg(count(lit(1)).as("numwait"))
-          .orderBy(col("numwait").desc, col("s_name"))
-          .limit(100)
-      },
-      Some("""SELECT s_name, count(*) AS numwait
-             |FROM lineitem l1
-             |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
-             |JOIN supplier ON l1.l_suppkey = s_suppkey
-             |WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
-             |  AND EXISTS (SELECT 1 FROM lineitem l2
-             |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
-             |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-             |                    AND o3.o_orderstatus = 'F'
-             |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
-             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
-    ),
-
-    // TPC-H Q22 shape (adapted: no phone column — country buckets come
-    // from c_nationkey): positive-balance customers above the average
-    // balance with no orders — scalar subquery broadcast + anti-join.
-    QueryDef(
-      "q22_global_sales",
-      (s, d) => {
-        val cu = Tables.customer(s, d).filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
-        val o = Tables.orders(s, d)
-        // exact threshold compare: bal > sum/cnt ⇔ bal·cnt > sum —
-        // no decimal division, so both engines agree bit-for-bit
-        val avgBal = cu.filter(col("c_acctbal") > 0.0)
-          .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal_sum"),
-            count(lit(1)).as("bal_cnt"))
-        cu.crossJoin(broadcast(avgBal))
-          .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("bal_cnt") > col("bal_sum"))
-          .join(o, cu("c_custkey") === o("o_custkey"), "left_anti")
-          .groupBy(col("c_nationkey").as("cntrycode"))
-          .agg(count(lit(1)).as("numcust"),
-            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
-          .orderBy("cntrycode")
-      },
-      Some("""WITH eligible AS (
-             |  SELECT * FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)),
-             |threshold AS (
-             |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum, COUNT(*) AS bal_cnt
-             |  FROM eligible WHERE c_acctbal > 0.0)
-             |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
-             |FROM eligible, threshold
-             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_cnt > bal_sum
-             |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-             |GROUP BY 1 ORDER BY 1""".stripMargin),
-    ),
-
-    // TPC-H Q11 shape: important stock — per-part inventory value for
-    // one nation's suppliers vs a fraction of the nation total (HAVING
-    // against a scalar subquery → 1-row broadcast, exact decimal
-    // compare, no division). The corpus has no partsupp table, so the
-    // part-supplier relation is DERIVED deterministically from
-    // lineitem (availqty = 10 lines supplied, supplycost = the
-    // supplier's min extended price) — both engines compute the same
-    // derivation, so the oracle still gates every row. At 100 TB the
-    // derivation is one map-side-combined shuffle on (part, supp) and
-    // the nation filter reaches it through two broadcast dims.
-    QueryDef(
-      "q11_important_stock",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val ps = li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-          .agg((count(lit(1)) * 10).as("ps_availqty"),
-            min(col("l_extendedprice").cast(DecimalType(18, 2))).as("ps_supplycost"))
-        val su = Tables.supplier(s, d)
-        val na = Tables.nation(s, d).filter(col("n_name") === "NATION_7")
-        val nps = ps.join(su, col("ps_suppkey") === col("s_suppkey"))
-          .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
-          .select(col("ps_partkey"), (col("ps_supplycost") * col("ps_availqty")).as("v"))
-        val tot = nps.agg(sum(col("v")).as("tot"))
-        nps.groupBy("ps_partkey").agg(sum(col("v")).as("value_d"))
-          .crossJoin(broadcast(tot))
-          .filter(col("value_d") * 1000 > col("tot"))
-          .select(col("ps_partkey"), col("value_d").cast("double").as("value"))
-          .orderBy(col("value").desc, col("ps_partkey"))
-      },
-      Some("""WITH ps AS (
-             |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-             |         count(*) * 10 AS ps_availqty,
-             |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
-             |  FROM lineitem GROUP BY 1, 2),
-             |nps AS (
-             |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
-             |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
-             |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7')
-             |SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS value
-             |FROM nps GROUP BY ps_partkey
-             |HAVING SUM(v) * 1000 > (SELECT SUM(v) FROM nps)
-             |ORDER BY value DESC, ps_partkey""".stripMargin),
-    ),
-
-    // TPC-H Q16 shape: parts/supplier relationship — COUNT(DISTINCT)
-    // under a grouped rollup with an exclusion anti-join (the corpus
-    // has no s_comment, so "complaint suppliers" := negative account
-    // balance). The distinct-count shuffles once on the group keys
-    // with (key, suppkey) partial dedup map-side; the exclusion list
-    // is a broadcast anti-join.
-    QueryDef(
-      "q16_parts_supplier",
-      (s, d) => {
-        val ps = Tables.lineitem(s, d)
-          .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-          .distinct()
-        val p = Tables.part(s, d).filter(col("p_brand") =!= "Brand#3" &&
-          col("p_type") =!= "MEDIUM" && col("p_size").isin(1, 3, 5, 7, 9))
-        val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
-        ps.join(p, col("ps_partkey") === col("p_partkey"))
-          .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "left_anti")
-          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
-          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
-      },
-      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem)
-             |SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
-             |FROM ps JOIN part ON p_partkey = ps_partkey
-             |WHERE p_brand <> 'Brand#3' AND p_type <> 'MEDIUM' AND p_size IN (1,3,5,7,9)
-             |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-             |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
-    ),
-
-    // TPC-H Q20 shape: potential part promotion — suppliers holding
-    // excess stock (availqty > 2× a year's shipped quantity) of
-    // selected parts in selected nations. The classic correlated
-    // IN/scalar subquery decorrelates to a grouped shipped-quantity
-    // frame joined back on (part, supp): one shuffle each side, the
-    // part-name selection a broadcast semi-join, the qualifying
-    // supplier set a broadcast semi-join into the dimension.
-    QueryDef(
-      "q20_potential_promotion",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val ps = li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-          .agg((count(lit(1)) * 10).as("ps_availqty"))
-        val redParts = Tables.part(s, d).filter(col("p_name").startsWith("red"))
-          .select("p_partkey")
-        val shipped = li.filter(year(col("l_shipdate")) === 2000)
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
-        val qualifying = ps
-          .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
-          .join(shipped, col("ps_partkey") === col("l_partkey") &&
-            col("ps_suppkey") === col("l_suppkey"))
-          .filter(col("ps_availqty") > col("qty") * 2)
-          .select(col("ps_suppkey"))
-        val na = Tables.nation(s, d)
-          .filter(col("n_name").isin("NATION_3", "NATION_5", "NATION_7", "NATION_9"))
-        Tables.supplier(s, d)
-          .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(qualifying), col("s_suppkey") === col("ps_suppkey"), "left_semi")
-          .select(col("s_suppkey"), col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
-          .orderBy("s_suppkey")
-      },
-      Some("""WITH ps AS (
-             |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, count(*) * 10 AS ps_availqty
-             |  FROM lineitem GROUP BY 1, 2),
-             |shipped AS (
-             |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
-             |  FROM lineitem WHERE year(l_shipdate) = 2000 GROUP BY 1, 2)
-             |SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
-             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-             |WHERE n_name IN ('NATION_3','NATION_5','NATION_7','NATION_9')
-             |  AND s_suppkey IN (
-             |    SELECT ps_suppkey FROM ps
-             |    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-             |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
-             |      AND ps_availqty > 2 * qty)
-             |ORDER BY s_suppkey""".stripMargin),
-    ),
   )
 
-  /** versioned-table fixture shared by vt_merge / vt_diff: base commit
-    * (v0) + one MERGE (v1), built once per (session, sfDir) — both
-    * queries read the same deterministic two-version table, so the
-    * transactional build cost is paid once per session, not per query.
-    * One slot, compared by session reference and rebuilt when the
-    * session or sfDir changes (or the session was stopped) — no
-    * unbounded growth, no hash-collision aliasing. */
-  private var vtCached: Option[(SparkSession, String, graft.sources.VersionedTable)] = None
-
-  private def vtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = synchronized {
-    vtCached match {
-      case Some((sess, dir, vt)) if (sess eq s) && dir == d && !sess.sparkContext.isStopped => vt
-      case _ =>
-        val vt = buildVtFixture(s, d)
-        vtCached = Some((s, d, vt))
-        vt
-    }
-  }
-
-  /** The table-format scale contract, parameterized by volume: n
-    * executor-born rows through the FULL transactional path — bucketed
-    * commit with zone maps, a 10% MERGE (update/insert/delete), CDC
-    * classification of the step, zone-map-pruned read, and incremental
-    * MV advance via the CDC follower — with the planted change counts
-    * pinned in the result row. Every step is O(dirty buckets)/O(delta)
-    * except the initial commit, and the counts prove none of the
-    * machinery silently degraded to a full rewrite. The oracle replays
-    * the fixture's MERGE rule in SQL: n/10 update keys (every 10th a
-    * delete), n/50 fresh inserts, and the range count after deletes. */
-  /** dq5/st9 shared window labeling: reference = first half of
-    * documents by doc_id, current = second half with the planted
-    * language-mix shift (every 7th doc relabeled 'zh'). */
-  private def driftLab(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val half = docs.agg(expr("(max(doc_id)+1) DIV 2").as("half"))
-    docs.crossJoin(broadcast(half))
-      .select(col("doc_id"),
-        (col("doc_id") < col("half")).as("is_ref"),
-        when(col("doc_id") >= col("half") && col("doc_id") % 7 === 0, "zh")
-          .otherwise(col("lang")).as("lang2"),
-        col("source"), col("n_chars"))
-  }
-
-  /** the long-format (feature, bin) projection both monitors profile.
-    * NULL feature values coalesce to the '∅' bin HERE, identically in
-    * the oracle SQL, so batch, stream, and DuckDB group a null the
-    * same way (and the streaming side's driver map never sees a null
-    * key). */
-  private def driftLong(lab: DataFrame): DataFrame =
-    lab.selectExpr("doc_id", "is_ref",
-      "stack(3, 'lang', coalesce(lang2, '∅'), 'source', coalesce(source, '∅'), " +
-        "'chars_bin', coalesce(CAST(n_chars DIV 200 AS STRING), '∅')) AS (feature, bin)")
-
-  /** the batch drift plan over the long frame — one bounded-
-    * cardinality shuffle on (feature, bin), per-feature totals
-    * broadcast back, chi-square-shaped score in EXACT integer
-    * arithmetic (ppm rates by floor division) so the score itself
-    * hash-matches the oracle. greatest(·,1): an EMPTY window means
-    * every bin count on that side is 0, so the guarded rates are all
-    * 0 and the score is 0 ("no data" ⇒ "no drift evidence") —
-    * identically on both engines, instead of an ANSI divide-by-zero
-    * here and NULLs in DuckDB. */
-  private def driftScoresDf(long: DataFrame): DataFrame = {
-    val counts = long.groupBy("feature", "bin").agg(
-      sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
-      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
-    val tot = counts.groupBy("feature").agg(sum("a").as("ta"), sum("b").as("tb"))
-    counts.join(broadcast(tot), Seq("feature"))
-      .selectExpr("feature", "ta", "tb",
-        "a*1000000 DIV greatest(ta, 1) AS pa",
-        "b*1000000 DIV greatest(tb, 1) AS pb")
-      .groupBy("feature")
-      .agg(count(lit(1)).as("n_bins"),
-        min("ta").as("ref_total"), min("tb").as("cur_total"),
-        sum(expr("(pa-pb)*(pa-pb) DIV (pa+pb+1)")).as("score"))
-      .withColumn("drifted", col("score") > 20000L)
-      .orderBy("feature")
-  }
-
-  /** the drift oracle, shared by dq5 and st9 (st9 appends its
-    * stream≡batch verdict column via `extraCols`). */
-  private def driftOracleSql(extraCols: String): String =
-    s"""WITH mx AS (SELECT (max(doc_id)+1)//2 AS half FROM documents),
-       |lab AS (
-       |  SELECT doc_id, doc_id < half AS is_ref,
-       |    CASE WHEN doc_id >= half AND doc_id % 7 = 0 THEN 'zh' ELSE lang END AS lang2,
-       |    source, n_chars
-       |  FROM documents, mx),
-       |lng AS (
-       |  SELECT is_ref, 'lang' AS feature, coalesce(lang2, '∅') AS bin FROM lab
-       |  UNION ALL SELECT is_ref, 'source', coalesce(source, '∅') FROM lab
-       |  UNION ALL SELECT is_ref, 'chars_bin', coalesce(CAST(n_chars // 200 AS VARCHAR), '∅') FROM lab),
-       |counts AS (
-       |  SELECT feature, bin,
-       |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS a,
-       |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS b
-       |  FROM lng GROUP BY feature, bin),
-       |tot AS (SELECT feature, SUM(a) AS ta, SUM(b) AS tb FROM counts GROUP BY feature),
-       |rates AS (
-       |  SELECT c.feature, ta, tb,
-       |    a*1000000 // greatest(ta, 1) AS pa, b*1000000 // greatest(tb, 1) AS pb
-       |  FROM counts c JOIN tot t ON t.feature = c.feature)
-       |SELECT feature, count(*) AS n_bins,
-       |  CAST(min(ta) AS BIGINT) AS ref_total, CAST(min(tb) AS BIGINT) AS cur_total,
-       |  CAST(SUM((pa-pb)*(pa-pb) // (pa+pb+1)) AS BIGINT) AS score,
-       |  CAST(SUM((pa-pb)*(pa-pb) // (pa+pb+1)) AS BIGINT) > 20000 AS drifted$extraCols
-       |FROM rates GROUP BY feature ORDER BY feature""".stripMargin
-
-  private def vtScaleQuery(name: String, n: Long, nBuckets: Int): QueryDef = {
-    val prunedHi = n / 3 - 1
-    QueryDef(
-      name,
-      (s, _) => {
-        val dir = java.nio.file.Files.createTempDirectory("vt_scale").toString
-        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = nBuckets)
-        val base = s.range(n).select(col("id").as("k"),
-          (col("id") % 1000).as("grp"), (col("id") % 997).cast("double").as("v"))
-        vt.commit(base, Seq("k"), None, statsCols = Seq("k"))
-        // 10% of keys updated, 2% fresh inserts, 1% deletes
-        val updates = s.range(n / 10).select(
-          (col("id") * 10).as("k"), (col("id") % 1000).as("grp"),
-          lit(-1.0).as("v"), (col("id") % 10 === 9).as("del"))
-          .union(s.range(n, n + n / 50).select(col("id").as("k"),
-            (col("id") % 1000).as("grp"), lit(5.0).as("v"), lit(false).as("del")))
-        vt.merge(updates, Seq("k"), Some(0), deleteCol = Some("del"), statsCols = Seq("k"))
-
-        val d = vt.diff(Seq("k"), 0, 1)
-          .groupBy("change_type").agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val follower = new graft.streaming.CdcFollower(s, vt, Seq("k"), "grp", "v")
-        follower.seed(0); follower.catchUp()
-        val mvOk = follower.snapshot().count() == 1000 &&
-          follower.version == 1
-        // the real serving path: zone-map bucket pruning + residual
-        // range filter — its count is fixture arithmetic the oracle
-        // re-derives (n/3 base keys in range minus the deleted ones)
-        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(prunedHi)).get
-          .filter(col("k").between(0L, prunedHi)).count()
-        val total = vt.read().get.count()
-        follower.snapshot().unpersist()
-        // every read above has collected — reclaim the temp table
-        // (at 3M rows this is ~10² MB of dead parquet per run)
-        graft.core.Fs.deleteRecursively(new java.io.File(dir))
-        import s.implicits._
-        Seq((n, total, d.getOrElse("update", 0L), d.getOrElse("insert", 0L),
-          d.getOrElse("delete", 0L), pruned, mvOk))
-          .toDF("n_base", "n_final", "n_updates", "n_inserts", "n_deletes",
-            "n_pruned_read", "mv_ok")
-      },
-      Some(s"""WITH upd AS (SELECT unnest(range(${n / 10})) AS id),
-              |ins AS (SELECT unnest(range($n, ${n + n / 50})) AS k),
-              |del AS (SELECT id * 10 AS k FROM upd WHERE id % 10 = 9)
-              |SELECT CAST($n AS BIGINT) AS n_base,
-              |  CAST($n - (SELECT count(*) FROM del) + (SELECT count(*) FROM ins) AS BIGINT) AS n_final,
-              |  CAST((SELECT count(*) FROM upd WHERE id % 10 <> 9) AS BIGINT) AS n_updates,
-              |  CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_inserts,
-              |  CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deletes,
-              |  CAST(${n / 3} - (SELECT count(*) FROM del WHERE k <= $prunedHi) AS BIGINT) AS n_pruned_read,
-              |  TRUE AS mv_ok""".stripMargin),
-    )
-  }
-
-
-  private def buildVtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = {
-    {
-      val dir = java.nio.file.Files.createTempDirectory("vt_fixture").toString
-      val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
-      val base = Tables.orders(s, d)
-        .filter(col("o_orderkey") % 7 =!= 0)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      vt.commit(base, Seq("o_orderkey"), None)
-      val updates = Tables.orders(s, d)
-        .filter(col("o_orderkey") % 3 === 0)
-        .select(
-          col("o_orderkey"),
-          col("o_custkey"),
-          (col("o_totalprice") * 2).as("o_totalprice"),
-          (col("o_orderkey") % 15 === 0).as("del"))
-      vt.merge(updates, Seq("o_orderkey"), Some(0), deleteCol = Some("del"))
-      vt
-    }
-  }
 }

@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.queries.Documents._
+
+/** Streaming-pipeline and external-ingest registry, split out of
+  * [[Documents]]: the end-to-end streaming document pipeline (st7),
+  * the streaming near-dup ingest gate (st8), and the JSONL / CSV /
+  * ORC lake-ingest contracts (explicit schemas, PERMISSIVE quarantine,
+  * writer/reader round-trips oracled against parquet ground truth).
+  */
+object StreamIngest {
+
+  val all: Seq[QueryDef] = Seq(
+    // st7 — the d18 pipeline as a STREAM: the same composition (exact
+    // dedup → quality gate → corpus mix → 512-token packing) run
+    // through graft.streaming.StreamingPipeline — stateful content-
+    // hash dedup (flatMapGroupsWithState), stateless gate/mix, and an
+    // incrementally maintained packing manifest whose per-batch
+    // placement reuses the chunked prefix-sum discipline (O(1) driver
+    // state, one distributed pass per micro-batch). The corpus is
+    // replayed in id-ordered micro-batches (3 at fixture volume — the
+    // backfill-replay order; the driver-side collect here is fixture
+    // wiring, a real deployment reads the ingest log); the emitted row
+    // carries the
+    // BATCH pipeline's manifest summary (everything the oracle
+    // recomputes) plus the stream≡batch verdict across all five
+    // accumulators. This is the backfill→live claim for the document
+    // pipeline, driver-gated like the zk MV family.
+    QueryDef(
+      "st7_stream_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        // batch twin — exactly the d18 stages
+        val keep = docs
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val gated = tokens(docs.join(keep, Seq("doc_id"), "left_semi"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+          .filter(col("n_tokens") >= 30)
+        val mixed = gated.filter(graft.operators.CorpusPipeline.mixKeep).persist()
+        val bins = packBins(packedStarts(mixed, chunk = 64L), cap = 512L)
+        val b = bins.agg(
+          coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+          count(lit(1)).as("n_bins"),
+          coalesce(sum(when(col("n_tokens") === 512L, 1L).otherwise(0L)), lit(0L)).as("n_full_bins"),
+          coalesce(sum(col("bin") * col("n_tokens")), lit(0L)).as("layout_checksum"))
+          .collect()(0)
+        val nKept = mixed.count()
+        mixed.unpersist()
+
+        // the stream: same corpus, 3 id-ordered micro-batches. The
+        // stateful dedup allocates one state-store instance per
+        // shuffle partition per micro-batch — at fixture volume 8
+        // partitions carry the state with a quarter of the store
+        // commit overhead (a real deployment sizes this to the
+        // executor count, same as any stateful stream)
+        import graft.streaming.StreamingPipeline
+        implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+        val prevParts = s.conf.getOption("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val es = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[StreamingPipeline.Doc]
+        val mv = new StreamingPipeline.PackingMv(cap = 512L)
+        val q = StreamingPipeline.run(es.toDS(), mv)
+        try {
+          val all = docs.select("doc_id", "text").orderBy("doc_id").collect()
+            .map(r => StreamingPipeline.Doc(r.getLong(0), r.getString(1)))
+          all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+            es.addData(chunk.toSeq); q.processAllAvailable()
+          }
+        } finally {
+          q.stop()
+          prevParts match {
+            case Some(v) => s.conf.set("spark.sql.shuffle.partitions", v)
+            case None => s.conf.unset("spark.sql.shuffle.partitions")
+          }
+        }
+        val st = mv.state
+        val matches = st.nDocs == nKept &&
+          st.totalTokens == b.getLong(0) &&
+          st.nBins(512L) == b.getLong(1) &&
+          st.nFullBins(512L) == b.getLong(2) &&
+          st.checksum == b.getLong(3)
+        Seq((nKept, b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), matches))
+          .toDF("n_docs_kept", "total_tokens", "n_bins", "n_full_bins",
+            "layout_checksum", "stream_matches_batch")
+      },
+      Some(s"""WITH keep AS (
+              |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+              |toks AS (
+              |  SELECT t.doc_id, count(*) AS n_tokens FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+              |  JOIN keep k ON k.doc_id = t.doc_id
+              |  WHERE w <> '' GROUP BY t.doc_id),
+              |gated AS (SELECT doc_id, n_tokens FROM toks WHERE n_tokens >= 30),
+              |mixed AS (
+              |  SELECT doc_id, n_tokens FROM gated
+              |  WHERE (${MhDuckParse("md5('mix|' || CAST(doc_id AS VARCHAR))")} + 1) / 1152921504606846976.0
+              |    <= CASE doc_id % 3 WHEN 0 THEN 0.9 WHEN 1 THEN 0.5 ELSE 0.2 END),
+              |placed AS (
+              |  SELECT doc_id, n_tokens,
+              |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              |  FROM mixed),
+              |spans AS (
+              |  SELECT doc_id, n_tokens, start,
+              |    unnest(range(CAST(start // 512 AS BIGINT), CAST((start + n_tokens - 1) // 512 + 1 AS BIGINT))) AS bin
+              |  FROM placed),
+              |bins AS (
+              |  SELECT bin, count(*) AS n_docs,
+              |    CAST(SUM(least(start + n_tokens, (bin + 1) * 512) - greatest(start, bin * 512)) AS BIGINT) AS n_tokens
+              |  FROM spans GROUP BY bin)
+              |SELECT (SELECT count(*) FROM mixed) AS n_docs_kept,
+              |  (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM bins) AS total_tokens,
+              |  (SELECT count(*) FROM bins) AS n_bins,
+              |  (SELECT CAST(COALESCE(SUM(CASE WHEN n_tokens = 512 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM bins) AS n_full_bins,
+              |  (SELECT CAST(COALESCE(SUM(bin * n_tokens), 0) AS BIGINT) FROM bins) AS layout_checksum,
+              |  TRUE AS stream_matches_batch""".stripMargin),
+      headline = true,
+      streamingDriver = true,
+    ),
+
+    // st8 — streaming NEAR-dup ingest gate (the streaming cell of the
+    // dedup matrix, graft.streaming.StreamingNearDup): the committed
+    // corpus (doc_id % 10 ≠ 0) bootstraps bucket-partitioned
+    // signature/hash stores, then the held-out delta streams in 3
+    // arrival-ordered micro-batches; each batch is gated by
+    // directory-PRUNED store probes (pigeonhole block equi-join +
+    // hamming ≤ 3 for near, content hash for exact) plus batch-local
+    // earlier-arrival comparison, and its signatures append into the
+    // same layout — the write-time routing key is the read-time
+    // index, so a batch of B docs reads ≤ min(4B, NBuckets) store
+    // dirs, never the whole store. Verdicts depend only on the arrival
+    // order `seq`, NOT on micro-batch boundaries
+    // (StreamingNearDupSpec pins 1-batch ≡ 3-batch ≡ foreachBatch
+    // stream), which is why the oracle can replay the whole run as
+    // one global similar-to-any-earlier SQL with no batch structure.
+    QueryDef(
+      "st8_stream_neardup",
+      (s, d) => {
+        import graft.streaming.StreamingNearDup
+        val docs = Tables.documents(s, d)
+        // seq packs (batch, doc_id) into one long: corpus far below
+        // every delta, batches 1e7 apart — needs doc_id < 1e7 (same
+        // loud-failure discipline as dd13's id-offset namespaces)
+        val maxId = Option(docs.agg(max("doc_id")).collect()(0)
+          .getAs[java.lang.Long](0)).map(_.longValue).getOrElse(-1L)
+        require(maxId < 10000000L,
+          s"st8's arrival-order seq encoding needs max doc_id < 1e7, got $maxId")
+        val seqCol = when(col("doc_id") % 10 =!= 0, col("doc_id") - 1000000000L)
+          .otherwise(
+            (when(col("doc_id") % 30 === 0, 0L)
+              .when(col("doc_id") % 30 === 10, 1L)
+              .otherwise(2L)) * 10000000L + col("doc_id"))
+        // the HASH derivation is the spine (every doc has a content
+        // hash); the signature joins LEFT because a token-less doc has
+        // no simhash row — it must still get a verdict (exact-dup
+        // semantics only), exactly as the oracle's sig CTE omits it
+        // while its hash CTE covers it
+        val base = contentHashes(docs)
+          .join(simhashDf(docs), Seq("doc_id"), "left")
+          .withColumn("seq", seqCol).persist()
+        val root = java.nio.file.Files.createTempDirectory("stream_neardup").toString
+        // micro-batch frames are tiny — 8 shuffle partitions carry
+        // them with a quarter of the per-stage overhead (the st7
+        // discipline; a real deployment sizes this to the executors)
+        // getOption/unset save-restore (the skew_aqe_join discipline):
+        // a defaulted conf must come back DEFAULTED, not pinned to its
+        // default's value as an explicit session setting
+        val touched = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+        val saved = touched.map(k => k -> s.conf.getOption(k))
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // ~18 tiny stages across the 3 gates: AQE's per-stage
+        // materialize-then-replan barrier costs more than it saves on
+        // micro-batch-sized shuffles — run the gates non-adaptive
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          StreamingNearDup.bootstrap(base.filter(col("doc_id") % 10 =!= 0), root)
+          (0 until 3).map { b =>
+            StreamingNearDup.processBatch(s,
+              base.filter(col("doc_id") % 30 === b * 10), root)
+          }.reduce(_ unionByName _).orderBy("doc_id")
+        } finally {
+          saved.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+          base.unpersist()
+          graft.core.Fs.deleteRecursively(new java.io.File(root))
+        }
+      },
+      Some(s"""WITH $SimhashSql,
+              |hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+              |ordx AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 10 <> 0 THEN doc_id - 1000000000
+              |         ELSE (CASE doc_id % 30 WHEN 0 THEN 0 WHEN 10 THEN 1 ELSE 2 END) * 10000000 + doc_id
+              |    END AS seq
+              |  FROM documents),
+              |db AS (SELECT g.doc_id, o.seq, g.simhash, p, substring(g.simhash, p*8+1, 8) AS blk
+              |       FROM sig g JOIN ordx o ON o.doc_id = g.doc_id
+              |       CROSS JOIN (SELECT unnest(range(0,4)) AS p) ps),
+              |cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS cid, a.simhash AS sig_a, b.simhash AS sig_b
+              |         FROM db a JOIN db b ON a.p = b.p AND a.blk = b.blk AND b.seq < a.seq
+              |         WHERE a.doc_id % 10 = 0),
+              |nr AS (SELECT doc_id, min(cid) AS nm FROM cand WHERE $hamming32 <= 3 GROUP BY doc_id),
+              |ho AS (SELECT h.doc_id, o.seq, h.h FROM hx h JOIN ordx o ON o.doc_id = h.doc_id),
+              |ex AS (SELECT a.doc_id, min(b.doc_id) AS em FROM ho a JOIN ho b ON a.h = b.h AND b.seq < a.seq
+              |       WHERE a.doc_id % 10 = 0 GROUP BY a.doc_id)
+              |SELECT d.doc_id,
+              |  CASE WHEN e.em IS NOT NULL THEN 'exact_dup'
+              |       WHEN n.nm IS NOT NULL THEN 'near_dup' ELSE 'keep' END AS verdict,
+              |  COALESCE(e.em, n.nm, -1) AS match_id
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+              |LEFT JOIN ex e ON e.doc_id = d.doc_id
+              |LEFT JOIN nr n ON n.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      streamingDriver = true,
+    ),
+
+    // ------------------------------------------------------------------
+    // src_jsonl_ingest — JSONL ingestion round trip with corrupt-record
+    // quarantine: the documents table is written as JSON Lines by the
+    // DISTRIBUTED writer (to_json per row, text sink), two malformed
+    // lines are planted, and the directory is read back with an
+    // EXPLICIT schema in PERMISSIVE mode — no inference pass (at
+    // 100 TB, schema inference is a full extra scan) and bad input
+    // lands in a quarantine column instead of aborting the job. The
+    // oracle recomputes every aggregate from the parquet ground truth
+    // (+ the planted corrupt count), so agreement proves the
+    // writer/reader pair end to end — the mm3/mm4 pattern for text.
+    QueryDef(
+      "src_jsonl_ingest",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("jsonl_ingest").toString
+        Tables.documents(s, d)
+          .select(to_json(struct(
+            col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))))
+          .write.mode("overwrite").text(dir)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "planted_corrupt.txt"),
+          "this line is not json\n{\"doc_id\": 1,,}\n")
+        val schema = "doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "n_chars LONG, _corrupt STRING"
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(dir)
+          .agg(
+            sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(col("_corrupt").isNull, col("doc_id"))).as("sum_ids"),
+            sum(when(col("_corrupt").isNull, col("n_chars"))).as("sum_chars"),
+            countDistinct(when(col("_corrupt").isNull, col("lang"))).as("n_langs"))
+      },
+      Some("""SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM documents""".stripMargin),
+    ),
+
+    // src_csv_ingest — the same round trip through the CSV
+    // writer/reader (quoting handled by the writer, explicit schema,
+    // PERMISSIVE quarantine): one planted line with a wrong column
+    // count and one with an unparseable doc_id both land in the
+    // corrupt column, never abort the scan. PERMISSIVE keeps the
+    // fields of a malformed row that DID parse (only the broken ones
+    // null out), so every aggregate below is gated on the quarantine
+    // flag. Same oracle cross-check against the parquet ground truth.
+    QueryDef(
+      "src_csv_ingest",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("csv_ingest").toString
+        Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").option("header", "false").csv(dir)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "planted_corrupt.txt"),
+          "a,b,c,d,e,f,g,h\nnotanumber,hello,en,src0,12\n")
+        val schema = "doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "n_chars LONG, _corrupt STRING"
+        s.read.schema(schema)
+          .option("header", "false")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dir)
+          .agg(
+            sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(col("_corrupt").isNull, col("doc_id"))).as("sum_ids"),
+            sum(when(col("_corrupt").isNull, col("n_chars"))).as("sum_chars"),
+            countDistinct(when(col("_corrupt").isNull, col("lang"))).as("n_langs"))
+      },
+      Some("""SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM documents""".stripMargin),
+    ),
+
+    // src_orc_ingest — the third columnar round trip (parquet is the
+    // native store, CSV/JSONL the quarantined text paths; ORC is the
+    // other columnar format a lake actually holds). The read-back
+    // proves the same scan-level contract as S1: the lang filter and
+    // 3-column projection reach the ORC reader (searchArguments +
+    // pruned schema — asserted in SourcesSpec), and the aggregate is
+    // cross-checked against the parquet ground truth.
+    QueryDef(
+      "src_orc_ingest",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("orc_ingest").toString
+        try {
+        Tables.documents(s, d)
+          .select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").orc(dir)
+        val back = s.read.orc(dir)
+          .filter(col("lang") =!= "en")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").as("total_chars"),
+            sum("doc_id").as("id_checksum"))
+          .orderBy("lang")
+        val rows = back.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
+        // a failed collect must not strand the ORC copy of documents
+        } finally graft.core.Fs.deleteRecursively(new java.io.File(dir))
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+             |FROM documents WHERE lang <> 'en'
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+    ),
+  )
+}

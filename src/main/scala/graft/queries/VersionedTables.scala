@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+import graft.queries.Relational._
+
+/** Versioned-table (table-format) registry, split out of
+  * [[Relational]]: MERGE / snapshot-diff (CDC) / incremental-MV /
+  * point-lookup contracts over [[graft.sources.VersionedTable]], the
+  * time-travel and compact-vacuum lifecycle rows, and the 300k/3M-row
+  * transactional scale proofs.
+  */
+object VersionedTables {
+
+  /** versioned-table fixture shared by vt_merge / vt_diff: base commit
+    * (v0) + one MERGE (v1), built once per (session, sfDir) — both
+    * queries read the same deterministic two-version table, so the
+    * transactional build cost is paid once per session, not per query.
+    * One slot, compared by session reference and rebuilt when the
+    * session or sfDir changes (or the session was stopped) — no
+    * unbounded growth, no hash-collision aliasing. */
+  private var vtCached: Option[(SparkSession, String, graft.sources.VersionedTable)] = None
+
+  private def vtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = synchronized {
+    vtCached match {
+      case Some((sess, dir, vt)) if (sess eq s) && dir == d && !sess.sparkContext.isStopped => vt
+      case _ =>
+        val vt = buildVtFixture(s, d)
+        vtCached = Some((s, d, vt))
+        vt
+    }
+  }
+
+
+  val all: Seq[QueryDef] = Seq(
+    // MERGE (upsert) through the transactional versioned sink: base
+    // table → merge(updates with update/insert/delete) → snapshot
+    // read-back. Exercises the whole table-format path end-to-end
+    // (bucket copy-on-write, manifest commit, snapshot read); the
+    // oracle states MERGE semantics directly in SQL (replace matched
+    // keys, insert unmatched, drop delete-flagged).
+    QueryDef(
+      "vt_merge",
+      (s, d) => vtFixture(s, d).read().get.orderBy("o_orderkey"),
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         (o_orderkey % 15 = 0) AS del
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |kept AS (
+             |  SELECT b.* FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
+             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del)
+             |SELECT * FROM kept UNION ALL SELECT * FROM ins
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // CDC read on the versioned sink: the classified row-level delta
+    // between two committed versions, computed from ONLY the buckets
+    // whose manifest entries changed. Same base/updates derivation as
+    // vt_merge; the oracle restates insert/delete/update semantics
+    // directly over the source table.
+    QueryDef(
+      "vt_diff",
+      (s, d) => vtFixture(s, d).diff(Seq("o_orderkey"), 0, 1).orderBy("o_orderkey"),
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         (o_orderkey % 15 = 0) AS del
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |ins AS (
+             |  SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, 'insert' AS change_type
+             |  FROM upd u WHERE NOT u.del
+             |    AND NOT EXISTS (SELECT 1 FROM base b WHERE b.o_orderkey = u.o_orderkey)),
+             |dels AS (
+             |  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, 'delete' AS change_type
+             |  FROM base b JOIN upd u ON u.o_orderkey = b.o_orderkey WHERE u.del),
+             |upds AS (
+             |  SELECT u.o_orderkey, u.o_custkey, u.o_totalprice, 'update' AS change_type
+             |  FROM base b JOIN upd u ON u.o_orderkey = b.o_orderkey
+             |  WHERE NOT u.del
+             |    AND (b.o_custkey <> u.o_custkey OR b.o_totalprice <> u.o_totalprice))
+             |SELECT * FROM ins UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM upds
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // Incremental materialized-view maintenance over CDC: the per-
+    // customer order aggregate is computed ONCE on v0, then advanced
+    // to v1 by applying ONLY the cdc() delta (insert/update_postimage
+    // add, delete/update_preimage retract) — never recomputing from
+    // the v1 table. Cost per version step is O(changed buckets) +
+    // O(touched groups), not O(table) — the only maintenance shape
+    // that survives a 100-TB base table with small daily deltas. The
+    // oracle recomputes the aggregate from the v1 state directly, so
+    // a hash match proves delta application ≡ full recompute.
+    // Exact DECIMAL sums make the incremental adds order-insensitive.
+    QueryDef(
+      "vt_incr_mv",
+      (s, d) => {
+        val vt = vtFixture(s, d)
+        val dec = DecimalType(18, 2)
+        val mv0 = vt.read(Some(0)).get
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(dec)).as("total"))
+        val delta = vt.cdc(Seq("o_orderkey"), 0, 1)
+          .withColumn("sgn",
+            when(col("change_type").isin("insert", "update_postimage"), 1L).otherwise(-1L))
+          .groupBy("o_custkey")
+          .agg(sum(col("sgn")).as("dn"),
+            sum(col("sgn").cast(dec) * col("o_totalprice").cast(dec)).as("dt"))
+        mv0.join(delta, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+            (coalesce(col("total"), lit(0).cast(dec)) + coalesce(col("dt"), lit(0).cast(dec))).as("total"))
+          .filter(col("n_orders") > 0)
+          .select(col("o_custkey"), col("n_orders"),
+            col("total").cast("double").as("total"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         (o_orderkey % 15 = 0) AS del
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |kept AS (
+             |  SELECT b.* FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
+             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del),
+             |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+             |SELECT o_custkey, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM final GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+      headline = true,
+    ),
+
+    // Point-lookup serving path on the versioned table: k probe keys
+    // open at most min(k, nBuckets) hash-bucket directories — the
+    // write-time routing hash IS the read-time index, no scan of the
+    // other buckets ever happens. Probes keys that were inserted,
+    // updated, AND deleted by the merge; the oracle restates the
+    // final table state filtered to the probe set.
+    QueryDef(
+      "vt_lookup",
+      (s, d) => {
+        val vt = vtFixture(s, d)
+        val probe = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === 1).select("o_orderkey")
+        vt.lookup(probe, Seq("o_orderkey")).get.orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+             |upd AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             |         (o_orderkey % 15 = 0) AS del
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |kept AS (
+             |  SELECT b.* FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)),
+             |ins AS (SELECT o_orderkey, o_custkey, o_totalprice FROM upd WHERE NOT del),
+             |final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+             |SELECT * FROM final WHERE o_orderkey % 97 = 1 ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // Time travel: snapshot read of the PRE-merge version of the
+    // versioned table — later commits never disturb a pinned reader,
+    // and the oracle restates exactly the base state. Paired with
+    // vt_merge (v1) this checks both ends of the version axis through
+    // the driver gate.
+    QueryDef(
+      "vt_time_travel",
+      (s, d) => vtFixture(s, d).read(Some(0)).get.orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin),
+    ),
+
+    // Table-format scale benchmark: 1M executor-born rows through the
+    // FULL transactional path — bucketed commit with zone maps, a 10%
+    // MERGE (update/insert/delete), CDC classification of the step,
+    // zone-map-pruned read, and incremental MV advance via the CDC
+    // follower — with the planted change counts pinned in the result
+    // row. This is the dd_scale_1m/ss_scale_1m discipline applied to
+    // the storage layer: every step is O(dirty buckets)/O(delta)
+    // except the initial commit, and the counts prove none of the
+    // machinery silently degraded to a full rewrite.
+    vtScaleQuery("vt_scale_300k", 300000L, nBuckets = 32),
+
+    // Task-9 decade stretch: the SAME transactional contract at 3M rows
+    // / 64 buckets — proves the dirty-bucket / O(delta) claims hold one
+    // order of magnitude up (commit cost grows linearly; MERGE, CDC,
+    // MV advance and the pruned read stay delta/bucket-bounded).
+    vtScaleQuery("vt_scale_3m", 3000000L, nBuckets = 64),
+
+    // Table-maintenance lifecycle as a driver-checked contract: five
+    // narrow merges fragment the table across version directories
+    // (copy-on-write leaves untouched buckets behind in older dirs),
+    // COMPACT rewrites every bucket into one fresh dir with a z-order
+    // layout sort (clustering applied exactly where a table format
+    // applies it), the zone-map-pruned serving read still works on the
+    // compacted layout, a reader pinned to the pre-compact version is
+    // undisturbed, and VACUUM reclaims every dead directory while the
+    // live snapshot stays bit-identical (checksum pinned by the oracle's
+    // replay of the merge rule — at 100 TB this dance is what keeps a
+    // thousand-commit table from dissolving into millions of files).
+    QueryDef(
+      "vt_compact",
+      (s, _) => {
+        val n = 50000L
+        val dir = java.nio.file.Files.createTempDirectory("vt_compact").toString
+        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
+        val base = s.range(n).select(col("id").as("k"),
+          (col("id") % 100).as("grp"), (col("id") % 97).cast("double").as("v"))
+        vt.commit(base, Seq("k"), None, statsCols = Seq("k"))
+        // each merge touches exactly two keys — a handful of dirty
+        // buckets per version, so the current snapshot spans many dirs
+        (1 to 5).foreach { i =>
+          val upd = s.range(2).select((col("id") + i * 1000L).as("k"),
+            ((col("id") + i * 1000L) % 100).as("grp"), lit(-i.toDouble).as("v"))
+          vt.merge(upd, Seq("k"), Some(i - 1), statsCols = Seq("k"))
+        }
+        val fragBefore = vt.dataDirCount()
+        val sumBefore = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
+        vt.compact(Seq("k"), Some(5), statsCols = Seq("k"),
+          layoutSort = Seq(graft.operators.ZOrder.zorderCol(
+            Seq(col("grp"), pmod(col("k"), lit(1024L))), bits = 10)))
+        val dirsAfter = vt.dataDirCount().toLong
+        val sumAfter = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
+        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(9999)).get
+          .filter(col("k") <= 9999L).count()
+        // a reader pinned to the pre-compact version is undisturbed
+        val pinnedOk = vt.read(Some(5)).get.count() == n
+        vt.vacuum(keepVersions = 1, removeOrphans = true)
+        val sumPostVacuum = vt.read().get.agg(sum("v")).collect()(0).getDouble(0)
+        val diskDirs = {
+          val p = java.nio.file.Paths.get(dir, "data")
+          val s2 = java.nio.file.Files.list(p)
+          try s2.count() finally s2.close()
+        }
+        // every read above has collected — reclaim the temp table
+        graft.core.Fs.deleteRecursively(new java.io.File(dir))
+        import s.implicits._
+        Seq((n, fragBefore > 1, dirsAfter, sumBefore, sumAfter == sumBefore,
+          pruned, pinnedOk, sumPostVacuum == sumBefore, diskDirs))
+          .toDF("n_rows", "frag_before", "n_dirs_after_compact", "v_checksum",
+            "compact_preserves", "n_pruned_read", "pinned_ok",
+            "vacuum_preserves", "n_disk_dirs_after_vacuum")
+      },
+      // v_checksum replays the five 2-key merges in closed form; every
+      // value in the double sum is an integer < 2^53, so float addition
+      // is exact and order-independent on both engines
+      Some("""SELECT CAST(50000 AS BIGINT) AS n_rows, TRUE AS frag_before,
+             |  CAST(1 AS BIGINT) AS n_dirs_after_compact,
+             |  (SELECT sum(CASE
+             |     WHEN id IN (1000, 1001) THEN -1.0 WHEN id IN (2000, 2001) THEN -2.0
+             |     WHEN id IN (3000, 3001) THEN -3.0 WHEN id IN (4000, 4001) THEN -4.0
+             |     WHEN id IN (5000, 5001) THEN -5.0
+             |     ELSE CAST(id % 97 AS DOUBLE) END)
+             |   FROM range(50000) t(id)) AS v_checksum,
+             |  TRUE AS compact_preserves, CAST(10000 AS BIGINT) AS n_pruned_read,
+             |  TRUE AS pinned_ok, TRUE AS vacuum_preserves,
+             |  CAST(1 AS BIGINT) AS n_disk_dirs_after_vacuum""".stripMargin),
+    ),
+  )
+
+  /** The table-format scale contract, parameterized by volume: n
+    * executor-born rows through the FULL transactional path — bucketed
+    * commit with zone maps, a 10% MERGE (update/insert/delete), CDC
+    * classification of the step, zone-map-pruned read, and incremental
+    * MV advance via the CDC follower — with the planted change counts
+    * pinned in the result row. Every step is O(dirty buckets)/O(delta)
+    * except the initial commit, and the counts prove none of the
+    * machinery silently degraded to a full rewrite. The oracle replays
+    * the fixture's MERGE rule in SQL: n/10 update keys (every 10th a
+    * delete), n/50 fresh inserts, and the range count after deletes. */
+  private def vtScaleQuery(name: String, n: Long, nBuckets: Int): QueryDef = {
+    val prunedHi = n / 3 - 1
+    QueryDef(
+      name,
+      (s, _) => {
+        val dir = java.nio.file.Files.createTempDirectory("vt_scale").toString
+        val vt = new graft.sources.VersionedTable(s, dir, nBuckets = nBuckets)
+        val base = s.range(n).select(col("id").as("k"),
+          (col("id") % 1000).as("grp"), (col("id") % 997).cast("double").as("v"))
+        vt.commit(base, Seq("k"), None, statsCols = Seq("k"))
+        // 10% of keys updated, 2% fresh inserts, 1% deletes
+        val updates = s.range(n / 10).select(
+          (col("id") * 10).as("k"), (col("id") % 1000).as("grp"),
+          lit(-1.0).as("v"), (col("id") % 10 === 9).as("del"))
+          .union(s.range(n, n + n / 50).select(col("id").as("k"),
+            (col("id") % 1000).as("grp"), lit(5.0).as("v"), lit(false).as("del")))
+        vt.merge(updates, Seq("k"), Some(0), deleteCol = Some("del"), statsCols = Seq("k"))
+
+        val d = vt.diff(Seq("k"), 0, 1)
+          .groupBy("change_type").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val follower = new graft.streaming.CdcFollower(s, vt, Seq("k"), "grp", "v")
+        follower.seed(0); follower.catchUp()
+        val mvOk = follower.snapshot().count() == 1000 &&
+          follower.version == 1
+        // the real serving path: zone-map bucket pruning + residual
+        // range filter — its count is fixture arithmetic the oracle
+        // re-derives (n/3 base keys in range minus the deleted ones)
+        val pruned = vt.readPruned("k", BigDecimal(0), BigDecimal(prunedHi)).get
+          .filter(col("k").between(0L, prunedHi)).count()
+        val total = vt.read().get.count()
+        follower.snapshot().unpersist()
+        // every read above has collected — reclaim the temp table
+        // (at 3M rows this is ~10² MB of dead parquet per run)
+        graft.core.Fs.deleteRecursively(new java.io.File(dir))
+        import s.implicits._
+        Seq((n, total, d.getOrElse("update", 0L), d.getOrElse("insert", 0L),
+          d.getOrElse("delete", 0L), pruned, mvOk))
+          .toDF("n_base", "n_final", "n_updates", "n_inserts", "n_deletes",
+            "n_pruned_read", "mv_ok")
+      },
+      Some(s"""WITH upd AS (SELECT unnest(range(${n / 10})) AS id),
+              |ins AS (SELECT unnest(range($n, ${n + n / 50})) AS k),
+              |del AS (SELECT id * 10 AS k FROM upd WHERE id % 10 = 9)
+              |SELECT CAST($n AS BIGINT) AS n_base,
+              |  CAST($n - (SELECT count(*) FROM del) + (SELECT count(*) FROM ins) AS BIGINT) AS n_final,
+              |  CAST((SELECT count(*) FROM upd WHERE id % 10 <> 9) AS BIGINT) AS n_updates,
+              |  CAST((SELECT count(*) FROM ins) AS BIGINT) AS n_inserts,
+              |  CAST((SELECT count(*) FROM del) AS BIGINT) AS n_deletes,
+              |  CAST(${n / 3} - (SELECT count(*) FROM del WHERE k <= $prunedHi) AS BIGINT) AS n_pruned_read,
+              |  TRUE AS mv_ok""".stripMargin),
+    )
+  }
+
+
+
+  private def buildVtFixture(s: SparkSession, d: String): graft.sources.VersionedTable = {
+    {
+      val dir = java.nio.file.Files.createTempDirectory("vt_fixture").toString
+      val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      vt.commit(base, Seq("o_orderkey"), None)
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          (col("o_orderkey") % 15 === 0).as("del"))
+      vt.merge(updates, Seq("o_orderkey"), Some(0), deleteCol = Some("del"))
+      vt
+    }
+  }
+}
