@@ -204,5 +204,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "deflate_ratio"),
       (args: Seq[Expression]) => DeflateRatioExpr(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash128"),
+      new ExpressionInfo(classOf[SimHash128Expr].getName, "simhash128"),
+      (args: Seq[Expression]) => SimHash128Expr(args(0), args(1))))
   }
 }

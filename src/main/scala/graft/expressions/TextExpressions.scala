@@ -70,3 +70,28 @@ case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): DeflateRatioExpr =
     copy(child = newChild)
 }
+
+/** Fused 128-bit SimHash + content fingerprint for the synthetic
+  * dedup decade row (`dd_scale_10m`): (seed, uid) -> array<bigint> of
+  * (f1, f2, sig_lo, sig_hi). See [[graft.core.SimHash128]] for why
+  * this is a native expression rather than the unrolled 40-hash /
+  * 16-lane SQL projection (JIT width cliff on the materializing
+  * path); `SimHash128Spec` pins the two formulations equal. */
+case class SimHash128Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.LongType &&
+        right.dataType == org.apache.spark.sql.types.LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires (bigint, bigint) arguments")
+  override def prettyName: String = "simhash128"
+  override protected def nullSafeEval(seed: Any, uid: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.SimHash128.kernel(seed.asInstanceOf[Long], uid.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.core.SimHash128.kernel($a, $b))")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SimHash128Expr =
+    copy(left = newLeft, right = newRight)
+}
