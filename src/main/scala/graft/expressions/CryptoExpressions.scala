@@ -208,5 +208,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash128"),
       new ExpressionInfo(classOf[SimHash128Expr].getName, "simhash128"),
       (args: Seq[Expression]) => SimHash128Expr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_scale_vec"),
+      new ExpressionInfo(classOf[LshScaleVecExpr].getName, "lsh_scale_vec"),
+      (args: Seq[Expression]) => LshScaleVecExpr(args(0), args(1))))
   }
 }

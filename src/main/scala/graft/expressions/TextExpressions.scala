@@ -95,3 +95,25 @@ case class SimHash128Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SimHash128Expr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused LSH scale-vector kernel for `ss_scale_5m`:
+  * (vec_id, nPlanes) -> array<bigint> of (bucket, c1..c64). See
+  * [[graft.core.LshScale]] — same JIT-width rationale as
+  * [[SimHash128Expr]]; `LshScaleSpec` pins coords, buckets and the
+  * planted-copy invariants against the SQL formulation. */
+case class LshScaleVecExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.LongType &&
+        right.dataType == org.apache.spark.sql.types.IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires (bigint, int) arguments")
+  override def prettyName: String = "lsh_scale_vec"
+  override protected def nullSafeEval(id: Any, nPlanes: Any): Any =
+    graft.core.LshScale.kernelArray(id.asInstanceOf[Long], nPlanes.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.LshScale.kernelArray($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LshScaleVecExpr =
+    copy(left = newLeft, right = newRight)
+}

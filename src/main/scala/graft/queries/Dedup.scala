@@ -499,228 +499,23 @@ object Dedup {
               |ORDER BY d.doc_id""".stripMargin),
     ),
 
-    // dd_scale — the dedup family at 1M documents, executor-born (no
-    // driver-side data), one summary row out. This is the 100 TB dress
-    // rehearsal for the whole family: exact dedup (hash groupBy),
-    // near-dup detection, and transitive clustering — with the LSH
-    // knob turned for corpus size: a 64-bit SimHash with 4×16-bit
-    // pigeonhole blocks (≈15 docs per bucket at 1M, where the 8-bit
-    // blocks dd4 uses at 5k docs would put ~3900 docs in each bucket
-    // and quadratically explode the candidate join). Planted
-    // structure: every 97th doc is an exact copy, every 101st/next a
-    // one-word-changed near copy — so all counts are deterministic.
-    QueryDef(
-      "dd_scale_1m",
-      (s, _) => {
-        val n = 1000000L
-        val docs = s.range(n).select(
-          col("id").as("doc_id"),
-          expr("CASE WHEN id % 97 = 96 THEN id - 1 ELSE id END").as("uid"))
-          .select(col("doc_id"),
-            expr("CASE WHEN uid % 101 <= 1 THEN uid - (uid % 101) ELSE uid END").as("seed"),
-            col("uid"))
-        val text = concat_ws(" ",
-          (1 to 19).map(j => concat(lit("w"), pmod(xxhash64(col("seed"), lit(j)), lit(50000L)))) :+
-            concat(lit("u"), col("uid")): _*)
-        // NOTE: the corpus is deliberately NOT persisted — the text
-        // synthesis is pure codegen (xxhash64+concat) and re-running it
-        // per pass measures faster than caching 1M materialized rows.
-        val corpus = docs.select(col("doc_id"), text.as("text"))
-
-        val nExact = corpus.select(md5(col("text").cast("binary")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1).agg(sum(col("c") - 1)).head().getLong(0)
-
-        // SIMD-in-a-long bit counting: lane k packs the counts of bit
-        // positions {k, k+8, …, k+56} as 8 byte-wide counters in one
-        // long (per-doc word count ≤ 20 < 256 ⇒ no lane carry), so the
-        // 64 per-bit sums collapse to 8 lanes; the 64-way unpack
-        // afterwards is a pure projection. Bit p of the signature =
-        // majority vote: 2·count_p ≥ n_words.
-        //
-        // The whole signature is built per-ROW with higher-order
-        // functions (array_distinct → xxhash64 → aggregate lane sums):
-        // a doc's words never leave its row, so the signature stage is
-        // map-only — no explode, no 20M-row distinct shuffle, no
-        // groupBy shuffle. At 100 TB that removes the two largest
-        // shuffles of the whole dedup pipeline; the only remaining
-        // shuffles are the (k, block) candidate join and CC.
-        val laneMask = java.lang.Long.parseLong("0101010101010101", 16)
-        val sigExpr = (0 until 64).map { p =>
-          when(expr(s"((element_at(lanes, ${p % 8 + 1}) >> ${8 * (p / 8)}) & 255) * 2") >= col("nw"),
-            lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        val sig = corpus
-          .withColumn("ws", array_distinct(split(col("text"), " ")))
-          .withColumn("nw", size(col("ws")))
-          .withColumn("lanes",
-            expr(s"""aggregate(transform(ws, w -> xxhash64(w)),
-                     array_repeat(0L, 8),
-                     (acc, h) -> transform(acc, (a, i) -> a + ((h >> i) & $laneMask)))"""))
-          .select(col("doc_id"), sigExpr.as("sig"))
-          .persist()
-        val blk = sig.select(col("doc_id"), col("sig"),
-          explode(sequence(lit(0), lit(3))).as("k"))
-          .withColumn("blk", expr("(sig >> (k * 16)) & 65535"))
-        val pairs = blk.select(col("doc_id").as("a"), col("sig").as("sa"), col("k"), col("blk"))
-          .join(blk.select(col("doc_id").as("b"), col("sig").as("sb"), col("k"), col("blk")),
-            Seq("k", "blk"))
-          .filter(col("a") < col("b"))
-          .withColumn("hm", expr("bit_count(sa ^ sb)"))
-          .filter(col("hm") <= 3)
-          .select("a", "b").distinct()
-          .persist()
-        // decompose every found pair against the planted structure:
-        // uid(x) recovers the exact-dup group, seed(uid) the near-dup
-        // group — a pair is EXACT iff uids match, NEAR iff seeds match,
-        // SPURIOUS otherwise. At 64-bit signatures the deterministic
-        // truth is 10309 exact + 1621 near + 0 spurious (one changed
-        // word in 20 flips ~11 bits on average, so hamming≤3 catches a
-        // minority of planted near copies but NOTHING unplanted).
-        val cls = pairs.select(
-          expr("CASE WHEN a % 97 = 96 THEN a - 1 ELSE a END").as("ua"),
-          expr("CASE WHEN b % 97 = 96 THEN b - 1 ELSE b END").as("ub"))
-          .select(col("ua"), col("ub"),
-            expr("CASE WHEN ua % 101 <= 1 THEN ua - ua % 101 ELSE ua END").as("sa"),
-            expr("CASE WHEN ub % 101 <= 1 THEN ub - ub % 101 ELSE ub END").as("sb"))
-          .agg(
-            sum(when(col("ua") === col("ub"), 1L).otherwise(0L)).as("ex"),
-            sum(when(col("ua") =!= col("ub") && col("sa") === col("sb"), 1L).otherwise(0L)).as("nr"),
-            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("sp"))
-          .head()
-        val (nExactFound, nNearFound, nSpurious) =
-          (cls.getLong(0), cls.getLong(1), cls.getLong(2))
-        val nPairs = nExactFound + nNearFound + nSpurious
-        val nClusters = graft.operators.ConnectedComponents.run(s, pairs)
-          .select("component").distinct().count()
-        sig.unpersist(); pairs.unpersist()
-        val nExactPlanted = (n - 97) / 97 + 1 // ids ≡ 96 (mod 97)
-
-        import s.implicits._
-        Seq((n, nExact,
-          nExactFound == nExactPlanted, // banding recall at hamming 0 is total
-          nSpurious == 0L,              // precision 1.0: nothing unplanted
-          nClusters >= nExactPlanted && nClusters <= nPairs))
-          .toDF("n_docs", "n_exact_dup_docs",
-            "exact_recall_ok", "no_false_positives", "clusters_ok")
-      },
-      // DuckDB recomputes the exact-dup count from the PLANTED
-      // arithmetic (ids ≡ 96 mod 97) — an independent cross-check of
-      // the md5 groupBy — and asserts the recall/precision/cluster
-      // contracts, which are deterministic under the fixed signature
-      // seeds (same shape as a8_approx_distinct's error contract).
-      Some("""SELECT CAST(1000000 AS BIGINT) AS n_docs,
-             |  (SELECT count(*) FROM (SELECT unnest(range(1000000)) AS id)
-             |   WHERE id % 97 = 96) AS n_exact_dup_docs,
-             |  TRUE AS exact_recall_ok, TRUE AS no_false_positives,
-             |  TRUE AS clusters_ok""".stripMargin),
-    ),
-
-    // dd_scale_10m — the NEXT DECADE of the dedup family: 10M docs
-    // through the same exact + SimHash-banded path, with the pigeonhole
-    // knob sizing ITSELF from the corpus ([[blockBitsFor]]): at 10M the
-    // 16-bit blocks dd_scale_1m uses would hold ~150 docs per bucket
-    // (4 × 65536 buckets × 150²/2 ≈ 3 B candidate pairs — quadratic
-    // death), so the knob doubles the block to 32 bits, which widens
-    // the signature to 4 × 32 = 128 bits (two longs) — bucket
-    // occupancy drops to ~0.002 and the candidate join is linear
-    // again. Pigeonhole is preserved: 4 blocks still guarantee a
-    // hamming≤3 pair shares at least one block. Same planted
-    // structure as the 1M row (every 97th doc an exact copy, every
-    // 101st/next a one-word-changed near copy), so every contract is
-    // deterministic; per-doc wall-time vs dd_scale_1m is the decade
-    // comparison BASELINE.md records.
-    //
-    // Unlike the 1M row (whose 64-bit signature stays a flat SQL
-    // projection), the 128-bit signature is a FUSED native expression
-    // ([[graft.expressions.SimHash128Expr]]): unrolled to SQL it is 40
-    // hash columns + 16 lanes × 20 shift-adds, and that projection
-    // falls off a JIT cliff whenever its rows are MATERIALIZED
-    // (measured: ~3 s feeding an aggregate, 33-37 s feeding a cache /
-    // checkpoint / parquet write — row-producing generated code too
-    // wide to compile well). The kernel computes the identical
-    // arithmetic as one compact per-row loop (SimHash128Spec pins the
-    // equivalence against the SQL formulation), emitting
-    // (f1, f2, sig_lo, sig_hi) in a single pass: f1/f2 are a 128-bit
-    // exact-content fingerprint over the word hashes (md5-width, so
-    // the exact-dedup groupBy stays collision-safe past 10¹² docs)
-    // and the signature table is built ONCE and cached (10M × 4
-    // longs) — signatures, exact-dup count and the band join all read
-    // the cache instead of re-deriving the corpus.
-    QueryDef(
-      "dd_scale_10m",
-      (s, _) => {
-        val n = 10000000L
-        val bb = blockBitsFor(n) // = 32 ⇒ 128-bit signature in two longs
-        val docs = s.range(n).select(
-          col("id").as("doc_id"),
-          expr("CASE WHEN id % 97 = 96 THEN id - 1 ELSE id END").as("uid"))
-          .select(col("doc_id"),
-            expr("CASE WHEN uid % 101 <= 1 THEN uid - (uid % 101) ELSE uid END").as("seed"),
-            col("uid"))
-        val sig = docs
-          .select(col("doc_id"), expr("simhash128(seed, uid)").as("x"))
-          .select(col("doc_id"), expr("x[0]").as("f1"), expr("x[1]").as("f2"),
-            expr("x[2]").as("lo"), expr("x[3]").as("hi"))
-          .persist()
-        try {
-        // exact dedup: hash-groupBy on the 128-bit content
-        // fingerprint, straight off the cache
-        val nExact = sig.groupBy("f1", "f2").agg(count(lit(1)).as("c"))
-          .filter(col("c") > 1).agg(sum(col("c") - 1)).head().getLong(0)
-
-        // band self-join with the signatures INLINE (the dd_scale_1m
-        // shape at two longs): both sides shuffle the same 40M
-        // (doc_id, lo, hi, bkey) rows from the cache, the hamming
-        // filter evaluates inside the join, and candidates never
-        // rejoin the corpus
-        val blk = sig.select(col("doc_id"),
-          explode(sequence(lit(0), lit(3))).as("k"), col("lo"), col("hi"))
-          .select(col("doc_id"), col("lo"), col("hi"), expr(
-            "shiftleft(CAST(k AS BIGINT), 32) | (CASE WHEN k < 2 THEN (lo >> (k * 32)) " +
-              "ELSE (hi >> ((k - 2) * 32)) END & 4294967295)").as("bkey"))
-        val pairs = blk.select(col("doc_id").as("a"), col("lo").as("la"), col("hi").as("ha"), col("bkey"))
-          .join(blk.select(col("doc_id").as("b"), col("lo").as("lb"), col("hi").as("hb"), col("bkey")),
-            Seq("bkey"))
-          .filter(col("a") < col("b"))
-          .filter(expr("bit_count(la ^ lb) + bit_count(ha ^ hb)") <= 3)
-          .select("a", "b").distinct()
-          .persist()
-        val cls = pairs.select(
-          expr("CASE WHEN a % 97 = 96 THEN a - 1 ELSE a END").as("ua"),
-          expr("CASE WHEN b % 97 = 96 THEN b - 1 ELSE b END").as("ub"))
-          .select(col("ua"), col("ub"),
-            expr("CASE WHEN ua % 101 <= 1 THEN ua - ua % 101 ELSE ua END").as("sa"),
-            expr("CASE WHEN ub % 101 <= 1 THEN ub - ub % 101 ELSE ub END").as("sb"))
-          .agg(
-            sum(when(col("ua") === col("ub"), 1L).otherwise(0L)).as("ex"),
-            sum(when(col("ua") =!= col("ub") && col("sa") === col("sb"), 1L).otherwise(0L)).as("nr"),
-            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("sp"))
-          .head()
-        val (nExactFound, nNearFound, nSpurious) =
-          (cls.getLong(0), cls.getLong(1), cls.getLong(2))
-        val nPairs = nExactFound + nNearFound + nSpurious
-        val nClusters = graft.operators.ConnectedComponents.run(s, pairs)
-          .select("component").distinct().count()
-        pairs.unpersist()
-        val nExactPlanted = (n - 97) / 97 + 1 // ids ≡ 96 (mod 97)
-
-        import s.implicits._
-        Seq((n, bb, nExact,
-          nExactFound == nExactPlanted, // identical sigs share every block
-          nSpurious == 0L,              // precision 1.0: nothing unplanted
-          nClusters >= nExactPlanted && nClusters <= nPairs))
-          .toDF("n_docs", "block_bits", "n_exact_dup_docs",
-            "exact_recall_ok", "no_false_positives", "clusters_ok")
-        } finally sig.unpersist()
-      },
-      Some("""SELECT CAST(10000000 AS BIGINT) AS n_docs,
-             |  CAST(32 AS INTEGER) AS block_bits,
-             |  (SELECT count(*) FROM (SELECT unnest(range(10000000)) AS id)
-             |   WHERE id % 97 = 96) AS n_exact_dup_docs,
-             |  TRUE AS exact_recall_ok, TRUE AS no_false_positives,
-             |  TRUE AS clusters_ok""".stripMargin),
-    ),
+    // dd_scale_1m / dd_scale_10m — the dedup family's SCALE LADDER,
+    // one code path at two decades ([[ddScaleQuery]]): executor-born
+    // corpora with the same planted structure (every 97th doc an
+    // exact copy, every 101st/next a one-word-changed near copy), the
+    // fused simhash128 kernel for signatures + exact-content
+    // fingerprints, and the pigeonhole band join with [[blockBitsFor]]
+    // sizing the blocks — 16-bit blocks / 64-bit signature at 1M,
+    // 32-bit blocks / 128-bit signature at 10M (where 16-bit buckets
+    // would be ~3B candidate pairs). Holding the code constant across
+    // the decade is what makes the per-doc wall-time comparison in
+    // BASELINE.md meaningful; it also retires the unrolled 300-term
+    // SQL signature whose JIT compilation was a measured per-run
+    // lottery (10 ↔ 48 s for identical code — see BASELINE round 8).
+    // The flat-SQL SWAR formulation itself stays pinned, column-for-
+    // column, by SimHash128Spec's twin.
+    ddScaleQuery("dd_scale_1m", 1000000L),
+    ddScaleQuery("dd_scale_10m", 10000000L),
 
     // dd2_scale_banded — the MinHash banding KNOB proven at 200k docs:
     // bandsFor(200k) widens the signature to r=4 rows × 6 bands (24
@@ -867,6 +662,107 @@ object Dedup {
     * fixture scale this returns exactly the oracled dd2 config
     * (r = 2, b = 4), making the fixed 8-hash/4-band query the
     * documented special case of the scale rule. */
+
+  /** the dedup scale ladder, parameterized by volume — ONE derivation
+    * for dd_scale_1m and dd_scale_10m. Corpus: doc `id` with the
+    * planted copy structure (uid = id−1 every 97th id ⇒ exact copy;
+    * seed collapses every 101st/next ⇒ one-word-changed near copy);
+    * signatures + 128-bit exact-content fingerprints come from the
+    * fused [[graft.expressions.SimHash128Expr]] kernel in one cached
+    * pass (4 longs per doc). Exact dedup is a hash-groupBy on the
+    * fingerprint; near-dup candidates come from the pigeonhole band
+    * self-join — 4 blocks of [[blockBitsFor]] bits (hamming ≤ 3 over
+    * a 4·blockBits signature guarantees a shared block), signatures
+    * carried INLINE through the one shuffle so candidates never
+    * rejoin the corpus; found pairs are decomposed against the
+    * planted arithmetic (exact / near / spurious) and clustered.
+    * Contracts: exact recall total (identical signatures share every
+    * block), precision 1.0 (nothing unplanted at hamming ≤ 3), and
+    * cluster count bounded by planted groups and found pairs. */
+  private def ddScaleQuery(name: String, n: Long): QueryDef = {
+    val bb = blockBitsFor(n) // 16 ⇒ 64-bit sig (lo half); 32 ⇒ 128-bit (lo+hi)
+    val oracle =
+      s"""SELECT CAST($n AS BIGINT) AS n_docs,
+         |  CAST($bb AS INTEGER) AS block_bits,
+         |  (SELECT count(*) FROM (SELECT unnest(range($n)) AS id)
+         |   WHERE id % 97 = 96) AS n_exact_dup_docs,
+         |  TRUE AS exact_recall_ok, TRUE AS no_false_positives,
+         |  TRUE AS clusters_ok""".stripMargin
+    QueryDef(
+      name,
+      (s, _) => {
+        val docs = s.range(n).select(
+          col("id").as("doc_id"),
+          expr("CASE WHEN id % 97 = 96 THEN id - 1 ELSE id END").as("uid"))
+          .select(col("doc_id"),
+            expr("CASE WHEN uid % 101 <= 1 THEN uid - (uid % 101) ELSE uid END").as("seed"),
+            col("uid"))
+        val sig = docs
+          .select(col("doc_id"), expr("simhash128(seed, uid)").as("x"))
+          .select(col("doc_id"), expr("x[0]").as("f1"), expr("x[1]").as("f2"),
+            expr("x[2]").as("lo"), expr("x[3]").as("hi"))
+          .persist()
+        try {
+        val nExact = sig.groupBy("f1", "f2").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(sum(col("c") - 1)).head().getLong(0)
+
+        // 4 blocks of bb bits; at bb=16 they tile the lo half (the
+        // 64-bit signature), at bb=32 the k<2 blocks come from lo and
+        // the rest from hi (the 128-bit signature)
+        val bkeyExpr = if (bb == 16)
+          "shiftleft(CAST(k AS BIGINT), 32) | ((lo >> (k * 16)) & 65535)"
+        else
+          "shiftleft(CAST(k AS BIGINT), 32) | (CASE WHEN k < 2 THEN (lo >> (k * 32)) " +
+            "ELSE (hi >> ((k - 2) * 32)) END & 4294967295)"
+        val hammingExpr = if (bb == 16) "bit_count(la ^ lb)"
+          else "bit_count(la ^ lb) + bit_count(ha ^ hb)"
+        val blk = sig.select(col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("k"), col("lo"), col("hi"))
+          .select(col("doc_id"), col("lo"), col("hi"), expr(bkeyExpr).as("bkey"))
+        val pairs = blk.select(col("doc_id").as("a"), col("lo").as("la"), col("hi").as("ha"), col("bkey"))
+          .join(blk.select(col("doc_id").as("b"), col("lo").as("lb"), col("hi").as("hb"), col("bkey")),
+            Seq("bkey"))
+          .filter(col("a") < col("b"))
+          .filter(expr(hammingExpr) <= 3)
+          .select("a", "b").distinct()
+          .persist()
+        val cls = pairs.select(
+          expr("CASE WHEN a % 97 = 96 THEN a - 1 ELSE a END").as("ua"),
+          expr("CASE WHEN b % 97 = 96 THEN b - 1 ELSE b END").as("ub"))
+          .select(col("ua"), col("ub"),
+            expr("CASE WHEN ua % 101 <= 1 THEN ua - ua % 101 ELSE ua END").as("sa"),
+            expr("CASE WHEN ub % 101 <= 1 THEN ub - ub % 101 ELSE ub END").as("sb"))
+          .agg(
+            sum(when(col("ua") === col("ub"), 1L).otherwise(0L)).as("ex"),
+            sum(when(col("ua") =!= col("ub") && col("sa") === col("sb"), 1L).otherwise(0L)).as("nr"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("sp"))
+          .head()
+        val (nExactFound, nNearFound, nSpurious) =
+          (cls.getLong(0), cls.getLong(1), cls.getLong(2))
+        val nPairs = nExactFound + nNearFound + nSpurious
+        val nClusters = graft.operators.ConnectedComponents.run(s, pairs)
+          .select("component").distinct().count()
+        // blocking: Dataset.unpersist() is async by default, and the
+        // deferred block removal of a 1M/10M-row cache bled measurable
+        // wall into whatever queries ran NEXT in a suite (the dq/f
+        // cluster sorted right after the dd_scale rows jumped 0.35 →
+        // 4.5 s) — cleanup cost belongs inside the owning query
+        pairs.unpersist(blocking = true)
+        val nExactPlanted = (n - 97) / 97 + 1 // ids ≡ 96 (mod 97)
+
+        import s.implicits._
+        Seq((n, bb, nExact,
+          nExactFound == nExactPlanted, // identical sigs share every block
+          nSpurious == 0L,              // precision 1.0: nothing unplanted
+          nClusters >= nExactPlanted && nClusters <= nPairs))
+          .toDF("n_docs", "block_bits", "n_exact_dup_docs",
+            "exact_recall_ok", "no_false_positives", "clusters_ok")
+        } finally sig.unpersist(blocking = true)
+      },
+      Some(oracle),
+    )
+  }
+
   /** pigeonhole block width for hamming≤3 SimHash banding, sized by
     * the corpus — the SimHash analog of [[bandsFor]]. Four blocks is
     * the MINIMUM for h = 3 (h+1 blocks guarantee a clean one), so the

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -92,15 +91,8 @@ object Similarity {
     * prefix of a wider matrix equals the narrower matrix, so widening
     * the signature only SPLITS buckets (never re-shuffles them): a
     * width bump at scale is an incremental refinement of the layout. */
-  private def planeMatrix(nPlanes: Int): IndexedSeq[IndexedSeq[Int]] = {
-    val md = MessageDigest.getInstance("MD5")
-    (0 until nPlanes).map { j =>
-      (0 until Dims).map { i =>
-        val h = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
-        if ((h(0) & 1) == 1) 1 else -1
-      }
-    }
-  }
+  private def planeMatrix(nPlanes: Int): IndexedSeq[IndexedSeq[Int]] =
+    graft.core.LshScale.planeMatrix(nPlanes) // single md5-pinned definition
 
   private val planes: IndexedSeq[IndexedSeq[Int]] = planeMatrix(Planes)
 
@@ -1015,7 +1007,7 @@ object Similarity {
             col("n_buckets"), col("max_bucket"),
             (col("max_bucket") <= cap * 4).as("occupancy_ok"))
           .localCheckpoint()
-        sig.unpersist()
+        sig.unpersist(blocking = true) // 1M-row cache: cleanup stays in this query, not the next
         res
       },
       Some {
@@ -1028,6 +1020,87 @@ object Similarity {
            |SELECT s.n_results, s.checksum, CAST($nPlanes AS INTEGER) AS planes,
            |  o.n_buckets, o.max_bucket, o.max_bucket <= 4096 AS occupancy_ok
            |FROM summ s, occ o""".stripMargin
+      },
+    ),
+
+    // ss_scale_5m — the similarity family's NEXT DECADE: 5M vectors
+    // through the sign-projection bucket + probe path, with BOTH scale
+    // lessons applied at once. (1) planesFor sizes itself: 13 planes ⇒
+    // 8192 buckets, expected occupancy ≈ 610 — a fixed 8-bit width
+    // would put ~20k rows in every bucket and make the probe
+    // quadratic. (2) The signature is the fused `lsh_scale_vec` native
+    // expression ([[graft.core.LshScale]]): unrolled to SQL, 13 planes
+    // × 64 ± reads over 64 Lehmer coordinate chains is an ~850-term
+    // projection — the same JIT-width cliff dd_scale_10m measured —
+    // so the kernel emits (bucket, c1..c64) as one compact call and
+    // the corpus is never materialized: the probe is ONE streamed
+    // pass (corpus ⋈ broadcast 8-query side), occupancy a second.
+    //
+    // PLANTED-CONTRACT oracle (the dd_scale_10m discipline — no 5M
+    // corpus regeneration in DuckDB): ids 8+10q+r are exact integer
+    // scalings of query q by (1000−r)/1000, so they provably share
+    // q's bucket, their inner products are |q|²·(1000−r)/1000 in
+    // strictly decreasing r-order, and nothing random approaches
+    // 0.991·|q|². DuckDB regenerates ONLY those 80 planted rows from
+    // the formula, recomputes their exact ips, and the checksum
+    // matches iff the measured top-10 per query is exactly the
+    // planted set with exactly those ips.
+    QueryDef(
+      "ss_scale_5m",
+      (s, _) => {
+        val n = 5000000L
+        val cap = 1024L
+        val nPlanes = planesFor(n, cap) // = 13 at 5M
+        def vecs = s.range(n)
+          .select(col("id").as("vec_id"), expr(s"lsh_scale_vec(id, $nPlanes)").as("x"))
+          .select(col("vec_id"), expr("x[0]").as("bucket"),
+            expr("slice(x, 2, 64)").as("f"))
+        val q = s.range(8)
+          .select(col("id").as("qid"), expr(s"lsh_scale_vec(id, $nPlanes)").as("x"))
+          .select(col("qid"), expr("x[0]").as("bucket"), expr("slice(x, 2, 64)").as("qf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)
+        val top = vecs.filter(col("vec_id") >= 8)
+          .join(broadcast(q), Seq("bucket"))
+          .select(col("qid"), col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+        // occupancy CONTRACT, sized to the quadratic-Lehmer mix's
+        // measured tail (max 5902 = 5.8×cap, 7 of 8192 buckets above
+        // 4×cap): the BULK bound is the knob's claim — at most 1% of
+        // buckets exceed 4×cap — and the MAX gets a tail cushion of
+        // 8×cap (a regression to fixed-width behavior is ~19.5k-row
+        // buckets, 5× past the cushion; both booleans are exact
+        // aggregates, no approx sketch in a contract)
+        val occupancy = vecs.groupBy("bucket").agg(count(lit(1)).as("bn"))
+          .agg(max("bn").as("max_bucket"), count(lit(1)).as("n_buckets"),
+            sum(when(col("bn") > cap * 4, 1L).otherwise(0L)).as("heavy"))
+        top.agg(
+          count(lit(1)).as("n_results"),
+          coalesce(expr(s"bit_xor($ChecksumTerm)"), lit(0L)).as("checksum"))
+          .crossJoin(occupancy)
+          .select(col("n_results"), col("checksum"), lit(nPlanes).as("planes"),
+            (col("max_bucket") <= cap * 8).as("occupancy_ok"),
+            (col("heavy") * 100L <= col("n_buckets")).as("heavy_ok"),
+            (col("n_buckets") <= (1L << nPlanes)).as("buckets_ok"))
+      },
+      Some {
+        val nPlanes = planesFor(5000000L, 1024L)
+        s"""WITH q AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS qid),
+           |r AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS r),
+           |dims AS (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS j),
+           |c0 AS (SELECT qid, j, (qid*1299709 + j*104395301) % 2147483647 AS h1 FROM q, dims),
+           |c1 AS (SELECT qid, j, h1, (h1*48271) % 2147483647 AS h2 FROM c0),
+           |c2 AS (SELECT qid, j, ((h2*h2 + h1) % 2147483647) AS h3 FROM c1),
+           |coords AS (SELECT qid, j, ((h3*48271) % 2147483647 % 1001 - 500) * 10000 AS c FROM c2),
+           |ips AS (SELECT co.qid, 8 + co.qid*10 + r.r AS vec_id,
+           |          SUM(co.c * (co.c // 1000 * (1000 - r.r))) AS ip
+           |        FROM coords co, r GROUP BY co.qid, r.r)
+           |SELECT CAST(80 AS BIGINT) AS n_results,
+           |  CAST(COALESCE(bit_xor(qid * 1000003 + vec_id * 97 + ip), 0) AS BIGINT) AS checksum,
+           |  CAST($nPlanes AS INTEGER) AS planes,
+           |  TRUE AS occupancy_ok, TRUE AS heavy_ok, TRUE AS buckets_ok
+           |FROM ips""".stripMargin
       },
     ),
 
