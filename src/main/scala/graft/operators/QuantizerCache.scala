@@ -102,8 +102,11 @@ object QuantizerCache {
       val dir = storeDir(sfDir, s"ivfpq-$nlist-$m-$ksub-$seed")
       QuantizerStore.loadIvfPq(spark, dir).getOrElse {
         val frame = emb
-        val n = frame.count()
-        val coarse = ivf(spark, sfDir, frame, nlist, seed)
+        // resolve the coarse half through ivfStats and ADOPT its
+        // corpus count — the nested miss already counted the corpus
+        // once; a second count() action here doubled the cold-path
+        // scans on exactly the serve path the stats exist to shorten
+        val (coarse, n) = ivfStats(spark, sfDir, frame, nlist, seed)
         val model = IvfPq.train(frame, coarse, m, ksub, seed)
         swallowConflict(QuantizerStore.save(spark, dir, Some(model.ivf), Some(model.pq), n))
         (model, n)

@@ -59,7 +59,15 @@ object QuantizerStore {
 
   private def rowsOf(spark: SparkSession, dir: String): Option[Seq[QRow]] = {
     import spark.implicits._
-    table(spark, dir).read().map(_.as[QRow].collect().toSeq)
+    // pre-stats snapshots have no `n` column at all — `.as[QRow]`
+    // would throw an AnalysisException instead of reaching the
+    // missing-meta fallback in statsOf, stranding a restarted
+    // maintainer on its own store. Treat the missing COLUMN exactly
+    // like the missing meta ROW: absent, so the caller retrains into
+    // the new layout.
+    table(spark, dir).read()
+      .filter(_.columns.contains("n"))
+      .map(_.as[QRow].collect().toSeq)
   }
 
   /** a snapshot without its meta row predates the stats format — treat

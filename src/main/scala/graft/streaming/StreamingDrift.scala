@@ -54,6 +54,17 @@ final class StreamingDrift(stateDir: Option[String] = None) {
     * instead of double-counted (StreamingDriftSpec pins kill →
     * restart ≡ uninterrupted). */
   def processBatch(long: DataFrame, batchId: Long = Long.MinValue): Unit = {
+    // replay/regression gate BEFORE the distributed aggregation — a
+    // redelivered batch skips without paying a Spark job (the window
+    // is safe: lastBatch only grows, so a stale read can only let a
+    // replay through to the inner gate, never drop a new batch)
+    if (batchId != Long.MinValue) {
+      val lb = this.synchronized(lastBatch)
+      require(batchId >= lb,
+        s"batch id regression: got $batchId after $lb was applied — " +
+          "fresh checkpoint over a retained stateDir? wipe the stateDir or restore the checkpoint")
+      if (batchId == lb) return
+    }
     val deltas = long.groupBy("feature", "bin").agg(count(lit(1)).as("c"))
       .limit(MaxBins + 1).collect()
     this.synchronized {

@@ -155,7 +155,10 @@ object StreamingNearDup {
 
     val probeSide = bs.select(col("doc_id"), col("seq"),
       sigInt(col("simhash")).as("ia"), col("k"), col("blk"))
-    val storeSide = probeStore(s, s"$root/sig", sigBuckets, SigSchema)
+    // one pruned sig-store read serves BOTH the near probe and the
+    // sig append's presence check (mirrors the hash-store reuse below)
+    val storeSig = probeStore(s, s"$root/sig", sigBuckets, SigSchema).persist()
+    val storeSide = storeSig
       .select(col("doc_id").as("cid"), col("seq").as("cseq"),
         sigInt(col("simhash")).as("ib"), col("k"), col("blk"))
     val localSide = bs.select(col("doc_id").as("cid"), col("seq").as("cseq"),
@@ -200,23 +203,28 @@ object StreamingNearDup {
         coalesce(col("em"), col("nm"), lit(-1L)).as("match_id"))
       .localCheckpoint()
 
-    // idempotent append: only (doc_id, h) pairs not already present.
-    // Presence is keyed on the PAIR, not doc_id alone — the store read
-    // is pruned to this batch's h-derived buckets, so a doc_id-only
-    // match could only ever see prior rows whose h lands in those same
-    // buckets; keying on (doc_id, h) makes the check exact for the
-    // replay contract (Spark redelivers micro-batches byte-identical,
-    // so a retried doc probes the same bucket and finds its pair) and
-    // deterministic outside it: a doc_id reused with DIFFERENT content
-    // is a new observation and gets indexed — "everything seen is
-    // indexed" — rather than silently skipped or kept depending on
-    // which bucket its new hash happens to route to.
-    val fresh = b.join(
+    // idempotent appends: EACH store's append is presence-keyed on
+    // that store's OWN contents — sig rows on (doc_id, k, simhash),
+    // hash rows on (doc_id, h). Keying both appends on one store left
+    // a crash window: a JVM death between the two writes meant the
+    // redelivered batch re-appended the half that HAD landed (its
+    // rows were absent from the other store's key set), permanently
+    // duplicating store rows. Self-keyed, whichever half survived the
+    // crash excludes itself on replay and the missing half lands.
+    // Presence stays exact under the replay contract (Spark
+    // redelivers micro-batches byte-identical, so a retried row
+    // probes the same pruned bucket and finds itself), and a doc_id
+    // reused with DIFFERENT content is a new observation and gets
+    // indexed — "everything seen is indexed".
+    val freshSig = bs.join(
+      storeSig.select("doc_id", "k", "simhash").distinct(),
+      Seq("doc_id", "k", "simhash"), "left_anti")
+    val freshHash = bh.join(
       storeHash.select("doc_id", "h").distinct(),
-      Seq("doc_id", "h"), "left_anti").persist()
-    writeStore(sigRows(fresh), s"$root/sig", "append")
-    writeStore(hashRows(fresh), s"$root/hash", "append")
-    fresh.unpersist(); storeHash.unpersist(); bs.unpersist(); bh.unpersist(); b.unpersist()
+      Seq("doc_id", "h"), "left_anti")
+    writeStore(freshSig, s"$root/sig", "append")
+    writeStore(freshHash, s"$root/hash", "append")
+    storeSig.unpersist(); storeHash.unpersist(); bs.unpersist(); bh.unpersist(); b.unpersist()
     verdicts
   }
 

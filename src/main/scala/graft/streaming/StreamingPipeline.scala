@@ -113,8 +113,18 @@ object StreamingPipeline {
       import graft.operators.CorpusPipeline
       // a redelivered micro-batch (restart replayed it after a crash
       // landed the fold but not the checkpoint) is already in the
-      // state — folding it again would double-count
-      if (batchId != Long.MinValue && batchId <= lastBatch) return st
+      // state — folding it again would double-count. Redelivery only
+      // ever replays the LAST applied id; an id STRICTLY below it
+      // means the stream was restarted with a fresh checkpoint (ids
+      // renumbered from 0) over a retained stateDir — silently
+      // dropping every "old-id" batch would corrupt the manifest, so
+      // fail loudly instead.
+      if (batchId != Long.MinValue) {
+        require(batchId >= lastBatch,
+          s"batch id regression: got $batchId after $lastBatch was applied — " +
+            "fresh checkpoint over a retained stateDir? wipe the stateDir or restore the checkpoint")
+        if (batchId == lastBatch) return st
+      }
       val base = st.totalTokens
       val byChunk = CorpusPipeline
         .chunked(batch.select(col("doc_id"), col("n_tokens")), chunk).persist()

@@ -77,6 +77,16 @@ class StreamingDriftSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mv2.scores(ref) == uninterrupted.scores(ref))
   }
 
+  test("a batch id regression fails loudly (fresh checkpoint over retained state)") {
+    val d = new StreamingDrift
+    d.processBatch(df(rows), batchId = 5L)
+    d.processBatch(df(rows), batchId = 5L) // replay of the last id: no-op
+    val e = intercept[IllegalArgumentException] {
+      d.processBatch(df(rows), batchId = 0L) // renumbered-from-0 checkpoint
+    }
+    assert(e.getMessage.contains("batch id regression"))
+  }
+
   test("null bins key deterministically") {
     val mv = new StreamingDrift
     mv.processBatch(df(Seq((1L, "lang", null), (2L, "lang", null))))

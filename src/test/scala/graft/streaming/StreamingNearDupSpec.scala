@@ -209,6 +209,39 @@ class StreamingNearDupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a crash between the two store appends self-heals on replay (self-keyed appends)") {
+    withRoot { root =>
+      StreamingNearDup.bootstrap(df(corpus), root)
+      StreamingNearDup.processBatch(spark, df(batch0), root)
+      // park a copy of the HASH store, run batch1 (both appends land),
+      // then restore the hash copy — simulating a JVM death after the
+      // sig append but before the hash append
+      val hashDir = new java.io.File(s"$root/hash")
+      val park = new java.io.File(s"$root/hash.park")
+      copyTree(hashDir, park)
+      val v1 = verdictMap(StreamingNearDup.processBatch(spark, df(batch1), root))
+      val sigAfter = spark.read.parquet(s"$root/sig").count()
+      val hashAfter = spark.read.parquet(s"$root/hash").count()
+      graft.core.Fs.deleteRecursively(hashDir)
+      park.renameTo(hashDir)
+      // the redelivered batch must land the MISSING hash rows without
+      // double-appending the sig rows that already survived
+      val v2 = verdictMap(StreamingNearDup.processBatch(spark, df(batch1), root))
+      assert(v2 == v1, "replay verdicts must match the first attempt")
+      assert(spark.read.parquet(s"$root/sig").count() == sigAfter,
+        "sig rows double-appended after a half-landed batch")
+      assert(spark.read.parquet(s"$root/hash").count() == hashAfter,
+        "hash rows missing after replay of a half-landed batch")
+    }
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+  }
+
   test("a crash between compaction renames is healed by the next processBatch, not only by compactStore") {
     withRoot { root =>
       StreamingNearDup.bootstrap(df(corpus), root)

@@ -47,9 +47,12 @@ def main(old_path, new_path):
         if max(a, b) < MIN_SECS:
             continue
         if b > a * THRESHOLD:
+            # a == 0.0 (instant/rounded old timing) must still flag,
+            # not crash the gate with ZeroDivisionError
+            ratio = b / a if a > 0 else float("inf")
             flagged.append(
                 f"REGRESSION   {name}: {a:.2f}s -> {b:.2f}s "
-                f"({b / a:.1f}x, +{b - a:.2f}s)")
+                f"({ratio:.1f}x, +{b - a:.2f}s)")
 
     added = sorted(set(nq) - set(oq))
     tot_o = sum(v for v in oq.values() if v >= 0)
@@ -60,7 +63,7 @@ def main(old_path, new_path):
     print(f"old: {len(oq)} queries / {tot_o:.1f}s   "
           f"new: {len(nq)} queries / {tot_n:.1f}s")
     print(f"shared {len(shared)}: {sh_o:.1f}s -> {sh_n:.1f}s "
-          f"({sh_n / sh_o:.2f}x)" if shared else "no shared queries")
+          f"({sh_n / sh_o:.2f}x)" if shared and sh_o > 0 else "no shared queries")
     if added:
         print(f"added ({len(added)}): {', '.join(added)}")
     if flagged:
