@@ -216,12 +216,21 @@ object StreamingNearDup {
     // probes the same pruned bucket and finds itself), and a doc_id
     // reused with DIFFERENT content is a new observation and gets
     // indexed — "everything seen is indexed".
+    // canonicalize to the declared store column order before the
+    // append: the using-columns anti-join above front-loads its key
+    // columns, and appending that layout next to bootstrap files
+    // makes the store layout-heterogeneous — a schema-less read's
+    // column order then depends on which file's footer wins, and
+    // compaction (which rewrites through the declared schema)
+    // visibly reorders rows' physical layout.
     val freshSig = bs.join(
       storeSig.select("doc_id", "k", "simhash").distinct(),
       Seq("doc_id", "k", "simhash"), "left_anti")
+      .select(SigSchema.fieldNames.toSeq.map(col): _*)
     val freshHash = bh.join(
       storeHash.select("doc_id", "h").distinct(),
       Seq("doc_id", "h"), "left_anti")
+      .select(HashSchema.fieldNames.toSeq.map(col): _*)
     writeStore(freshSig, s"$root/sig", "append")
     writeStore(freshHash, s"$root/hash", "append")
     storeSig.unpersist(); storeHash.unpersist(); bs.unpersist(); bh.unpersist(); b.unpersist()

@@ -169,12 +169,21 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mv2.state.checksum === ck, "restarted run must end bit-identical to uninterrupted")
 
     // a REDELIVERED micro-batch (crash after fold, before checkpoint
-    // commit) carries an already-folded batch id — must be a no-op
+    // commit) only ever carries the LAST applied batch id — must be
+    // a no-op
     val replay = batches(0).toDF("doc_id", "text")
       .withColumn("n_tokens", lit(100L)).select("doc_id", "n_tokens")
-    val after = mv2.advance(replay, batchId = 0L)
+    val after = mv2.advance(replay, batchId = 3L)
     assert(after === mv2.state && after.nDocs === nDocs,
       "replayed batch id must not double-count")
+
+    // a STRICTLY older id is never a redelivery (Spark only replays
+    // the last uncommitted batch) — it means a fresh checkpoint was
+    // started over a retained stateDir (ids renumbered from 0).
+    // Silently no-oping every "old" batch would corrupt the
+    // manifest, so the MV must fail loudly instead.
+    val ex = intercept[IllegalArgumentException](mv2.advance(replay, batchId = 0L))
+    assert(ex.getMessage.contains("batch id regression"))
   }
 
   test("empty and gate-failing batches advance nothing") {
