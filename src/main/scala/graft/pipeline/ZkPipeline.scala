@@ -289,6 +289,59 @@ object ZkPipeline {
       .orderBy("qid")
   }
 
+  /** BATCHED ERC20 serving — the §3.3 twin of [[query2Batch]]: answer
+    * a TABLE of reward requests `(qid, user_pad: binary(32), min_b,
+    * max_b)` in ONE pass over the entries fact. The reference proves
+    * one `(user, range)` query per invocation (api.rs:325-341); a
+    * deployment answers many, and N per-query invocations are N scans
+    * of a 100-TB fact for work that shares everything but the
+    * predicate. The request table broadcasts (requests are
+    * human-issued — always the small side); each request's clamp /
+    * per-block reward / gap-free U256 sum evaluates per `qid` group.
+    *
+    * The P7 clamp needs no bounds side-scan here: every scoped row is
+    * inside the DB bounds by construction, so filtering
+    * `block_number` to the RAW request range selects exactly the rows
+    * the clamped range would, and the reported `range_min`/`range_max`
+    * (min/max of surviving blocks) come out already clamped. That
+    * keeps the whole batch a literal single scan of the fact
+    * (ZkPipelineSpec pins the plan's leaf count, like query2Batch's).
+    *
+    * Emits one row per request, empties included, field-compatible
+    * with [[queryErc20]]'s single row: a request whose range touches
+    * no block gets `n_blocks = 0`, null range bounds, null `gap_free`
+    * and a zero U256 `result` — exactly what the per-query plan
+    * returns on an empty range. Absent-user blocks still count with
+    * balance 0 (P4), same as the per-query path. */
+  def erc20Batch(entries: DataFrame, queries: DataFrame, contract: Array[Byte], slot: Int,
+                 rate: BigInteger, totalSupply: BigInteger): DataFrame = {
+    val q = queries.select(col("qid"), col("user_pad"), col("min_b"), col("max_b"))
+    val scoped = entries
+      .filter(col("contract") === lit(contract) && col("mapping_slot") === slot)
+    val inRange = scoped.join(broadcast(q),
+      scoped("block_number").between(q("min_b"), q("max_b")))
+    // P4 per (request, block): the user's balance or 0 when absent —
+    // the block row-group exists whenever ANY key was observed there
+    val perBlock = inRange
+      .groupBy(col("qid"), col("block_number"))
+      .agg(max(when(col("mapping_key") === col("user_pad"), col("value"))).as("balance"))
+      .withColumn("balance", coalesce(col("balance"), lit(U256.toBytes32(BigInteger.ZERO))))
+      .withColumn("reward",
+        u256MulDiv(lit(U256.toBytes32(rate)), col("balance"), lit(U256.toBytes32(totalSupply))))
+    val perQid = perBlock.groupBy("qid").agg(
+      count(lit(1)).as("n_blocks"),
+      min("block_number").as("range_min"),
+      max("block_number").as("range_max"),
+      Aggregators.u256Sum(col("reward")).as("result"))
+      .withColumn("gap_free", col("n_blocks") === col("range_max") - col("range_min") + 1)
+    q.select("qid").join(perQid, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        col("range_min"), col("range_max"), col("gap_free"),
+        coalesce(col("result"), lit(U256.toBytes32(BigInteger.ZERO))).as("result"))
+      .orderBy("qid")
+  }
+
   /** §3.2 step 4 — the fixed-width revelation record: block range,
     * the L result ids (zero-padded like the reference's fixed result
     * array), entry count, re-derived key digest, the proving block's

@@ -715,6 +715,66 @@ object Zk {
       headline = true,
     ),
 
+    // BATCHED ERC20 serving (§3.3 twin of zk_query2_batch): six
+    // reward requests — full / partial / over-wide (clamped) ranges,
+    // a non-holder (absent ⇒ 0 per block, blocks still count — P4),
+    // and an empty range — answered in ONE scan of the entries fact.
+    // The reference proves one (user, range) per invocation
+    // (api.rs:325-341); batching is the deployment shape for both
+    // query families. ZkPipelineSpec pins batch ≡ the per-query
+    // queryErc20 loop field-for-field (U256 result bytes included)
+    // and the single-fact-scan plan; the oracle replays every
+    // request's clamp → per-block max → floor-div reward → gap-free
+    // sum from ground truth.
+    QueryDef(
+      "zk_erc20_batch",
+      (s, _) => {
+        import graft.functions.GraftFunctions.u256ToDecimal
+        FixtureStore.ensure(s)
+        val sess = s
+        import sess.implicits._
+        val reqs = Seq((0L, 2, b0, b1), (1L, 5, b0 + 3, b1), (2L, 0, b0, b1 - 4),
+          (3L, 9, b0, b1), (4L, 2, b1 + 100, b1 + 200), (5L, 3, b0 - 50, b1 + 50))
+        val qdf = reqs.map { case (qid, u, lo, hi) =>
+          (qid, graft.core.Bytes.leftPad32(Fixtures.userAddr(u)), lo, hi)
+        }.toDF("qid", "user_pad", "min_b", "max_b")
+        ZkPipeline.erc20Batch(Fixtures.entries(s, cfg), qdf,
+            Fixtures.contractAddr(1), cfg.erc20Slot,
+            rate = BigInteger.valueOf(7L), totalSupply = BigInteger.valueOf(1000L))
+          .select(col("qid"), col("n_blocks"), col("range_min"), col("range_max"),
+            col("gap_free"), u256ToDecimal(col("result")).cast("double").as("result"))
+      },
+      Some(s"""WITH qs AS (SELECT * FROM (VALUES
+              |  (0, '${FixtureStore.userPad32Hex(2)}', $b0, $b1),
+              |  (1, '${FixtureStore.userPad32Hex(5)}', ${b0 + 3}, $b1),
+              |  (2, '${FixtureStore.userPad32Hex(0)}', $b0, ${b1 - 4}),
+              |  (3, '${FixtureStore.userPad32Hex(9)}', $b0, $b1),
+              |  (4, '${FixtureStore.userPad32Hex(2)}', ${b1 + 100}, ${b1 + 200}),
+              |  (5, '${FixtureStore.userPad32Hex(3)}', ${b0 - 50}, ${b1 + 50})
+              |  ) t(qid, user_pad, min_b, max_b)),
+              |scoped AS (
+              |  SELECT block_number, mapping_key, balance FROM $E
+              |  WHERE contract = '${FixtureStore.contractHex(1)}'
+              |    AND mapping_slot = ${cfg.erc20Slot}),
+              |per_block AS (
+              |  SELECT qs.qid, s.block_number,
+              |    COALESCE(MAX(CASE WHEN s.mapping_key = qs.user_pad
+              |                      THEN s.balance END), 0) AS bal
+              |  FROM scoped s JOIN qs ON s.block_number BETWEEN qs.min_b AND qs.max_b
+              |  GROUP BY qs.qid, s.block_number),
+              |agg AS (
+              |  SELECT qid, count(*) AS n_blocks,
+              |    min(block_number) AS range_min, max(block_number) AS range_max,
+              |    (count(*) = max(block_number) - min(block_number) + 1) AS gap_free,
+              |    CAST(SUM((7 * bal) // 1000) AS DOUBLE) AS result
+              |  FROM per_block GROUP BY qid)
+              |SELECT CAST(qs.qid AS BIGINT) AS qid,
+              |  CAST(COALESCE(a.n_blocks, 0) AS BIGINT) AS n_blocks,
+              |  a.range_min, a.range_max, a.gap_free,
+              |  COALESCE(a.result, 0.0) AS result
+              |FROM qs LEFT JOIN agg a USING (qid) ORDER BY qs.qid""".stripMargin),
+    ),
+
     // ERC20 attestation manifest (§3.3 step 5 / S6 twin of
     // zk_revelation_manifest): the revelation sealed under keccak with
     // the result re-derived from the revealed per-block rewards and

@@ -344,6 +344,47 @@ class ZkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getAs[Long]("n_blocks") == cfg.nBlocks.toLong)
   }
 
+  test("erc20Batch: one-scan batch equals the per-query queryErc20 loop field-for-field") {
+    val s2 = spark
+    import s2.implicits._
+    val b0 = cfg.firstBlock
+    val b1 = cfg.firstBlock + cfg.nBlocks - 1
+    // holders with full / partial / over-wide (clamped) ranges, a
+    // non-holder (absent ⇒ 0 per block, every block still counts —
+    // P4), and an empty range (no blocks at all)
+    val reqs = Seq((0L, 2, b0, b1), (1L, 5, b0 + 3, b1), (2L, 0, b0, b1 - 4),
+      (3L, 9, b0, b1), (4L, 2, b1 + 100, b1 + 200), (5L, 3, b0 - 50, b1 + 50))
+    val qdf = reqs.map { case (qid, u, lo, hi) =>
+      (qid, Bytes.leftPad32(Fixtures.userAddr(u)), lo, hi)
+    }.toDF("qid", "user_pad", "min_b", "max_b")
+    val entries = Fixtures.entries(spark, cfg)
+    val rate = BigInteger.valueOf(7L)
+    val ts = BigInteger.valueOf(1000L)
+    val batch = ZkPipeline
+      .erc20Batch(entries, qdf, Fixtures.contractAddr(1), cfg.erc20Slot, rate, ts)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(batch.keySet == reqs.map(_._1).toSet, "one output row per request, empties included")
+    reqs.foreach { case (qid, u, lo, hi) =>
+      val one = ZkPipeline.queryErc20(entries, Fixtures.contractAddr(1), cfg.erc20Slot,
+        Fixtures.userAddr(u), rate, ts, lo, hi).collect()(0)
+      val b = batch(qid)
+      assert(b.getAs[Long]("n_blocks") == one.getAs[Long]("n_blocks"), s"qid=$qid n_blocks")
+      assert(b.getAs[Any]("range_min") == one.getAs[Any]("range_min"), s"qid=$qid range_min")
+      assert(b.getAs[Any]("range_max") == one.getAs[Any]("range_max"), s"qid=$qid range_max")
+      assert(b.getAs[Any]("gap_free") == one.getAs[Any]("gap_free"), s"qid=$qid gap_free")
+      assert(Bytes.toHex(b.getAs[Array[Byte]]("result")) ==
+        Bytes.toHex(one.getAs[Array[Byte]]("result")), s"qid=$qid result")
+    }
+    // the whole point of batching: ONE scan of the entries fact for
+    // all six requests (the per-query loop above ran six)
+    val plan = ZkPipeline
+      .erc20Batch(entries, qdf, Fixtures.contractAddr(1), cfg.erc20Slot, rate, ts)
+      .queryExecution.optimizedPlan
+    val entryScans = plan.collectLeaves()
+      .count(_.output.exists(_.name == "mapping_key"))
+    assert(entryScans == 1, s"batch plan must scan the fact once, saw $entryScans:\n$plan")
+  }
+
   test("manifest attestation: verified seal matches golden; a tampered id flips the verdict and moves the hash") {
     val rev = ZkPipeline.query2Revelation(
       Fixtures.entries(spark, cfg), Fixtures.headers(spark, cfg),
