@@ -346,6 +346,72 @@ object Similarity {
               |SELECT bucket, count(*) AS n FROM sig GROUP BY bucket ORDER BY bucket""".stripMargin),
     ),
 
+    // dq6 — the MALFORMED-embedding quarantine as a driver-checked
+    // contract (lives in this file, not DataQuality.scala, because it
+    // exercises THIS file's private signature kernel): sigColN routes
+    // corrupt (shorter-than-Dims) embeddings to a 'MALFORMED:<size>|…'
+    // bucket namespace no well-formed signature can collide with
+    // (real signatures are '0'/'1' chars only), so corruption is
+    // VISIBLE in the bucket histogram and INERT in candidate joins
+    // instead of silently placed on a partial sum. Three clauses
+    // proven: zero malformed buckets on the clean corpus; one planted
+    // 3-dim vector routes to the 'MALFORMED:3|' namespace; and the
+    // bucket-equality candidate-pair count is unchanged by the
+    // planted row (a malformed row can only ever meet another
+    // malformed row). The oracle replants the same corrupt vector and
+    // replays all three from ground truth. The bucket STRINGS of
+    // quarantined rows are deliberately not compared — Spark appends
+    // the partial-sum signature after the namespace prefix (keeps the
+    // concat codegen-splittable, sigColN's comment), the oracle stops
+    // at the prefix; every compared field is namespace-level.
+    QueryDef(
+      "dq6_malformed_quarantine",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val planted = e.unionByName(
+          e.filter(col("vec_id") === 0)
+            .select(lit(-1L).as("vec_id"), slice(col("embedding"), 1, 3).as("embedding")))
+        def sig(df: DataFrame): DataFrame =
+          df.withColumn("f", fxCol).select(col("vec_id"), sigCol.as("bucket")).persist()
+        val clean = sig(e)
+        val dirty = sig(planted)
+        def nMalformed(df: DataFrame): Long =
+          df.filter(col("bucket").startsWith("MALFORMED:")).count()
+        def nPairs(df: DataFrame): Long =
+          df.as("a").join(df.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id")).count()
+        val plantedRouted = dirty.filter(col("vec_id") === -1L)
+          .select(col("bucket").startsWith("MALFORMED:3|")).collect()(0).getBoolean(0)
+        val row = (nMalformed(clean), nMalformed(dirty), plantedRouted,
+          nPairs(clean), nPairs(dirty))
+        clean.unpersist()
+        dirty.unpersist()
+        Seq((row._1, row._2, row._3, row._4, row._5, row._4 == row._5))
+          .toDF("n_malformed_clean", "n_malformed_dirty", "planted_routed",
+            "n_pairs_clean", "n_pairs_dirty", "pairs_unaffected")
+      },
+      Some(s"""WITH $FxSql,
+              |fxp AS (SELECT vec_id, f FROM fx UNION ALL
+              |        SELECT -1 AS vec_id, list_slice(f, 1, 3) AS f FROM fx WHERE vec_id = 0),
+              |sigc AS (SELECT vec_id, $sigSql AS bucket FROM fx),
+              |sigd AS (SELECT vec_id,
+              |    CASE WHEN len(f) >= $Dims THEN $sigSql
+              |         ELSE 'MALFORMED:' || CAST(len(f) AS VARCHAR) || '|' END AS bucket
+              |  FROM fxp),
+              |pc AS (SELECT count(*) AS n FROM sigc a JOIN sigc b
+              |       ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |pd AS (SELECT count(*) AS n FROM sigd a JOIN sigd b
+              |       ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT
+              |  (SELECT count(*) FROM sigc WHERE bucket LIKE 'MALFORMED:%') AS n_malformed_clean,
+              |  (SELECT count(*) FROM sigd WHERE bucket LIKE 'MALFORMED:%') AS n_malformed_dirty,
+              |  (SELECT starts_with(bucket, 'MALFORMED:3|') FROM sigd WHERE vec_id = -1) AS planted_routed,
+              |  (SELECT n FROM pc) AS n_pairs_clean,
+              |  (SELECT n FROM pd) AS n_pairs_dirty,
+              |  (SELECT n FROM pc) = (SELECT n FROM pd) AS pairs_unaffected""".stripMargin),
+    ),
+
     // ss3 — LSH-bucketed ANN: probe only the query's bucket, then
     // exact inner-product rerank inside it. The candidate set is the
     // bucket (n/256 expected), not the table.
