@@ -107,7 +107,10 @@ object IvfIndex {
     * point of IVF at 100 TB. */
   def writeStore(assigned: DataFrame, dir: String): Unit = {
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(dir)
-    refreshStats(assigned.sparkSession, dir)
+    // a fresh overwrite's footer recount reads exactly the files just
+    // written — O(write), not O(store history); epoch restarts at 1
+    writeStats(assigned.sparkSession, dir,
+      assigned.sparkSession.read.parquet(dir).count(), epoch = 1L)
   }
 
   /** Incremental maintenance: assign a delta under the EXISTING model
@@ -120,29 +123,86 @@ object IvfIndex {
     writeAppend(assign(delta, model), dir)
 
   private def writeAppend(assigned: DataFrame, dir: String): Unit = {
-    assigned.write.mode("append").partitionBy("list_id").parquet(dir)
-    refreshStats(assigned.sparkSession, dir)
+    val spark = assigned.sparkSession
+    // count the delta off the cached frame BEFORE the write so the
+    // assignment isn't recomputed; the manifest then advances
+    // INCREMENTALLY (previous value + delta) — a micro-append never
+    // pays an O(all store files) footer listing that grows with the
+    // store. A legacy store with no manifest falls back to one full
+    // footer recount and enters the incremental regime from there.
+    val a = assigned.persist()
+    val deltaN = a.count()
+    a.write.mode("append").partitionBy("list_id").parquet(dir)
+    a.unpersist()
+    val (prevN, prevEpoch) = readStats(spark, dir)
+      .getOrElse((spark.read.parquet(dir).count() - deltaN, 0L))
+    writeStats(spark, dir, prevN + deltaN, prevEpoch + 1)
   }
 
   /** `_stats` manifest maintained at write/append time: the committed
-    * row count of the store, refreshed from the just-written files'
-    * parquet footers (count(*) over a parquet scan materializes no
-    * columns — row-group metadata only). Serve paths that size knobs
-    * by corpus size read THIS instead of re-counting the store: at
-    * 100 TB a per-query count() is a full-store job for a number that
-    * is a property of the committed index. Underscore prefix keeps it
-    * invisible to [[readStore]]'s data scan, like `_model`. */
-  private def refreshStats(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    * row count of the store. Serve paths that size knobs by corpus
+    * size read THIS instead of re-counting the store: at 100 TB a
+    * per-query count() is a full-store job for a number that is a
+    * property of the committed index. Underscore prefix keeps it
+    * invisible to [[readStore]]'s data scan, like `_model`.
+    *
+    * Swapped in place via the park/rename pair (the StreamingNearDup
+    * compaction discipline): the new manifest lands at `_stats.tmp`,
+    * the live one parks at `_stats.old`, the tmp renames live — so a
+    * reader never sees a half-written manifest and a crash mid-swap
+    * is healed on the next read. `epoch` counts commits; a crash in
+    * the window between the data append and the stats swap leaves the
+    * count stale WITH its epoch unchanged, which [[verifyStats]]
+    * detects by footer recount (a maintenance audit, never the serve
+    * path). */
+  private def writeStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         n: Long, epoch: Long): Unit = {
     import spark.implicits._
-    val total = spark.read.parquet(dir).count()
-    Seq(total).toDF("n").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/_stats")
+    val tmp = new java.io.File(s"$dir/_stats.tmp")
+    val live = new java.io.File(s"$dir/_stats")
+    val old = new java.io.File(s"$dir/_stats.old")
+    graft.core.Fs.deleteRecursively(tmp)
+    Seq((n, epoch)).toDF("n", "epoch").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    graft.core.Fs.deleteRecursively(old)
+    if (live.exists() && !live.renameTo(old))
+      throw new IllegalStateException(s"could not park _stats at $dir")
+    if (!tmp.renameTo(live))
+      throw new IllegalStateException(s"could not swap _stats at $dir")
+    graft.core.Fs.deleteRecursively(old)
+  }
+
+  /** (n, epoch) from the manifest; heals a crashed swap (live absent,
+    * parked copy present) first. None = no manifest (legacy store or
+    * pre-first-write). Pre-epoch single-column manifests read as
+    * epoch 0. */
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[(Long, Long)] = {
+    val live = new java.io.File(s"$dir/_stats")
+    val old = new java.io.File(s"$dir/_stats.old")
+    if (!live.exists() && old.exists() && !old.renameTo(live))
+      throw new IllegalStateException(s"_stats recovery failed at $dir")
+    if (!live.exists()) None
+    else {
+      val r = spark.read.parquet(live.getPath).collect()(0)
+      Some((r.getLong(0), if (r.schema.fieldNames.contains("epoch")) r.getAs[Long]("epoch") else 0L))
+    }
   }
 
   /** committed store size from the `_stats` manifest (one tiny file —
     * no scan of the store itself). */
   def storedCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    spark.read.parquet(s"$dir/_stats").collect()(0).getLong(0)
+    readStats(spark, dir).map(_._1).getOrElse(
+      throw new IllegalStateException(s"no _stats manifest at $dir"))
+
+  /** maintenance audit: does the manifest match a footer recount of
+    * the store? O(store footers) — for audits and specs; the serve
+    * path never calls it. False = a writer crashed between its data
+    * append and the stats swap (the count is stale until the next
+    * successful append rewrites it from the stale base — re-run
+    * [[writeStore]]/[[appendStore]] maintenance to restore truth). */
+  def verifyStats(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    readStats(spark, dir).exists(_._1 == spark.read.parquet(dir).count())
 
   /** read the at-rest layout back (list_id is the partition column). */
   def readStore(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

@@ -70,11 +70,27 @@ object QuantizerStore {
       .map(_.as[QRow].collect().toSeq)
   }
 
-  /** a snapshot without its meta row predates the stats format — treat
-    * it as absent so the caller retrains into the new layout rather
-    * than serving a knob from a sentinel. */
+  /** a snapshot without its meta row predates the stats format, and a
+    * meta row carrying the -1 "unknown" sentinel (a bootstrap save
+    * whose training corpus was caller-side) has no usable stats
+    * either — BOTH read as absent, so a stats-consuming caller
+    * retrains and commits a real count rather than ever sizing a
+    * serving knob from a sentinel. Model-only restores that
+    * legitimately don't need stats go through [[loadIvfModel]]. */
   private def statsOf(rows: Seq[QRow]): Option[Long] =
-    rows.find(_.kind == "meta").map(_.n)
+    rows.find(_.kind == "meta").map(_.n).filter(_ >= 0L)
+
+  /** model-only restore: the committed IVF centroids regardless of
+    * whether usable corpus stats exist (tolerates the -1 bootstrap
+    * sentinel the stats-returning loaders refuse) — for callers like
+    * [[graft.streaming.VectorIndexMaintainer]] that restore a serving
+    * model but never size knobs from the load. */
+  def loadIvfModel(spark: SparkSession, dir: String): Option[IvfIndex.Model] =
+    rowsOf(spark, dir).flatMap { rows =>
+      val cents = rows.filter(_.kind == "ivf").sortBy(_.idx)
+      if (cents.isEmpty) None
+      else Some(IvfIndex.Model(cents.map(r => (r.idx, r.vec.toArray)).toArray))
+    }
 
   def loadIvf(spark: SparkSession, dir: String): Option[(IvfIndex.Model, Long)] =
     rowsOf(spark, dir).flatMap { rows =>

@@ -47,7 +47,7 @@ class VectorIndexMaintainer(spark: SparkSession, baseDir: String,
     * construction, so a restarted maintainer serves the refreshed
     * quantizer, not the bootstrap one. */
   @volatile private var _model: IvfIndex.Model =
-    QuantizerStore.loadIvf(spark, quantizerDir).map(_._1).getOrElse {
+    QuantizerStore.loadIvfModel(spark, quantizerDir).getOrElse {
       // nCorpus = -1: the bootstrap fit happened caller-side, its
       // corpus size is unknown here; refreshQuantizer records the real
       // snapshot count when it retrains

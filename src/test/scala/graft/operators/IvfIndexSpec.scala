@@ -93,4 +93,37 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == rebuilt, s"store probe $got != rebuild probe $rebuilt")
   }
+
+  test("_stats manifest: incremental on append, atomic swap heals, staleness detectable") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = IvfIndex.train(emb, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfstats").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val d1 = emb.filter(col("vec_id") % 10 === 0)
+    val d2 = emb.filter(col("vec_id") % 10 === 5)
+    IvfIndex.writeStore(IvfIndex.assign(base, model), dir)
+    assert(IvfIndex.storedCount(spark, dir) == base.count())
+    // two micro-appends advance the manifest incrementally and the
+    // count stays exact vs a footer recount
+    IvfIndex.appendStore(d1, model, dir)
+    IvfIndex.appendStore(d2, model, dir)
+    assert(IvfIndex.storedCount(spark, dir) == base.count() + d1.count() + d2.count())
+    assert(IvfIndex.verifyStats(spark, dir))
+
+    // crashed swap: live manifest gone, parked copy present — the next
+    // reader heals it and serves the same count
+    val live = new java.io.File(s"$dir/_stats")
+    val parked = new java.io.File(s"$dir/_stats.old")
+    assert(live.renameTo(parked))
+    assert(IvfIndex.storedCount(spark, dir) == base.count() + d1.count() + d2.count())
+    assert(live.exists() && !parked.exists(), "reader must heal the crashed swap")
+
+    // a writer that died between its data append and the stats swap
+    // leaves a stale count — undetected on the serve path (by design:
+    // no O(store) listing there), but visible to the verifyStats audit
+    IvfIndex.assign(d1, model).withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.mode("append").partitionBy("list_id").parquet(dir)
+    assert(!IvfIndex.verifyStats(spark, dir), "audit must flag the stale manifest")
+    graft.core.Fs.deleteRecursively(new java.io.File(dir))
+  }
 }
