@@ -385,11 +385,19 @@ object GraphAnn {
     * Cost: one budgeted stored search + a rewrite of ≤ touched
     * buckets; resident data outside them is never read or written.
     * GraphAnnSpec + ss15 pin probe(append) ≡ probe(rebuild) on the
-    * planted corpus. */
+    * planted corpus.
+    *
+    * Returns the number of ISOLATED delta vectors — vectors whose
+    * entire kept top-`degree` neighborhood is delta-internal (no
+    * resident survived the cosine rerank). A non-zero count is the
+    * island signal: such a group may have published as a NEW
+    * connected component the committed entry layer cannot reach —
+    * [[appendStoreChunked]] consumes it as its entry-refresh drift
+    * gate. */
   def appendStore(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
                   deltaFx: DataFrame, degree: Int = 16, ef: Int = 48,
                   maxExpand: Int = 80, batch: Int = 8,
-                  entryIds: Seq[Long], metric: String = "ip"): Unit = {
+                  entryIds: Seq[Long], metric: String = "ip"): Int = {
     import spark.implicits._
     val delta = deltaFx.select("vec_id", "f").as[(Long, Seq[Long])].collect()
       .map { case (id, f) => id -> f.toArray }
@@ -423,6 +431,8 @@ object GraphAnn {
     // per delta vector: top-`degree` of (resident candidates ∪ other
     // delta vectors) by cosine — one combined ranking, like buildGraph
     // ranks across all tables' candidates at once
+    val deltaIds = delta.map(_._1).toSet
+    var isolated = 0
     val newEdges = delta.flatMap { case (id, f) =>
       // a re-run (or chunked ingest) links against a store that may
       // already hold this id — never let it rank itself as a neighbor
@@ -432,6 +442,13 @@ object GraphAnn {
       val ranked = (residents.iterator ++ others)
         .map { case (oid, of) => (oid, cos(f, of)) }
         .toSeq.sortBy { case (oid, c) => (-c, oid) }.take(degree)
+      // kept-neighborhood entirely delta-internal = this vector (and
+      // its mates) may be publishing as a fresh island: the entry
+      // layer can't know about it. Counted on re-runs too (the mates
+      // are then resident but still in deltaIds) so a retried ingest
+      // reaches the same refresh decision.
+      if (ranked.nonEmpty && ranked.forall { case (oid, _) => deltaIds.contains(oid) })
+        isolated += 1
       ranked.flatMap { case (oid, _) => Seq((id, oid), (oid, id)) } // symmetrized
     }.distinct.toSeq
 
@@ -498,6 +515,7 @@ object GraphAnn {
       case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    isolated
   }
 
   /** ENTRY-LAYER MAINTENANCE for a committed store: recompute the
@@ -536,23 +554,42 @@ object GraphAnn {
     * implements for one piece. No delta data beyond the per-piece
     * bound ever rides the driver; the piece sequence is a pure
     * function of the id range (re-runs replay it identically, and
-    * each piece's append is idempotent). Returns pieces appended. */
+    * each piece's append is idempotent). Returns pieces appended.
+    *
+    * ENTRY-LAYER DRIFT GATE (the refreshQuantizer pattern applied to
+    * graph entries): after the ingest, [[refreshEntryLayer]] runs
+    * automatically when EITHER (a) any piece reported isolated delta
+    * vectors — the island signal: a group that linked only to itself
+    * may be a new connected component the committed entries cannot
+    * reach at any budget — or (b) the ingest landed ≥ `refreshEvery`
+    * pieces, catching the gradual reachability drift the isolation
+    * proxy can miss. A production append stream therefore never
+    * strands an island by forgetting the maintenance call
+    * (GraphAnnSpec pins the planted-island scenario with no manual
+    * refresh); pass `refreshEvery = Int.MaxValue` AND rely on a
+    * caller-side schedule only if the entry layout is managed
+    * externally. `entryName`/`entryPlanes`/`entryDims` parameterize
+    * the refreshed layer exactly as [[refreshEntryLayer]] does. */
   def appendStoreChunked(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
                          deltaFx: DataFrame, degree: Int = 16, ef: Int = 48,
                          maxExpand: Int = 80, batch: Int = 8,
                          entryIds: Seq[Long], metric: String = "ip",
-                         pieceCap: Long = GraphDeltaCap): Int = {
+                         pieceCap: Long = GraphDeltaCap,
+                         entryName: String = "entry", refreshEvery: Int = 8,
+                         entryPlanes: Int = 5, entryDims: Int = 64): Int = {
     // persist: the bisection runs O(tree) counts plus one appendStore
     // per piece — without the cache an expensive upstream plan would
     // re-execute at every node
     val cached = deltaFx.persist()
     try {
+      var isolated = 0L
       def ingest(lo: Long, hi: Long): Int = {
         val slice = cached.filter(col("vec_id").between(lo, hi))
         val n = slice.count()
         if (n == 0L) 0
         else if (n <= pieceCap) {
-          appendStore(spark, store, slice, degree, ef, maxExpand, batch, entryIds, metric)
+          isolated += appendStore(spark, store, slice, degree, ef, maxExpand,
+            batch, entryIds, metric)
           1
         } else {
           // a single id carrying more rows than the cap cannot be
@@ -565,7 +602,10 @@ object GraphAnn {
         }
       }
       val b = cached.agg(min("vec_id"), max("vec_id")).collect()(0)
-      if (b.isNullAt(0)) 0 else ingest(b.getLong(0), b.getLong(1))
+      val pieces = if (b.isNullAt(0)) 0 else ingest(b.getLong(0), b.getLong(1))
+      if (isolated > 0 || pieces >= refreshEvery)
+        refreshEntryLayer(spark, store, entryName, entryPlanes, entryDims)
+      pieces
     } finally { cached.unpersist(); () }
   }
 

@@ -1846,8 +1846,11 @@ object Similarity {
         val qs = all.filter(col("vec_id") < 4).collect()
           .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
 
+        // graph=v2: entries moved inside the store dirs (the drift-
+        // gated maintenance layout) — re-key so a pre-change cached
+        // store can't serve the old sibling-entry layout
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
-          "|ss15|base=2000|delta=104|deg=16|graph=v1"
+          "|ss15|base=2000|delta=104|deg=16|graph=v2"
         val root = new java.io.File(s"target/gstore/upsert_${storeTag(canon)}").getAbsolutePath
         val nB = 16
         publishStore(root) { tmp =>
@@ -1856,18 +1859,25 @@ object Similarity {
           val gA = GraphAnn.buildGraph(baseC, degree = 16, dims = 16).persist()
           val eA = GraphAnn.buildEntryLayerConnected(baseC, gA, dims = 16)
           GraphAnn.writeStores(baseC, gA, s"$tmp/append", nB)
-          eA.write.mode("overwrite").parquet(s"$tmp/append_entry")
-          val entryA = s.read.parquet(s"$tmp/append_entry").collect().map(_.getLong(0)).toSeq
-          GraphAnn.appendStore(s, GraphAnn.StoredIndex(s"$tmp/append", nB), delta,
-            degree = 16, entryIds = entryA, metric = "l2")
+          // entries live INSIDE the store dir (the refreshEntryLayer
+          // convention) so the chunked ingest's drift gate can
+          // maintain them in place
+          eA.write.mode("overwrite").parquet(s"$tmp/append/entry")
+          val entryA = s.read.parquet(s"$tmp/append/entry").collect().map(_.getLong(0)).toSeq
+          // the PRODUCTION ingest path: chunked append whose entry
+          // drift gate (isolation signal / every-N-pieces) refreshes
+          // the entry layer itself when the delta may have published
+          // an unreachable component — no manual maintenance call
+          GraphAnn.appendStoreChunked(s, GraphAnn.StoredIndex(s"$tmp/append", nB), delta,
+            degree = 16, entryIds = entryA, metric = "l2", entryDims = 16)
           val gB = GraphAnn.buildGraph(fullC, degree = 16, dims = 16).persist()
           GraphAnn.writeStores(fullC, gB, s"$tmp/rebuild", nB)
           GraphAnn.buildEntryLayerConnected(fullC, gB, dims = 16)
-            .write.mode("overwrite").parquet(s"$tmp/rebuild_entry")
+            .write.mode("overwrite").parquet(s"$tmp/rebuild/entry")
           gA.unpersist(); gB.unpersist(); baseC.unpersist(); fullC.unpersist(): Unit
         }
         def probe(which: String): Map[Long, Set[Long]] = {
-          val entry = s.read.parquet(s"$root/${which}_entry").collect().map(_.getLong(0)).toSeq
+          val entry = s.read.parquet(s"$root/$which/entry").collect().map(_.getLong(0)).toSeq
           GraphAnn.searchStoredWithBudget(s, GraphAnn.StoredIndex(s"$root/$which", nB), qs,
             k = 10, ef = 48, maxExpand = 80, batch = 8, entryIds = entry, metric = "l2")._1
             .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -300,7 +300,7 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     graph.unpersist(); baseDf.unpersist()
   }
 
-  test("refreshEntryLayer: a component born by an append becomes reachable") {
+  test("entry-layer drift gate: an append-born island becomes reachable with NO manual refresh") {
     val s2 = spark
     import s2.implicits._
     val baseRows = (4L until 2000L).map(id => (id, planted(id, 8)))
@@ -322,8 +322,12 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraphAnn.buildEntryLayerConnected(baseDf, graph, dims = 16)
       .write.mode("overwrite").parquet(s"$dir/entry")
     val stale = spark.read.parquet(s"$dir/entry").collect().map(_.getLong(0)).toSeq
-    GraphAnn.appendStore(spark, GraphAnn.StoredIndex(dir, nB),
+    // raw appendStore (no gate): the island publishes AND is reported
+    // as isolated — the signal appendStoreChunked's drift gate consumes
+    val isolated = GraphAnn.appendStore(spark, GraphAnn.StoredIndex(dir, nB),
       islandRows.toDF("vec_id", "f"), degree = 16, entryIds = stale, metric = "l2")
+    assert(isolated == islandRows.size,
+      s"every island vector must report isolated, got $isolated")
 
     val qf = Array.fill(16)(50000500L)
     def d2(a: Array[Long], b: Array[Long]): Long =
@@ -340,10 +344,20 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe(stale).intersect(islandIds).isEmpty,
       "premise: under the stale entry layer the island must be unreachable")
 
-    GraphAnn.refreshEntryLayer(spark, GraphAnn.StoredIndex(dir, nB), dims = 16)
+    // the production path: a chunked ingest (idempotent re-run of the
+    // same delta — no duplicate fx rows) whose drift gate sees the
+    // isolation signal and refreshes the entry layer ITSELF; no
+    // manual refreshEntryLayer call anywhere in this scenario
+    val fxRows = spark.read.parquet(s"$dir/fx").count()
+    GraphAnn.appendStoreChunked(spark, GraphAnn.StoredIndex(dir, nB),
+      islandRows.toDF("vec_id", "f"), degree = 16, entryIds = stale,
+      metric = "l2", entryDims = 16)
+    assert(spark.read.parquet(s"$dir/fx").count() == fxRows,
+      "the gated re-run must not append duplicate fx rows")
     val fresh = spark.read.parquet(s"$dir/entry").collect().map(_.getLong(0)).toSeq
+    assert(fresh != stale, "the drift gate must have refreshed the entry layer")
     assert(probe(fresh) == want,
-      "after the entry refresh the island must be exactly searchable")
+      "after the gated entry refresh the island must be exactly searchable")
     graph.unpersist(); baseDf.unpersist()
   }
 
