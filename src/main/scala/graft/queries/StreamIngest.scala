@@ -222,6 +222,82 @@ object StreamIngest {
       streamingDriver = true,
     ),
 
+    // st_scale_pack — the STREAMING scale rung (the vt 300k→3M /
+    // dd 1M→10M / ss 1M→5M ladder discipline applied to the stream
+    // family): 1M synthetic docs — ~300× st7's fixture volume —
+    // through the incremental packing MV in 10 id-ordered
+    // micro-batches of EXECUTOR-BORN rows (nothing rides the driver
+    // but each batch's per-chunk subtotal map), then the whole corpus
+    // packed in ONE batch pass, and the manifests compared
+    // accumulator-for-accumulator. Two scale claims pinned: the MV's
+    // driver state is O(1) — literally 5 longs on disk regardless of
+    // corpus size (`state_o1`) — and the incremental fold is
+    // BIT-equal to the batch layout at 1M docs
+    // (`stream_matches_batch`), so per-batch cost is the batch's own
+    // placement work, never a function of how much was already
+    // ingested. The oracle replays the packing arithmetic (prefix
+    // sums → bin spans → per-bin occupancy) over the same portable
+    // corpus formula. Per-batch walls land in BASELINE.md.
+    QueryDef(
+      "st_scale_pack",
+      (s, _) => {
+        import s.implicits._
+        import graft.streaming.StreamingPipeline
+        val n = 1000000L
+        val nBatches = 10
+        def corpus(lo: Long, hi: Long) = s.range(lo, hi).select(col("id").as("doc_id"),
+          (lit(1L) + (col("id") * 48271L) % 509L).as("n_tokens"))
+        // batch twin: the whole corpus packed in one pass
+        val bins = packBins(packedStarts(corpus(0L, n), chunk = 4096L), cap = 512L)
+        val b = bins.agg(
+          coalesce(sum("n_tokens"), lit(0L)).as("total_tokens"),
+          count(lit(1)).as("n_bins"),
+          coalesce(sum(when(col("n_tokens") === 512L, 1L).otherwise(0L)), lit(0L)).as("n_full_bins"),
+          coalesce(sum(col("bin") * col("n_tokens")), lit(0L)).as("layout_checksum"))
+          .collect()(0)
+        // the stream: 10 id-ordered micro-batches through the MV
+        val stateDir = java.nio.file.Files.createTempDirectory("st_scale_pack").toString
+        val mv = new StreamingPipeline.PackingMv(cap = 512L, chunk = 4096L, Some(stateDir))
+        val per = n / nBatches
+        (0 until nBatches).foreach { k =>
+          mv.advance(corpus(k * per, (k + 1) * per), batchId = k.toLong)
+        }
+        val st = mv.state
+        val stateBytes = new java.io.File(s"$stateDir/pack_state").length()
+        graft.core.Fs.deleteRecursively(new java.io.File(stateDir))
+        val matches = st.nDocs == n &&
+          st.totalTokens == b.getLong(0) &&
+          st.nBins(512L) == b.getLong(1) &&
+          st.nFullBins(512L) == b.getLong(2) &&
+          st.checksum == b.getLong(3)
+        Seq((n, b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3),
+          stateBytes > 0L && stateBytes <= 64L, matches))
+          .toDF("n_docs", "total_tokens", "n_bins", "n_full_bins",
+            "layout_checksum", "state_o1", "stream_matches_batch")
+      },
+      Some("""WITH d AS (
+             |  SELECT id AS doc_id, 1 + (id * 48271) % 509 AS n_tokens
+             |  FROM range(1000000) t(id)),
+             |placed AS (
+             |  SELECT doc_id, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+             |  FROM d),
+             |spans AS (
+             |  SELECT doc_id, n_tokens, start,
+             |    unnest(range(CAST(start // 512 AS BIGINT), CAST((start + n_tokens - 1) // 512 + 1 AS BIGINT))) AS bin
+             |  FROM placed),
+             |bins AS (
+             |  SELECT bin,
+             |    CAST(SUM(least(start + n_tokens, (bin + 1) * 512) - greatest(start, bin * 512)) AS BIGINT) AS n_tokens
+             |  FROM spans GROUP BY bin)
+             |SELECT CAST(1000000 AS BIGINT) AS n_docs,
+             |  (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM bins) AS total_tokens,
+             |  (SELECT count(*) FROM bins) AS n_bins,
+             |  (SELECT CAST(COALESCE(SUM(CASE WHEN n_tokens = 512 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM bins) AS n_full_bins,
+             |  (SELECT CAST(COALESCE(SUM(bin * n_tokens), 0) AS BIGINT) FROM bins) AS layout_checksum,
+             |  TRUE AS state_o1, TRUE AS stream_matches_batch""".stripMargin),
+    ),
+
     // ------------------------------------------------------------------
     // src_jsonl_ingest — JSONL ingestion round trip with corrupt-record
     // quarantine: the documents table is written as JSON Lines by the
