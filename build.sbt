@@ -34,14 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // contention back (vt_scale_300k 14.8s solo vs 34s in-suite). The
   // host has 128 GiB; 28g keeps the suite in the solo regime.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
-) ++ (
-  // wide codegen'd projections (16+ packed-counter columns in one
-  // generated doConsume) exceed HotSpot's 8000-bytecode JIT ceiling;
-  // without this flag those methods run in the bytecode interpreter
-  // (~3x on the signature stage of the 10M-doc dedup proof).
-  // SPARK_GRAFT_DEFAULT_JIT=1 drops the override to measure what a
-  // stock cluster executor (which won't carry this flag) would do —
-  // the delta per query is recorded in BASELINE.md.
-  if (sys.env.contains("SPARK_GRAFT_DEFAULT_JIT")) Seq()
-  else Seq("-XX:-DontCompileHugeMethods")
+  // -XX:-DontCompileHugeMethods was carried from round 7 for the wide
+  // unrolled signature projections; the fused native kernels
+  // (simhash128, lsh_scale_vec) retired those, and a 6-run quiet-host
+  // A/B (BASELINE.md round 9) showed with/without indistinguishable
+  // on every scale row — so the suite now runs a STOCK JVM, matching
+  // what a real cluster executor would do.
 )
