@@ -626,6 +626,7 @@ object Zk {
               |  CASE WHEN a.ids IS NULL THEN '0' || repeat('/0', 4)
               |       ELSE a.ids || repeat('/0', 5 - CAST(a.k AS INTEGER)) END AS nft_ids
               |FROM qs LEFT JOIN agg a USING (qid) ORDER BY qs.qid""".stripMargin),
+      headline = true,
     ),
 
     // §3.2 step 5 — the result-attestation manifest (S6 analog of the
@@ -773,6 +774,7 @@ object Zk {
               |  a.range_min, a.range_max, a.gap_free,
               |  COALESCE(a.result, 0.0) AS result
               |FROM qs LEFT JOIN agg a USING (qid) ORDER BY qs.qid""".stripMargin),
+      headline = true,
     ),
 
     // ERC20 attestation manifest (§3.3 step 5 / S6 twin of
