@@ -253,6 +253,18 @@ object VersionedTables {
       "vt_compact",
       (s, _) => {
         val n = 50000L
+        // the lifecycle is ~15 tiny transactional jobs over ≤ 50k rows
+        // in 16 buckets — 32-partition shuffles are pure per-stage
+        // overhead at this volume (the st8 micro-batch discipline;
+        // getOption/unset save-restore so a defaulted conf comes back
+        // defaulted)
+        val touched = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+        val saved = touched.map(k => k -> s.conf.getOption(k))
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // ~15 micro-stages: AQE's materialize-then-replan barrier
+        // costs more than it saves at this volume (st8's finding)
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
         val dir = java.nio.file.Files.createTempDirectory("vt_compact").toString
         val vt = new graft.sources.VersionedTable(s, dir, nBuckets = 16)
         val base = s.range(n).select(col("id").as("k"),
@@ -291,6 +303,10 @@ object VersionedTables {
           .toDF("n_rows", "frag_before", "n_dirs_after_compact", "v_checksum",
             "compact_preserves", "n_pruned_read", "pinned_ok",
             "vacuum_preserves", "n_disk_dirs_after_vacuum")
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
       },
       // v_checksum replays the five 2-key merges in closed form; every
       // value in the double sum is an integer < 2^53, so float addition
