@@ -64,13 +64,23 @@ object Bench {
     // and a single unlucky shot would otherwise pose as that query's
     // cost for the whole round. The max−min spread is recorded next to
     // the value, so an outlier remains visible in the artifact.
+    // GC hygiene between iterations (the JMH discipline): a heavy
+    // query leaves 10²-10³ MB of just-unpersisted cache blocks and
+    // shuffle buffers dead on the heap, and the NEXT heavy query then
+    // pays the collection inside its own timed wall (dd_scale_10m
+    // measured 13-14s in small subsets vs a consistent 22s after 180
+    // suite queries). Collect OUTSIDE the timed regions, and only
+    // after heavy rows — ~25 collections per suite, not 600.
+    def gcAfterHeavy(secs: Double): Unit = if (secs >= 3.0) System.gc()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         val t1 = timeOnce(name, fn)
+        gcAfterHeavy(math.abs(t1))
         if (t1 < 0) (name, t1, None)
         else if (t1 >= 3.0) {
           val t2 = timeOnce(name, fn)
+          gcAfterHeavy(math.abs(t2))
           if (t2 < 0) (name, t2, None)
           else (name, math.min(t1, t2), Some(math.abs(t1 - t2)))
         } else {
