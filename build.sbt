@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: the default
+// LoggedOutput strategy stamps every line with "[info] ", which makes
+// Bench's one-line JSON summary unparseable to the driver's tail
+// capture (every BENCH_r*.json through round 9 carried parsed=null —
+// a json.loads of the tail's lines can never succeed on a prefixed
+// line). StdoutOutput keeps the driver-facing contract bytes exact.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -77,25 +77,33 @@ object Bench {
       .map { case (name, fn) =>
         val t1 = timeOnce(name, fn)
         gcAfterHeavy(math.abs(t1))
-        if (t1 < 0) (name, t1, None)
+        if (t1 < 0) (name, t1, None, Seq(t1))
         else if (t1 >= 3.0) {
           val t2 = timeOnce(name, fn)
           gcAfterHeavy(math.abs(t2))
-          if (t2 < 0) (name, t2, None)
-          else (name, math.min(t1, t2), Some(math.abs(t1 - t2)))
+          if (t2 < 0) (name, t2, None, Seq(t1, t2))
+          else (name, math.min(t1, t2), Some(math.abs(t1 - t2)), Seq(t1, t2))
         } else {
           val runs = Seq(t1, timeOnce(name, fn), timeOnce(name, fn))
-          if (runs.exists(_ < 0)) (name, runs.find(_ < 0).get, None)
-          else (name, runs.sorted.apply(1), Some(runs.max - runs.min))
+          if (runs.exists(_ < 0)) (name, runs.find(_ < 0).get, None, runs)
+          else (name, runs.sorted.apply(1), Some(runs.max - runs.min), runs)
         }
       }
-    val failed = results.collect { case (k, v, _) if v < 0 => s"\"$k\"" }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (k, v, _, _) if v < 0 => s"\"$k\"" }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.collect { case (k, _, Some(sp)) => s"\"" + k + "\":" + sp }
+    val spreads = results.collect { case (k, _, Some(sp), _) => s"\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // raw per-repeat walls next to the summarized value: min-of-2 /
+    // median-of-3 is the recorded number, but methodology changes must
+    // stay auditable round-over-round — the raw pair shows what the
+    // summary folded (ADVICE r9: a min can mask a regression up to the
+    // old noise band if only the summary survives)
+    val raw = results.map { case (k, _, _, rs) =>
+      s"\"" + k + "\":" + rs.map(math.abs).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$raw,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // full per-query record first (for terminal readers + the committed
     // BENCH_LOCAL artifact), then persist it as a file artifact
     println(json)
@@ -113,7 +121,7 @@ object Bench {
     // Locale.ROOT: the f interpolator honors the JVM default locale, and a
     // comma-decimal locale would break the JSON the driver parses
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val hq = results.collect { case (k, v, _) if headlineSet.contains(k) && v >= 0 =>
+    val hq = results.collect { case (k, v, _, _) if headlineSet.contains(k) && v >= 0 =>
       s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$hq,"nqueries":${results.size},"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir","full":"target/bench.json"}""")
     spark.stop()

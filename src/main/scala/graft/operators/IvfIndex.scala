@@ -100,13 +100,23 @@ object IvfIndex {
   }
 
   // ---------------------------------------------------- at-rest store
+  /** per-row generation stamp: the `_stats` epoch the row was written
+    * under. A tombstone at epoch e suppresses rows with `__seq <= e`,
+    * so a later RE-INSERT of a deleted id (higher stamp) is live again
+    * without touching the tombstone set — the standard sequence-number
+    * retract/add contract (Lucene's docvalue generations, Delta's
+    * deletion-vector epoch). Underscore-prefixed so it reads as store
+    * bookkeeping, not corpus data. */
+  val SeqCol = "__seq"
+
   /** Write the assigned corpus as the at-rest serving layout: parquet
     * partitioned BY THE POSTING LIST, so a probe's `list_id IN (…)`
     * filter becomes directory-level partition pruning — the probe
     * reads nprobe/nlist of the data from disk, which is the entire
     * point of IVF at 100 TB. */
   def writeStore(assigned: DataFrame, dir: String): Unit = {
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    assigned.withColumn(SeqCol, lit(1L))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
     // a fresh overwrite's footer recount reads exactly the files just
     // written — O(write), not O(store history); epoch restarts at 1
     writeStats(assigned.sparkSession, dir,
@@ -120,23 +130,127 @@ object IvfIndex {
     * (IvfIndexSpec pins it); model drift is watched separately via
     * [[distortion]] and a retrain swaps the store wholesale. */
   def appendStore(delta: DataFrame, model: Model, dir: String): Unit =
-    writeAppend(assign(delta, model), dir)
+    writeAppend(assign(delta, model), dir, extraRemoved = 0L)
 
-  private def writeAppend(assigned: DataFrame, dir: String): Unit = {
+  private def writeAppend(assigned: DataFrame, dir: String, extraRemoved: Long): Unit = {
     val spark = assigned.sparkSession
-    // count the delta off the cached frame BEFORE the write so the
-    // assignment isn't recomputed; the manifest then advances
-    // INCREMENTALLY (previous value + delta) — a micro-append never
-    // pays an O(all store files) footer listing that grows with the
-    // store. A legacy store with no manifest falls back to one full
-    // footer recount and enters the incremental regime from there.
-    val a = assigned.persist()
+    // the manifest advances INCREMENTALLY (previous value + delta) — a
+    // micro-append never pays an O(all store files) footer listing
+    // that grows with the store. A legacy store with no manifest falls
+    // back to one full footer recount and enters the incremental
+    // regime from there. Stats are read FIRST: the new rows' __seq
+    // stamp is the epoch this append commits.
+    val (prevN, prevEpoch) = readStats(spark, dir, heal = false)
+      .getOrElse((spark.read.parquet(dir).count(), 0L))
+    val a = assigned.withColumn(SeqCol, lit(prevEpoch + 1)).persist()
     val deltaN = a.count()
     a.write.mode("append").partitionBy("list_id").parquet(dir)
     a.unpersist()
-    val (prevN, prevEpoch) = readStats(spark, dir)
-      .getOrElse((spark.read.parquet(dir).count() - deltaN, 0L))
-    writeStats(spark, dir, prevN + deltaN, prevEpoch + 1)
+    writeStats(spark, dir, prevN + deltaN - extraRemoved, prevEpoch + 1)
+  }
+
+  // ----------------------------------------- retract/add (CDC follow)
+  private def tombDir(dir: String) = new java.io.File(s"$dir/_tombstones")
+
+  /** the LIVE rows of the store: the at-rest scan minus tombstoned
+    * generations. With no tombstones this IS the raw scan (zero serve
+    * cost); with tombstones the suppression set is a broadcast hash
+    * lookup sized by the UNRECLAIMED delete/update volume — O(delta),
+    * never O(corpus) — and [[compactStore]] periodically folds it back
+    * to zero. Every probe of a maintained store must read THIS:
+    * a deleted id must never be served at any nprobe. */
+  def liveStore(spark: SparkSession, dir: String): DataFrame = {
+    val store = spark.read.parquet(dir)
+    val td = tombDir(dir)
+    if (!td.exists()) store
+    else {
+      val t = spark.read.parquet(td.getPath)
+        .groupBy("vec_id").agg(max("tomb_seq").as("__tomb_seq"))
+      val withSeq =
+        if (store.columns.contains(SeqCol)) store
+        else store.withColumn(SeqCol, lit(1L)) // pre-seq legacy layout
+      withSeq.join(broadcast(t), Seq("vec_id"), "left")
+        .filter(col("__tomb_seq").isNull || col(SeqCol) > col("__tomb_seq"))
+        .drop("__tomb_seq")
+    }
+  }
+
+  /** Full CDC follow — the retract/add contract over a
+    * [[graft.sources.VersionedTable.cdc]] feed (columns: the corpus
+    * columns + `change_type`):
+    *
+    *   - `insert` / `update_postimage` → assign under the PERSISTED
+    *     model, append at the new epoch (ADD);
+    *   - `delete` / `update_preimage` → tombstone the id at the
+    *     PREVIOUS epoch (RETRACT): every resident generation of that
+    *     id is suppressed, while the postimage appended in this same
+    *     apply (higher stamp) stays live.
+    *
+    * One apply = one epoch: the tombstone write lands BEFORE the data
+    * append, so a crash between them leaves extra suppression (the
+    * postimage missing — re-apply heals by idempotent re-append) but
+    * never a served ghost. The `_stats` count is maintained as the
+    * LIVE row count: + adds − retracts, still O(delta) bookkeeping.
+    * Upstream CDC guarantees each retracted id was present in the
+    * followed version — this consumes that contract rather than
+    * re-checking it with a store scan. */
+  def applyCdc(cdc: DataFrame, model: Model, dir: String): Unit = {
+    val spark = cdc.sparkSession
+    val c = cdc.persist()
+    try {
+      val (prevN, prevEpoch) = readStats(spark, dir, heal = false)
+        .getOrElse((spark.read.parquet(dir).count(), 0L))
+      val removed = c.filter(col("change_type").isin("delete", "update_preimage"))
+        .select(col("vec_id"), lit(prevEpoch).as("tomb_seq"))
+      val removedN = removed.count()
+      if (removedN > 0)
+        removed.coalesce(1).write.mode("append").parquet(tombDir(dir).getPath)
+      val added = c.filter(col("change_type").isin("insert", "update_postimage"))
+        .drop("change_type")
+      // writeAppend re-reads stats (unchanged by the tombstone write)
+      // and stamps the adds at prevEpoch + 1 > every tombstone
+      writeAppend(assign(added, model), dir, extraRemoved = removedN)
+    } finally c.unpersist()
+  }
+
+  /** Reclaim tombstoned generations: rewrite ONLY the posting lists
+    * that still hold a suppressed row (dirty-list rewrite — the
+    * VersionedTable bucket discipline), then clear the tombstone set.
+    * O(dirty lists), not O(store); the live row set — and therefore
+    * every probe — is bit-identical before and after (IvfIndexSpec
+    * pins it). OFFLINE maintenance: the per-list delete+rename swap
+    * assumes no concurrent reader mid-list (serve traffic should be
+    * drained or pointed at a sibling store during compaction, exactly
+    * like a VersionedTable compact commit). */
+  def compactStore(spark: SparkSession, dir: String): Unit = {
+    val td = tombDir(dir)
+    if (!td.exists()) return
+    val store = spark.read.parquet(dir)
+    val t = spark.read.parquet(td.getPath)
+      .groupBy("vec_id").agg(max("tomb_seq").as("__tomb_seq"))
+    val withSeq =
+      if (store.columns.contains(SeqCol)) store else store.withColumn(SeqCol, lit(1L))
+    val dirtyLists = withSeq.join(broadcast(t), Seq("vec_id"), "inner")
+      .filter(col(SeqCol) <= col("__tomb_seq"))
+      .select("list_id").distinct().collect().map(_.getInt(0))
+    val (prevN, prevEpoch) = readStats(spark, dir, heal = false)
+      .getOrElse((liveStore(spark, dir).count(), 0L))
+    val stage = new java.io.File(s"$dir/_compact")
+    graft.core.Fs.deleteRecursively(stage)
+    dirtyLists.foreach { l =>
+      val listPath = new java.io.File(s"$dir/list_id=$l")
+      val live = liveStore(spark, dir).filter(col("list_id") === l).drop("list_id")
+      live.write.mode("overwrite").parquet(s"${stage.getPath}/list_id=$l")
+      graft.core.Fs.deleteRecursively(listPath)
+      val rebuilt = new java.io.File(s"${stage.getPath}/list_id=$l")
+      if (!rebuilt.renameTo(listPath))
+        throw new IllegalStateException(s"compaction swap failed for list $l at $dir")
+    }
+    graft.core.Fs.deleteRecursively(stage)
+    graft.core.Fs.deleteRecursively(td)
+    // live count is invariant under compaction; the epoch advances so
+    // post-compaction appends stamp above every reclaimed generation
+    writeStats(spark, dir, prevN, prevEpoch + 1)
   }
 
   /** `_stats` manifest maintained at write/append time: the committed
@@ -172,37 +286,47 @@ object IvfIndex {
     graft.core.Fs.deleteRecursively(old)
   }
 
-  /** (n, epoch) from the manifest; heals a crashed swap (live absent,
-    * parked copy present) first. None = no manifest (legacy store or
+  /** (n, epoch) from the manifest. None = no manifest (legacy store or
     * pre-first-write). Pre-epoch single-column manifests read as
-    * epoch 0. */
+    * epoch 0. With `heal = false` (every read on or near the serve
+    * path) a crashed swap — live manifest absent, parked `_stats.old`
+    * present — is served FROM the parked copy without renaming it:
+    * a rename here could land inside a concurrent writer's park
+    * window and resurrect the manifest its swap is about to replace,
+    * failing the writer spuriously. Only the maintenance audit
+    * ([[verifyStats]]) heals by rename, where single-writer is the
+    * documented precondition. */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Option[(Long, Long)] = {
+                        dir: String, heal: Boolean): Option[(Long, Long)] = {
     val live = new java.io.File(s"$dir/_stats")
     val old = new java.io.File(s"$dir/_stats.old")
-    if (!live.exists() && old.exists() && !old.renameTo(live))
+    if (heal && !live.exists() && old.exists() && !old.renameTo(live))
       throw new IllegalStateException(s"_stats recovery failed at $dir")
-    if (!live.exists()) None
-    else {
-      val r = spark.read.parquet(live.getPath).collect()(0)
-      Some((r.getLong(0), if (r.schema.fieldNames.contains("epoch")) r.getAs[Long]("epoch") else 0L))
+    val src = if (live.exists()) Some(live) else if (old.exists()) Some(old) else None
+    src.map { f =>
+      val r = spark.read.parquet(f.getPath).collect()(0)
+      (r.getLong(0), if (r.schema.fieldNames.contains("epoch")) r.getAs[Long]("epoch") else 0L)
     }
   }
 
-  /** committed store size from the `_stats` manifest (one tiny file —
-    * no scan of the store itself). */
+  /** committed LIVE row count from the `_stats` manifest (one tiny
+    * file — no scan of the store itself). Read-only: a crashed-swap
+    * store is served from the parked copy and healed later by
+    * [[verifyStats]] maintenance, never by a serve-path rename. */
   def storedCount(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    readStats(spark, dir).map(_._1).getOrElse(
+    readStats(spark, dir, heal = false).map(_._1).getOrElse(
       throw new IllegalStateException(s"no _stats manifest at $dir"))
 
-  /** maintenance audit: does the manifest match a footer recount of
-    * the store? O(store footers) — for audits and specs; the serve
-    * path never calls it. False = a writer crashed between its data
-    * append and the stats swap (the count is stale until the next
-    * successful append rewrites it from the stale base — re-run
-    * [[writeStore]]/[[appendStore]] maintenance to restore truth). */
+  /** maintenance audit: does the manifest match a recount of the LIVE
+    * rows? O(store footers) — for audits and specs; the serve path
+    * never calls it. Heals a crashed `_stats` swap by rename first
+    * (single-writer maintenance is the precondition here). False = a
+    * writer crashed between its data append and the stats swap (the
+    * count is stale until the next successful append rewrites it from
+    * the stale base — re-run [[writeStore]]/[[appendStore]]
+    * maintenance to restore truth). */
   def verifyStats(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
-    readStats(spark, dir).exists(_._1 == spark.read.parquet(dir).count())
+    readStats(spark, dir, heal = true).exists(_._1 == liveStore(spark, dir).count())
 
   /** read the at-rest layout back (list_id is the partition column). */
   def readStore(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

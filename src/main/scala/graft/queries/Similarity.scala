@@ -1697,7 +1697,7 @@ object Similarity {
         // training-code change re-keys the store instead of silently
         // serving a model built by the old path
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
-          s"|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42|layout=stats1"
+          s"|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42|layout=seq1"
         val store = new java.io.File(s"target/ivfstore/planted_${storeTag(canon)}").getAbsolutePath
         publishStore(store) { tmp =>
           val base = corpus.filter(col("vec_id") < nBase)
@@ -1709,7 +1709,7 @@ object Similarity {
         val model = IvfIndex.loadModel(s, store)
         val q = all.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
-        val stored = IvfIndex.readStore(s, store)
+        val stored = IvfIndex.liveStore(s, store) // ≡ raw scan here (no tombstones): zero serve cost
         val fromStore = IvfIndex.probeL2(stored, model, q, nprobe = 8, k = 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val rebuilt = IvfIndex.probeL2(IvfIndex.assign(corpus, model), model, q, nprobe = 8, k = 10)
@@ -1774,7 +1774,7 @@ object Similarity {
         // delta appended from the change feed (ss14's canon/cache
         // discipline, separate key so the two paths can't alias)
         val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
-          s"|ss17|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42|layout=stats1"
+          s"|ss17|base=$nBase|all=$nAll|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42|layout=seq1"
         val store = new java.io.File(s"target/ivfstore/cdcfollow_${storeTag(canon)}").getAbsolutePath
         publishStore(store) { tmp =>
           val v0 = vt.read(Some(0)).get
@@ -1786,7 +1786,7 @@ object Similarity {
         val model = IvfIndex.loadModel(s, store)
         val q = all.filter(col("vec_id") === 0)
           .select("embedding").collect()(0).getSeq[Float](0).toArray
-        val fromStore = IvfIndex.probeL2(IvfIndex.readStore(s, store), model, q,
+        val fromStore = IvfIndex.probeL2(IvfIndex.liveStore(s, store), model, q,
             nprobe = 8, k = 10)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val rebuilt = IvfIndex.probeL2(IvfIndex.assign(vt.read().get, model), model, q,
@@ -1813,6 +1813,135 @@ object Similarity {
           |  (SELECT CAST(bit_xor(vid * 1000003 + d2) AS BIGINT)
           |   FROM top WHERE rk <= 10) AS exact_checksum
           |FROM (SELECT 1)""".stripMargin),
+    ),
+    // ss20 — FULL CDC follow: ss17 covered the insert stream; this is
+    // the remaining production hazard — upstream MERGEs that UPDATE
+    // and DELETE embeddings. The versioned table takes a third commit
+    // (v1→v2) that deletes 11 of the query's own class (ids ≡ 0 mod 8
+    // in [8, 88] — vectors that WOULD rank near the top if ghosted)
+    // and re-points ids 1–4 at the query's neighborhood (new embedding
+    // = query + vid on every coordinate — they become the new exact
+    // top-4). The committed IVF store follows BOTH CDC steps via
+    // IvfIndex.applyCdc (retract = generation tombstone, add =
+    // epoch-stamped append), serves through liveStore, and must agree
+    // with (a) a full rebuild of v2, (b) the exact integer-L2 top-10
+    // the oracle recomputes over the post-update post-delete corpus —
+    // so a ghosted delete or a stale update vector is a hash mismatch,
+    // not just a flipped flag. ghost_free additionally pins the live
+    // view: zero deleted ids resident, exactly one generation per
+    // updated id. n_live audits the O(delta) stats bookkeeping through
+    // the mixed apply (21999 − 11 deletes).
+    QueryDef(
+      "ss20_cdc_full_follow",
+      (s, _) => {
+        import graft.operators.IvfIndex
+        import graft.sources.VersionedTable
+        val nBase = 20000L
+        val nAll = 22000L
+        val delIds = (8L to 88L by 8L) // class-0 near-query casualties
+        val all = plantedClusters(s, nAll, nClasses = 8)
+        val corpus = all.filter(col("vec_id") =!= 0) // query held out
+        val qRow = all.filter(col("vec_id") === 0)
+          .select("embedding").collect()(0).getSeq[Float](0).toArray
+        val qArr = array(qRow.map(x => lit(x)): _*)
+
+        // upstream: base commit, arrival merge, then the mixed merge
+        val dir = java.nio.file.Files.createTempDirectory("vt_emb20").toString
+        val vt = new VersionedTable(s, dir, nBuckets = 16)
+        vt.commit(corpus.filter(col("vec_id") < nBase), Seq("vec_id"), None)
+        vt.merge(corpus.filter(col("vec_id") >= nBase), Seq("vec_id"), Some(0))
+        val updates = corpus.filter(col("vec_id").between(1L, 4L))
+          .select(col("vec_id"), col("class"),
+            zip_with(qArr, col("embedding"), (qx, _) => qx + col("vec_id").cast("float"))
+              .as("embedding"))
+          .withColumn("__del", lit(false))
+        val deletes = corpus.filter(col("vec_id").isin(delIds: _*))
+          .withColumn("__del", lit(true))
+        vt.merge(updates.unionByName(deletes.select(updates.columns.map(col): _*)),
+          Seq("vec_id"), Some(1), deleteCol = Some("__del"))
+
+        val cdc2 = vt.cdc(Seq("vec_id"), 1, 2)
+        val byType = cdc2.groupBy("change_type").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+        // committed store: trained on the pinned v0 read, then BOTH
+        // CDC steps applied in order — never a corpus rescan
+        val canon = plantedCenterSql("vid", "j", 8) + "|" + plantedJitterSql("vid", "j") +
+          s"|ss20|base=$nBase|all=$nAll|del=${delIds.mkString(",")}|upd=1-4" +
+          s"|nlist=16|trainer=${IvfIndex.TrainerVersion}|seed=42|layout=seq1"
+        val store = new java.io.File(s"target/ivfstore/cdcfull_${storeTag(canon)}").getAbsolutePath
+        publishStore(store) { tmp =>
+          val v0 = vt.read(Some(0)).get
+          val model = IvfIndex.train(v0, nlist = 16)
+          IvfIndex.writeStore(IvfIndex.assign(v0, model), tmp)
+          IvfIndex.saveModel(s, model, tmp)
+          IvfIndex.applyCdc(vt.cdc(Seq("vec_id"), 0, 1), model, tmp)
+          IvfIndex.applyCdc(vt.cdc(Seq("vec_id"), 1, 2), model, tmp)
+        }
+        val model = IvfIndex.loadModel(s, store)
+        val live = IvfIndex.liveStore(s, store)
+        val fromStore = IvfIndex.probeL2(live, model, qRow, nprobe = 8, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val finalCorpus = vt.read().get
+        val rebuilt = IvfIndex.probeL2(IvfIndex.assign(finalCorpus, model), model, qRow,
+            nprobe = 8, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        // ghost audit on the LIVE view itself, not just the top-k
+        val nDelResident = live.filter(col("vec_id").isin(delIds: _*)).count()
+        val updGenerations = live.filter(col("vec_id").between(1L, 4L)).count()
+        val nLive = IvfIndex.storedCount(s, store)
+        // exact spine over the planted formula (NOT the vt read: the
+        // returned frame evaluates lazily, after the temp table below
+        // is reclaimed) — same rows as finalCorpus by construction
+        val finalPlanted = corpus
+          .filter(!col("vec_id").isin(delIds: _*) && !col("vec_id").between(1L, 4L))
+          .unionByName(updates.drop("__del", "class"), allowMissingColumns = true)
+          .select("vec_id", "embedding")
+        val ex = exactL2Top10(finalPlanted, qRow)
+        val exIds = ex.select("vec_id").collect().map(_.getLong(0)).toSet
+        graft.core.Fs.deleteRecursively(new java.io.File(dir))
+        ex.agg(expr("bit_xor(vec_id * 1000003 + d2)").as("exact_checksum"))
+          .select(
+            lit(byType.getOrElse("delete", 0L)).as("n_cdc_deletes"),
+            lit(byType.getOrElse("update_preimage", 0L)).as("n_cdc_update_pre"),
+            lit(byType.getOrElse("update_postimage", 0L)).as("n_cdc_update_post"),
+            lit(byType.getOrElse("insert", 0L)).as("n_cdc_inserts"),
+            lit(nLive).as("n_live"),
+            lit(nDelResident == 0 && updGenerations == 4).as("ghost_free"),
+            lit(fromStore == rebuilt).as("follow_equals_rebuild"),
+            lit(exIds.intersect(fromStore).size >= 8).as("recall_ok"),
+            col("exact_checksum"))
+      },
+      Some {
+        val center = plantedCenterSql("vid", "j", 8)
+        val jit = plantedJitterSql("vid", "j")
+        val center0 = plantedCenterSql("0", "j", 8)
+        val jit0 = plantedJitterSql("0", "j")
+        s"""WITH ids AS (SELECT unnest(range(22000)) AS vid),
+           |v AS (SELECT vid,
+           |        CASE WHEN vid BETWEEN 1 AND 4
+           |          THEN list_transform(range(0, 16), j -> $center0 + $jit0 + vid)
+           |          ELSE list_transform(range(0, 16), j -> $center + $jit) END AS e
+           |      FROM ids
+           |      WHERE NOT (vid % 8 = 0 AND vid BETWEEN 8 AND 88)),
+           |q AS (SELECT e AS qe FROM v WHERE vid = 0),
+           |pos AS (SELECT vid, unnest(range(1, 17)) AS i, e, qe
+           |        FROM v CROSS JOIN q WHERE vid <> 0),
+           |d AS (SELECT vid, sum((e[i] - qe[i]) * (e[i] - qe[i])) AS d2
+           |      FROM pos GROUP BY vid),
+           |top AS (SELECT vid, CAST(d2 AS BIGINT) AS d2,
+           |        row_number() OVER (ORDER BY d2, vid) AS rk FROM d)
+           |SELECT CAST(11 AS BIGINT) AS n_cdc_deletes,
+           |  CAST(4 AS BIGINT) AS n_cdc_update_pre,
+           |  CAST(4 AS BIGINT) AS n_cdc_update_post,
+           |  CAST(0 AS BIGINT) AS n_cdc_inserts,
+           |  CAST(21988 AS BIGINT) AS n_live,
+           |  TRUE AS ghost_free,
+           |  TRUE AS follow_equals_rebuild, TRUE AS recall_ok,
+           |  (SELECT CAST(bit_xor(vid * 1000003 + d2) AS BIGINT)
+           |   FROM top WHERE rk <= 10) AS exact_checksum
+           |FROM (SELECT 1)""".stripMargin
+      },
     ),
 
     // ss15 — graph-ANN index MAINTENANCE: delta insert into a
