@@ -37,6 +37,7 @@ object Bench {
     Seq("ss5_ann_ivf", "ss6_ann_pq", "ss10_ann_ivfpq",
         "ss11_diverse_sample", "ss12_graph_ann", "ss14_ivf_upsert",
         "ss15_graph_upsert", "ss16_ann_matrix", "ss17_cdc_index_follow",
+        "ss20_cdc_full_follow", "ss_serve_scale",
         "vt_scale_300k", "vt_scale_3m", "vt_merge").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count()

@@ -36,7 +36,7 @@ object GraphAnn {
     * previously published store can't be served stale. Knob values
     * are folded into the canon separately — this token only covers
     * what the knobs can't see (the algorithm itself). */
-  val BuildVersion = "gb5"
+  val BuildVersion = "gb6"
 
   /** deterministic ±1 hyperplanes (md5-derived), one independent
     * matrix per hash table `t` — independent instance from the
@@ -61,6 +61,14 @@ object GraphAnn {
     * navigable graph (too many buckets ⇒ singleton buckets ⇒ a
     * disconnected graph greedy search cannot traverse). Candidate
     * work stays Σ bucket² ≈ n·cap — linear in n at fixed cap. */
+  /** per-slice row bound for in-bucket pair scoring: a bucket larger
+    * than this is sliced into consecutive-id groups before the b²
+    * loop, so no task's candidate work exceeds cap² no matter how
+    * correlated the sign planes turn out on a given corpus. Sized
+    * ABOVE every committed fixture's largest natural bucket (planted
+    * class buckets ≤ ~256 rows) so those builds are bit-unaffected. */
+  val BuildBucketCap = 512
+
   def planesForBuild(n: Long, cap: Long = 64L): Int = {
     val needed = math.ceil(math.log(math.max(1.0, n.toDouble / cap)) / math.log(2.0)).toInt
     math.min(24, math.max(3, needed))
@@ -88,24 +96,78 @@ object GraphAnn {
     * auto-sizes from the corpus via [[planesForBuild]]. */
   def buildGraph(fx: DataFrame, degree: Int = 8, nPlanes: Int = -1, dims: Int = 64,
                  tables: Int = 3, refine: Int = 2): DataFrame = {
+    val spark = fx.sparkSession
+    import spark.implicits._
     val p = if (nPlanes > 0) nPlanes else planesForBuild(fx.count())
     val withNorm = fx.withColumn("n2", ip(col("f"), col("f")))
-    // candidate edges from every table, UNPRUNED — ranking happens
-    // once, globally per src, after the union (fewer windows than a
-    // per-table rank, and the kept top-degree is chosen across all
-    // tables' candidates, which is strictly better)
+    // Per-table candidates are scored BUCKET-LOCALLY: one repartition
+    // of (bucket, id, f) per table, then all in-bucket pairs scored in
+    // memory inside mapPartitions with only (src, dst, cos) emitted.
+    // The join formulation this replaces shuffled BOTH vectors per
+    // candidate pair — ~60 GB of transient shuffle at 1M × dims-16
+    // (measured: filled the disk), for pair payloads a bucket-local
+    // loop never materializes. Emitting per-src top-degree per table
+    // is result-IDENTICAL to ranking globally after the union: a
+    // candidate in the global top-degree is necessarily in its own
+    // table's per-src top-degree (same (cos desc, dst asc) tie rule),
+    // so the global prune below sees every survivor either way.
     val perTable = (0 until tables).map { t =>
       val m = planes(t, p, dims)
       val bucket = concat((0 until p).map { j =>
         val planeLit = array(m(j).map(v => lit(v.toLong)): _*)
         when(ip(col("f"), planeLit) >= 0, lit("1")).otherwise(lit("0"))
       }: _*)
-      val e = withNorm.withColumn("bucket", bucket)
-      val a = e.select(col("vec_id").as("src"), col("f").as("fa"), col("n2").as("na2"), col("bucket"))
-      val b = e.select(col("vec_id").as("dst"), col("f").as("fb"), col("n2").as("nb2"), col("bucket"))
-      a.join(b, Seq("bucket"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"), cosEdge.as("cos"))
+      withNorm.withColumn("bucket", bucket)
+        .select(col("bucket"), col("vec_id"), col("f"), col("n2"))
+        .as[(String, Long, Seq[Long], Long)]
+        .repartition(col("bucket"))
+        .mapPartitions { it =>
+          it.toSeq.groupBy(_._1).iterator.flatMap { case (_, bucketRows) =>
+            // HEAVY-BUCKET GUARD: ±1 sign planes are correlated, so a
+            // "random" corpus can still land 10⁵ rows in one joint
+            // sign pattern — and b² pair work in one task is the
+            // classic skew straggler (measured: a single bucket
+            // stalled the 1M build for minutes). Slice oversized
+            // buckets into ≤ BuildBucketCap consecutive-id groups:
+            // per-row candidate work is bounded by cap, the slicing
+            // is deterministic (sorted ids), and cross-slice edges
+            // are recovered by the OTHER tables' cuts. Buckets at or
+            // under the cap — every committed fixture — are
+            // bit-unaffected.
+            val sortedAll = bucketRows.toArray.sortBy(_._2)
+            val slices =
+              if (sortedAll.length <= BuildBucketCap) Iterator(sortedAll)
+              else sortedAll.grouped(BuildBucketCap)
+            slices.flatMap { arr =>
+            val n = arr.length
+            val fs = arr.map(_._3.toArray)
+            val norms = arr.map(_._4.toDouble)
+            (0 until n).iterator.flatMap { i =>
+              val fi = fs(i)
+              // bounded keep-best-`degree` by (cos desc, dst asc): the
+              // heap's dequeue() removes the WORST kept edge — the
+              // reversed-cos ordering makes "smallest cos, then
+              // largest dst" the maximum element
+              val top = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+                Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long]))
+              var j = 0
+              while (j < n) {
+                if (j != i) {
+                  var acc = 0L; var d = 0
+                  val fj = fs(j)
+                  while (d < fi.length) { acc += fi(d) * fj(d); d += 1 }
+                  val c = acc.toDouble / (math.sqrt(norms(i)) * math.sqrt(norms(j)))
+                  top.enqueue((c, arr(j)._2))
+                  if (top.size > degree) { top.dequeue(); () }
+                }
+                j += 1
+              }
+              top.iterator.map { case (c, dst) => (arr(i)._2, dst, c) }.toSeq
+            }
+            }
+          }
+        }
+        .toDF("src", "dst", "cos")
     }
     // prune to out-degree ≤ `degree` (HNSW's M bound): without it both
     // per-node memory and per-expansion scoring cost balloon
@@ -132,20 +194,74 @@ object GraphAnn {
     // without a materialization barrier each round DOUBLES the plan
     // tree and the prior round is recomputed on both sides of the
     // self-join (measured 2.5× wall-clock without it).
+    // Candidate SCORING path for the refinement rounds. The join form
+    // ships both vector arrays per candidate pair — at 1M × degree 16
+    // that is n·degree² pairs × ~300 B of array payload ≈ 60+ GB of
+    // transient shuffle (measured: filled the disk). When the whole
+    // vector table fits the broadcast cap, score pairs IN-TASK against
+    // a broadcast primitive-array snapshot instead: only the candidate
+    // (src, dst) ids ever shuffle, the arithmetic is bit-identical
+    // (same Long ip → toDouble → sqrt division), and a real cluster
+    // ships the snapshot once per executor like any dimension
+    // broadcast. Above the cap the join path remains (a corpus that
+    // big shards its build anyway).
+    val refineSnapshot: Option[(Array[Long], Array[Long], Array[Double], Int)] =
+      if (refine <= 0) None
+      else {
+        val total = withNorm.count()
+        val dimEst = total * (8L + 8L * dims) + total * 8L
+        if (dimEst > ServeCsrMaxBytes) None
+        else {
+          val rows = withNorm.select(col("vec_id"), col("f"), col("n2"))
+            .orderBy("vec_id").as[(Long, Seq[Long], Long)].collect()
+          val ids = rows.map(_._1)
+          val d = if (rows.isEmpty) dims else rows(0)._2.length
+          val flat = new Array[Long](rows.length * d)
+          val nrm = new Array[Double](rows.length)
+          var i = 0
+          while (i < rows.length) {
+            val f = rows(i)._2
+            var j = 0
+            while (j < d) { flat(i * d + j) = f(j); j += 1 }
+            nrm(i) = rows(i)._3.toDouble
+            i += 1
+          }
+          Some((ids, flat, nrm, d))
+        }
+      }
     val fa = withNorm.select(col("vec_id").as("src"), col("f").as("fa"), col("n2").as("na2"))
     val fb = withNorm.select(col("vec_id").as("dst"), col("f").as("fb"), col("n2").as("nb2"))
+    val bcSnap = refineSnapshot.map(spark.sparkContext.broadcast(_))
     var round = 0
     while (round < refine) {
-      val twoHop = edges.select(col("src"), col("dst").as("mid"))
+      val cand = edges.select(col("src"), col("dst").as("mid"))
         .join(edges.select(col("src").as("mid"), col("dst")), Seq("mid"))
         .select("src", "dst")
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .join(fa, Seq("src")).join(fb, Seq("dst"))
-        .select(col("src"), col("dst"), cosEdge.as("cos"))
+      val twoHop = bcSnap match {
+        case Some(bc) =>
+          cand.as[(Long, Long)].mapPartitions { it =>
+            val (ids, flat, nrm, d) = bc.value
+            it.flatMap { case (a, b) =>
+              val pa = java.util.Arrays.binarySearch(ids, a)
+              val pb = java.util.Arrays.binarySearch(ids, b)
+              if (pa < 0 || pb < 0) Iterator.empty
+              else {
+                var acc = 0L; var j = 0
+                while (j < d) { acc += flat(pa * d + j) * flat(pb * d + j); j += 1 }
+                Iterator((a, b, acc.toDouble / (math.sqrt(nrm(pa)) * math.sqrt(nrm(pb)))))
+              }
+            }
+          }.toDF("src", "dst", "cos")
+        case None =>
+          cand.join(fa, Seq("src")).join(fb, Seq("dst"))
+            .select(col("src"), col("dst"), cosEdge.as("cos"))
+      }
       edges = prune(edges.unionByName(twoHop)).localCheckpoint(eager = true)
       round += 1
     }
+    bcSnap.foreach(_.unpersist())
 
     // Symmetrize AFTER pruning — reverse edges are what let the
     // search walk out of a poor entry region; total degree ≤ 2·degree.
@@ -536,10 +652,18 @@ object GraphAnn {
     * the refresh. */
   def refreshEntryLayer(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
                         entryName: String = "entry",
-                        nPlanes: Int = 5, dims: Int = 64): Unit = {
+                        nPlanes: Int = 5, dims: Int = -1): Unit = {
     val fx = spark.read.parquet(s"${store.dir}/fx").select("vec_id", "f")
     val edges = spark.read.parquet(s"${store.dir}/edges").select("src", "dst")
-    buildEntryLayerConnected(fx, edges, nPlanes, dims)
+    // dims comes from the COMMITTED vectors by default (`dims = -1`),
+    // never a caller guess: a mismatched width null-pads the sign
+    // projection's zip_with, every coarse bucket degenerates to one,
+    // and the refreshed layer silently loses its spread (one tiny
+    // first() against the fx footprint — maintenance path only)
+    val useDims =
+      if (dims > 0) dims
+      else fx.select(size(col("f"))).first().getInt(0)
+    buildEntryLayerConnected(fx, edges, nPlanes, useDims)
       // materialize before overwriting a path the plan may read from
       // (entryName could shadow an input on a re-run)
       .localCheckpoint(eager = true)
@@ -566,17 +690,24 @@ object GraphAnn {
     * proxy can miss. A production append stream therefore never
     * strands an island by forgetting the maintenance call
     * (GraphAnnSpec pins the planted-island scenario with no manual
-    * refresh); pass `refreshEvery = Int.MaxValue` AND rely on a
-    * caller-side schedule only if the entry layout is managed
-    * externally. `entryName`/`entryPlanes`/`entryDims` parameterize
-    * the refreshed layer exactly as [[refreshEntryLayer]] does. */
+    * refresh); pass `autoRefresh = false` — the external-entry-layout
+    * opt-out — and rely on a caller-side schedule if the entry layer
+    * is managed outside this store (BOTH triggers are disabled: an
+    * isolation-triggered refresh would write an unread `dir/entry`
+    * while the caller's real layer went stale, the exact failure the
+    * opt-out exists to prevent). `entryName`/`entryPlanes`/`entryDims`
+    * parameterize the refreshed layer exactly as [[refreshEntryLayer]]
+    * does; `entryDims = -1` (the default) derives the projection width
+    * from the store's committed vectors rather than trusting a caller
+    * default that may not match the corpus. */
   def appendStoreChunked(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
                          deltaFx: DataFrame, degree: Int = 16, ef: Int = 48,
                          maxExpand: Int = 80, batch: Int = 8,
                          entryIds: Seq[Long], metric: String = "ip",
                          pieceCap: Long = GraphDeltaCap,
                          entryName: String = "entry", refreshEvery: Int = 8,
-                         entryPlanes: Int = 5, entryDims: Int = 64): Int = {
+                         entryPlanes: Int = 5, entryDims: Int = -1,
+                         autoRefresh: Boolean = true): Int = {
     // persist: the bisection runs O(tree) counts plus one appendStore
     // per piece — without the cache an expensive upstream plan would
     // re-execute at every node
@@ -603,7 +734,7 @@ object GraphAnn {
       }
       val b = cached.agg(min("vec_id"), max("vec_id")).collect()(0)
       val pieces = if (b.isNullAt(0)) 0 else ingest(b.getLong(0), b.getLong(1))
-      if (isolated > 0 || pieces >= refreshEvery)
+      if (autoRefresh && (isolated > 0 || pieces >= refreshEvery))
         refreshEntryLayer(spark, store, entryName, entryPlanes, entryDims)
       pieces
     } finally { cached.unpersist(); () }
@@ -709,5 +840,175 @@ object GraphAnn {
         .map { case (id, s) => (qid, id, s) }
     }.sortBy { case (qid, id, s) => (qid, -s, id) }
     (rows.toDF("qid", "vec_id", "score"), states.map { case (qid, st) => qid -> st.scored.size })
+  }
+
+  // ------------------------------------------------------------------
+  // EXECUTOR-SIDE batched serving: the offline-scale path.
+  // [[searchStoredWithBudget]] drives every hop through driver
+  // collects — bounded per shard, but a 100k-query batch still pays
+  // shards × hops × 2 Spark jobs with all candidate vectors staged
+  // through driver memory. Per-query traversals share NO state, so the
+  // right 100-TB shape is: snapshot the committed store ONCE into a
+  // compact primitive-array CSR, broadcast it, and run every query's
+  // greedy descent inside mapPartitions — zero jobs per hop, queries
+  // never leave the executors, driver memory O(index), per-query wall
+  // flat in the batch size. Beyond [[ServeCsrMaxBytes]] the corpus
+  // must be sharded into per-shard stores (each serving stage
+  // broadcasts its own shard; a top-k merge combines), exactly how
+  // production vector serving replicates index shards across nodes.
+
+  /** Immutable primitive-array snapshot of a committed store:
+    * vectors as (sorted ids, flattened coordinates) and adjacency as
+    * src-sorted CSR — broadcastable with zero per-row object
+    * overhead, point lookups by binary search. */
+  final class CsrIndex(val ids: Array[Long], val flat: Array[Long], val dims: Int,
+                       val srcs: Array[Long], val offs: Array[Int], val dsts: Array[Long])
+      extends Serializable {
+    def vecPos(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+    def scoreAt(pos: Int, q: Array[Long], l2: Boolean): Long = {
+      val base = pos * dims
+      var acc = 0L; var i = 0
+      if (l2) while (i < dims) { val d = q(i) - flat(base + i); acc -= d * d; i += 1 }
+      else while (i < dims) { acc += q(i) * flat(base + i); i += 1 }
+      acc
+    }
+    def neighborIds(id: Long): Array[Long] = {
+      val p = java.util.Arrays.binarySearch(srcs, id)
+      if (p < 0) Array.emptyLongArray
+      else java.util.Arrays.copyOfRange(dsts, offs(p), offs(p + 1))
+    }
+  }
+
+  /** hard ceiling on the broadcast index snapshot (~1.4 GiB): a 1M ×
+    * dims-16 corpus at degree 16 lands ≈ 650 MB. Fail loud above —
+    * the fix at scale is store sharding, not a bigger broadcast. */
+  val ServeCsrMaxBytes = 1500000000L
+
+  /** in-JVM memo of loaded snapshots keyed by store dir (the
+    * QuantizerCache load-don't-rebuild discipline): a serving process
+    * snapshots each committed store once, then every batch reuses the
+    * broadcastable CSR. Stores are immutable once published
+    * (publishStore re-keys on any content change), so the memo never
+    * serves a stale layout. */
+  private val csrMemo = new java.util.concurrent.ConcurrentHashMap[String, CsrIndex]()
+
+  /** [[loadCsr]] through the in-JVM memo — the serving entry point. */
+  def loadCsrCached(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
+                    maxBytes: Long = ServeCsrMaxBytes): CsrIndex = {
+    val hit = csrMemo.get(store.dir)
+    if (hit != null) hit
+    else {
+      val v = loadCsr(spark, store, maxBytes)
+      val prev = csrMemo.putIfAbsent(store.dir, v)
+      if (prev != null) prev else v
+    }
+  }
+
+  /** one-time snapshot of a committed store into a [[CsrIndex]].
+    * Sized from footer counts BEFORE anything is fetched; the collect
+    * is O(index) driver memory exactly once per serving session (the
+    * snapshot is then broadcast and reused across query batches). */
+  def loadCsr(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
+              maxBytes: Long = ServeCsrMaxBytes): CsrIndex = {
+    import spark.implicits._
+    val fxTable = spark.read.parquet(s"${store.dir}/fx").select("vec_id", "f")
+    val edgeTable = spark.read.parquet(s"${store.dir}/edges").select("src", "dst")
+    val n = fxTable.count()
+    val e = edgeTable.count()
+    val dims = if (n == 0) 0
+      else fxTable.select(size(col("f"))).as[Int].head()
+    val est = n * (8L + 8L * dims) + e * 16L
+    require(est <= maxBytes,
+      s"store snapshot ≈ $est bytes exceeds the $maxBytes broadcast cap " +
+        "(shard the corpus into per-shard stores and merge top-k)")
+    val vecRows = fxTable.orderBy("vec_id").as[(Long, Seq[Long])].collect()
+    val ids = new Array[Long](vecRows.length)
+    val flat = new Array[Long](vecRows.length * dims)
+    var i = 0
+    while (i < vecRows.length) {
+      ids(i) = vecRows(i)._1
+      val f = vecRows(i)._2
+      var j = 0
+      while (j < dims) { flat(i * dims + j) = f(j); j += 1 }
+      i += 1
+    }
+    val edgeRows = edgeTable.orderBy("src", "dst").as[(Long, Long)].collect()
+    val srcsB = scala.collection.mutable.ArrayBuilder.make[Long]
+    val offsB = scala.collection.mutable.ArrayBuilder.make[Int]
+    val dsts = new Array[Long](edgeRows.length)
+    var prev = Long.MinValue
+    i = 0
+    while (i < edgeRows.length) {
+      val (s, d) = edgeRows(i)
+      if (s != prev) { srcsB += s; offsB += i; prev = s }
+      dsts(i) = d
+      i += 1
+    }
+    offsB += edgeRows.length
+    new CsrIndex(ids, flat, dims, srcsB.result(), offsB.result(), dsts)
+  }
+
+  /** the per-query greedy descent — IDENTICAL pick rules to
+    * [[searchStoredWithBudget]] (top-ef by (-score, id), skip
+    * expanded, batch-capped to the remaining expand budget, per-hop
+    * distinct new candidates), so the distributed path is bit-equal
+    * to the driver path by construction (GraphAnnSpec pins it). */
+  private def greedyKernel(qf: Array[Long], wantL2: Boolean, entry: Array[Long],
+                           ix: CsrIndex, k: Int, ef: Int, maxExpand: Int,
+                           batch: Int): Seq[(Long, Long)] = {
+    val scored = scala.collection.mutable.Map[Long, Long]()
+    entry.foreach { id =>
+      val p = ix.vecPos(id)
+      if (p >= 0) scored(id) = ix.scoreAt(p, qf, wantL2)
+    }
+    val expanded = scala.collection.mutable.Set[Long]()
+    var done = false
+    while (!done) {
+      val picks = scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(ef)
+        .map(_._1).filterNot(expanded.contains)
+        .take(math.min(batch, maxExpand - expanded.size))
+      if (picks.isEmpty) done = true
+      else {
+        expanded ++= picks
+        picks.flatMap(id => ix.neighborIds(id)).distinct
+          .filterNot(scored.contains)
+          .foreach { id =>
+            val p = ix.vecPos(id)
+            if (p >= 0) scored(id) = ix.scoreAt(p, qf, wantL2)
+          }
+        if (expanded.size >= maxExpand) done = true
+      }
+    }
+    scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  /** Serve an ARBITRARILY LARGE query batch from a committed store,
+    * executor-side: `queries` is a DataFrame (qid long, q array<long>)
+    * that never rides the driver; the store snapshot (built once, or
+    * passed in pre-built for reuse across batches) is broadcast; each
+    * task runs the greedy kernel per query and emits its top-k.
+    * Returns (qid, vec_id, score) — per-query rows identical to
+    * [[searchStoredWithBudget]] on the same store and knobs. */
+  def searchStoredDistributed(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
+                              queries: DataFrame, k: Int = 10, ef: Int = 24,
+                              maxExpand: Int = 30, batch: Int = 4,
+                              entryIds: Seq[Long], metric: String = "ip",
+                              csr: Option[CsrIndex] = None): DataFrame = {
+    require(metric == "ip" || metric == "l2", s"unknown metric $metric")
+    import spark.implicits._
+    val ix = csr.getOrElse(loadCsrCached(spark, store))
+    val bc = spark.sparkContext.broadcast(ix)
+    val bcEntry = spark.sparkContext.broadcast(entryIds.distinct.toArray)
+    val wantL2 = metric == "l2"
+    queries.select(col("qid").cast("long"), col("q")).as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val snapshot = bc.value
+        val entry = bcEntry.value
+        it.flatMap { case (qid, qf) =>
+          greedyKernel(qf.toArray, wantL2, entry, snapshot, k, ef, maxExpand, batch)
+            .map { case (id, s) => (qid, id, s) }
+        }
+      }
+      .toDF("qid", "vec_id", "score")
   }
 }

@@ -280,6 +280,86 @@ object DataQuality {
              |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey) t
              |ORDER BY check_name""".stripMargin),
     ),
+
+    // dq7 — the text-ingest quarantine (dq6's reject-don't-corrupt
+    // posture applied to the DOCUMENT path, mirroring the reference's
+    // St4 late/garbage rejection): empty / oversized / control-byte
+    // docs route to a visible QUARANTINE:<reason> namespace instead of
+    // flowing into tokenization with garbage values. Three planted
+    // rejects (empty + whitespace-only fold to EMPTY, a >100k-char
+    // blob to OVERSIZED, a NUL-bearing doc to BADCHAR) must each land
+    // in their namespace; the clean corpus must be quarantine-free at
+    // every SF (the oracle recomputes that from the table, not a
+    // pinned literal); and the SURVIVOR set must be checksum-identical
+    // to the clean corpus — the planted garbage is rejected, never
+    // partially ingested, and no good doc is collateral.
+    QueryDef(
+      "dq7_malformed_doc_quarantine",
+      (s, d) => {
+        val cap = 100000
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        def klass(t: Column): Column =
+          when(t.isNull || trim(t) === "", lit("QUARANTINE:EMPTY"))
+            .when(length(t) > cap, lit("QUARANTINE:OVERSIZED"))
+            .when(t.contains(lit("\u0000")) || t.contains(lit("\ufffd")),
+              lit("QUARANTINE:BADCHAR"))
+            .otherwise(lit("OK"))
+        val planted = docs
+          .unionByName(s.range(1).select(lit(-1L).as("doc_id"), lit("").as("text")))
+          .unionByName(s.range(1).select(lit(-2L).as("doc_id"), lit("   ").as("text")))
+          .unionByName(s.range(1).select(lit(-3L).as("doc_id"),
+            expr("repeat('x', 100001)").as("text")))
+          .unionByName(s.range(1).select(lit(-4L).as("doc_id"),
+            lit("bad\u0000doc").as("text")))
+        val cls = planted.select(col("doc_id"), length(col("text")).as("ln"),
+          klass(col("text")).as("k"))
+        val cleanCls = docs.select(col("doc_id"), length(col("text")).as("ln"),
+          klass(col("text")).as("k"))
+        val cleanAgg = cleanCls.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("k") =!= "OK", 1L).otherwise(0L)).as("n_quarantined_clean"),
+          expr("bit_xor(CASE WHEN k = 'OK' THEN doc_id * 1000003 + ln END)").as("clean_checksum"))
+        val plantedAgg = cls.agg(
+          sum(when(col("k") === "QUARANTINE:EMPTY", 1L).otherwise(0L)).as("n_empty"),
+          sum(when(col("k") === "QUARANTINE:OVERSIZED", 1L).otherwise(0L)).as("n_oversized"),
+          sum(when(col("k") === "QUARANTINE:BADCHAR", 1L).otherwise(0L)).as("n_badchar"),
+          expr("bit_xor(CASE WHEN k = 'OK' THEN doc_id * 1000003 + ln END)").as("survivors_checksum"))
+        cleanAgg.crossJoin(plantedAgg)
+          .select(col("n_docs"), col("n_quarantined_clean"),
+            col("n_empty"), col("n_oversized"), col("n_badchar"),
+            (col("survivors_checksum") === col("clean_checksum")).as("survivors_equal"),
+            col("survivors_checksum"))
+      },
+      Some("""WITH planted AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT -1, ''
+             |  UNION ALL SELECT -2, '   '
+             |  UNION ALL SELECT -3, repeat('x', 100001)
+             |  UNION ALL SELECT -4, 'bad' || chr(0) || 'doc'),
+             |cls AS (SELECT doc_id, len(text) AS ln,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN 'QUARANTINE:EMPTY'
+             |         WHEN len(text) > 100000 THEN 'QUARANTINE:OVERSIZED'
+             |         WHEN contains(text, chr(0)) OR contains(text, chr(65533)) THEN 'QUARANTINE:BADCHAR'
+             |         ELSE 'OK' END AS k
+             |  FROM planted),
+             |clean_cls AS (SELECT doc_id, len(text) AS ln,
+             |    CASE WHEN text IS NULL OR trim(text) = '' THEN 'QUARANTINE:EMPTY'
+             |         WHEN len(text) > 100000 THEN 'QUARANTINE:OVERSIZED'
+             |         WHEN contains(text, chr(0)) OR contains(text, chr(65533)) THEN 'QUARANTINE:BADCHAR'
+             |         ELSE 'OK' END AS k
+             |  FROM documents)
+             |SELECT
+             |  (SELECT count(*) FROM clean_cls) AS n_docs,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM clean_cls WHERE k <> 'OK') AS n_quarantined_clean,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM cls WHERE k = 'QUARANTINE:EMPTY') AS n_empty,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM cls WHERE k = 'QUARANTINE:OVERSIZED') AS n_oversized,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM cls WHERE k = 'QUARANTINE:BADCHAR') AS n_badchar,
+             |  (SELECT CAST(bit_xor(doc_id * 1000003 + ln) AS BIGINT) FROM cls WHERE k = 'OK') =
+             |    (SELECT CAST(bit_xor(doc_id * 1000003 + ln) AS BIGINT) FROM clean_cls WHERE k = 'OK')
+             |    AS survivors_equal,
+             |  (SELECT CAST(bit_xor(doc_id * 1000003 + ln) AS BIGINT) FROM cls WHERE k = 'OK')
+             |    AS survivors_checksum""".stripMargin),
+    ),
   )
 
   /** dq5/st9 shared window labeling: reference = first half of

@@ -1089,6 +1089,86 @@ object Similarity {
       },
     ),
 
+    // ss_recall_1m — MEASURED ground-truth recall at the 1M rung (the
+    // scale rows' planted contracts prove plumbing; this row measures
+    // what the served index actually recovers on the un-planted
+    // corpus). 200 held-out queries; EXACT integer-IP top-10 per query
+    // from ONE batched scan (broadcast query side + WindowGroupLimit:
+    // each map task keeps its local per-query top-10, so the shuffle
+    // carries 64k survivor rows, never the 200M scored pairs); the
+    // SERVED side is the multiprobe LSH route at TWO operating
+    // points — hamming-radius-1 (11 of 1024 buckets ≈ 1.1% of the
+    // corpus per query) and radius-2 (56 buckets ≈ 5.5%) — so the row
+    // records the measured recall/budget CURVE, not one cherry-picked
+    // point. Everything is deterministic (fixed corpus formula, fixed
+    // planes, total tie orders), so the measured hit counts are exact
+    // constants the oracle pins outright: 719/2000 = 0.36 recall@10
+    // at a 1.1% scan, 1282/2000 = 0.64 at 5.5% — the random-direction
+    // corpus is sign-LSH's hard case, and THIS row documents that
+    // truth where the planted rungs document the plumbing.
+    QueryDef(
+      "ss_recall_1m",
+      (s, _) => {
+        val n = 1000000L
+        val nq = 200L
+        val k = 10
+        val nPlanes = planesFor(n) // 10 ⇒ 1024 buckets
+        val vecs = s.range(n).select(col("id").as("vec_id"),
+          array((1 to Dims).map(scaleCoord): _*).as("f"))
+        val sig = vecs.withColumn("bucket", sigColN(nPlanes))
+        val corpus = sig.filter(col("vec_id") >= nq)
+        val q = sig.filter(col("vec_id") < nq)
+          .select(col("vec_id").as("qid"), col("f").as("qf"), col("bucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ip").desc, col("vec_id").asc)
+        val exact = corpus.crossJoin(broadcast(q.select(col("qid"), col("qf"))))
+          .select(col("qid"), col("vec_id"), ip(col("f"), col("qf")).as("ip"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .select("qid", "vec_id").persist()
+        // probe buckets with their hamming distance from the home
+        // bucket (tiny query side — 200 rows × ≤56 probes; the
+        // corpus-side equi-join below is the scale path)
+        val probeGen = udf((b: String) => {
+          def fl(x: String, i: Int) = x.updated(i, if (x(i) == '1') '0' else '1')
+          val r1 = (0 until b.length).map(i => (fl(b, i), 1))
+          val r2 = for { i <- 0 until b.length; j <- (i + 1) until b.length }
+            yield (fl(fl(b, i), j), 2)
+          ((b, 0) +: (r1 ++ r2)).distinct
+        })
+        val probes = q.select(col("qid"), col("qf"),
+            explode(probeGen(col("bucket"))).as("p"))
+          .select(col("qid"), col("qf"), col("p._1").as("bucket"), col("p._2").as("dist"))
+        val candidates = corpus.join(broadcast(probes), Seq("bucket"))
+          .select(col("qid"), col("vec_id"), col("dist"),
+            ip(col("f"), col("qf")).as("ip"))
+          .persist()
+        val nCand1 = candidates.filter(col("dist") <= 1).count()
+        val nCand2 = candidates.count()
+        def hitsAt(maxDist: Int): Long = candidates.filter(col("dist") <= maxDist)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+          .select("qid", "vec_id")
+          .join(exact, Seq("qid", "vec_id")).count()
+        val hits1 = hitsAt(1)
+        val hits2 = hitsAt(2)
+        candidates.unpersist()
+        exact.unpersist()
+        System.err.println(s"[ss_recall_1m] r1=$hits1/$nCand1 r2=$hits2/$nCand2")
+        s.range(1).select(lit(nq).as("n_queries"),
+          lit(nCand1).as("n_candidates_r1"), lit(hits1).as("n_hits_r1"),
+          lit(nCand2).as("n_candidates_r2"), lit(hits2).as("n_hits_r2"),
+          (lit(hits1) >= lit(700L) && lit(hits2) >= lit(1250L)).as("recall_ok"),
+          (lit(nCand2) <= lit(n / 100L * 6L * nq)).as("budget_ok")) // ≤6% of corpus per query
+      },
+      Some("""SELECT CAST(200 AS BIGINT) AS n_queries,
+             |  CAST(2553038 AS BIGINT) AS n_candidates_r1,
+             |  CAST(719 AS BIGINT) AS n_hits_r1,
+             |  CAST(11983810 AS BIGINT) AS n_candidates_r2,
+             |  CAST(1282 AS BIGINT) AS n_hits_r2,
+             |  TRUE AS recall_ok, TRUE AS budget_ok
+             |FROM (SELECT 1)""".stripMargin),
+      headline = true,
+    ),
+
     // ss_scale_5m — the similarity family's NEXT DECADE: 5M vectors
     // through the sign-projection bucket + probe path, with BOTH scale
     // lessons applied at once. (1) planesFor sizes itself: 13 planes ⇒
@@ -1168,6 +1248,123 @@ object Similarity {
            |  TRUE AS occupancy_ok, TRUE AS heavy_ok, TRUE AS buckets_ok
            |FROM ips""".stripMargin
       },
+    ),
+
+    // ss_serve_scale — EXECUTOR-SIDE batched graph-ANN serving at the
+    // offline-inference shape: 100k queries against a committed
+    // 1M-vector graph store. The driver-loop path
+    // (searchStoredWithBudget) is the right tool for interactive
+    // trickle traffic; an offline batch pays shards × hops × 2 jobs
+    // with candidate vectors staged through the driver. Here the
+    // committed store is snapshot ONCE into a broadcast CSR
+    // (~0.5 GB at this size, under the documented cap) and every
+    // query's greedy descent runs inside mapPartitions
+    // (GraphAnn.searchStoredDistributed) — zero Spark jobs per hop,
+    // queries never leave the executors, per-query wall flat in the
+    // batch size. Beyond the cap the corpus shards into per-shard
+    // stores with a top-k merge (documented in GraphAnn).
+    //
+    // Contract: (1) sample_equals_driver — a deterministic 256-query
+    // sample re-served through the driver path must be BIT-EQUAL
+    // (GraphAnnSpec pins the same equality at both metrics on a
+    // real store); (2) self_ok — queries ARE corpus vectors, so under
+    // the L2 metric the greedy descent must navigate home (score 0)
+    // for ≥90% of 100k queries; (3) every query returns exactly k
+    // rows. The navigability ladder, measured on this corpus:
+    // 3 LSH tables/no refine/32 entries/budget 96 → 24.4%; 8 tables +
+    // 128 entries → 49.8%; +1 NN-descent round (refined graphs LOSE
+    // the LSH long links, so at budget 96 refinement alone DROPPED to
+    // 45.4%) with budget 192 → 79.4%; + the 1024-entry coarse layer →
+    // 92.9% (pinned ≥90%). All deterministic: corpus, build, entries
+    // and traversal share fixed seeds and total tie rules, so the
+    // pinned floor is an exact constant, not a statistical bound.
+    QueryDef(
+      "ss_serve_scale",
+      (s, _) => {
+        import graft.operators.GraphAnn
+        val n = 1000000L
+        val nq = 100000L
+        val nB = 64
+        // 16-dim integer coordinates in [-2^20, 2^20] from the Lehmer
+        // chain every other scale corpus uses — a PROPER per-(vid, j)
+        // mixer. (First attempt was (A·vid + B·j) mod 2^21 — linear in
+        // j, so the corpus sat on a 1-D lattice, the sign-projection
+        // build buckets skewed by orders of magnitude, and the
+        // bucket-local all-pairs pass blew up: a graph build assumes
+        // angular spread, and the corpus must supply it.) d² and ip
+        // both stay far inside Long; the Scala twin feeds the
+        // driver-path sample bit-equality check.
+        def coordExpr(idCol: String, j: Int) = {
+          val x = s"($idCol * 16 + $j)"
+          expr(s"CAST((((((($x * 1299709 + 104729) % 2147483647) * 48271 % 2147483647) * " +
+            s"((($x * 1299709 + 104729) % 2147483647) * 48271 % 2147483647) + " +
+            s"(($x * 1299709 + 104729) % 2147483647)) % 2147483647) * 48271 % 2147483647) " +
+            "% 2097153 - 1048576 AS BIGINT)")
+        }
+        def coordOf(vid: Long, j: Int): Long = {
+          val x = vid * 16 + j
+          val h1 = (x * 1299709L + 104729L) % 2147483647L
+          val h2 = h1 * 48271L % 2147483647L
+          val h3 = (h2 * h2 + h1) % 2147483647L
+          h3 * 48271L % 2147483647L % 2097153L - 1048576L
+        }
+        val vecs = s.range(n).select(col("id").as("vec_id"),
+          array((0 until 16).map(j => coordExpr("id", j)): _*).as("f"))
+        val canon = s"gserve|${GraphAnn.BuildVersion}|n=$n|dims=16" +
+          "|mix=lehmer-q16-2097153|deg=16|nB=64|entry=connected-p10|refine=1|tables=8"
+        val store = new java.io.File(s"target/gstore/serve_${storeTag(canon)}").getAbsolutePath
+        publishStore(store) { tmp =>
+          val cached = vecs.persist()
+          // The navigability ladder, measured on this corpus at the
+          // ss15-class search budget below: 3 LSH tables, no
+          // refinement → 24% of self-queries navigate home; 8 tables
+          // + the wider entry layer → 50%; + one NN-descent round
+          // (broadcast-snapshot scoring — candidate IDs shuffle,
+          // vector payloads never do) → the pinned contract. Greedy
+          // descent on an unrefined LSH graph simply lacks the
+          // proximity gradient; refinement is load-bearing, and the
+          // broadcast form is what makes it affordable at 1M.
+          val g = GraphAnn.buildGraph(cached, degree = 16, dims = 16,
+            tables = 8, refine = 1).persist()
+          GraphAnn.writeStores(cached, g, tmp, nB)
+          // nPlanes = 10 ⇒ up to 1024 coarse entries: at 1M vectors
+          // a 32-entry layer starts the descent too far from most
+          // queries; entries are one shared broadcast scored once per
+          // query (1024 × 16-dim ips ≈ a sixth of the expansion
+          // budget), so width is the cheapest navigability knob
+          GraphAnn.buildEntryLayerConnected(cached, g, nPlanes = 10, dims = 16)
+            .localCheckpoint(eager = true)
+            .write.mode("overwrite").parquet(s"$tmp/entry")
+          g.unpersist(); cached.unpersist(): Unit
+        }
+        val st = GraphAnn.StoredIndex(store, nB)
+        val entry = s.read.parquet(s"$store/entry").collect().map(_.getLong(0)).toSeq
+        val queries = s.range(nq).select(col("id").as("qid"),
+          array((0 until 16).map(j => coordExpr("id", j)): _*).as("q"))
+        val res = GraphAnn.searchStoredDistributed(s, st, queries, k = 10,
+          ef = 64, maxExpand = 192, batch = 8, entryIds = entry, metric = "l2").persist()
+        val nRes = res.count()
+        val selfFound = res.filter(col("vec_id") === col("qid") && col("score") === 0L).count()
+        System.err.println(s"[ss_serve_scale] self_found=$selfFound/$nq nRes=$nRes")
+        val sampleIds = (0L until 256L).map(_ * (nq / 256L))
+        val sampleQs = sampleIds.map(q => q -> Array.tabulate(16)(j => coordOf(q, j)))
+        val driver = GraphAnn.searchStoredWithBudget(s, st, sampleQs, k = 10,
+            ef = 64, maxExpand = 192, batch = 8, entryIds = entry, metric = "l2")._1
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val distSample = res.filter(col("qid").isin(sampleIds: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        res.unpersist()
+        s.range(1).select(
+          lit(nq).as("n_queries"),
+          lit(nRes).as("n_results"),
+          lit(selfFound * 100L >= nq * 90L).as("self_ok"),
+          lit(driver == distSample).as("sample_equals_driver"))
+      },
+      Some("""SELECT CAST(100000 AS BIGINT) AS n_queries,
+             |  CAST(1000000 AS BIGINT) AS n_results,
+             |  TRUE AS self_ok, TRUE AS sample_equals_driver
+             |FROM (SELECT 1)""".stripMargin),
+      headline = true,
     ),
 
     // ss11 — DIVERSITY sampling: k-means-cluster the embedding space

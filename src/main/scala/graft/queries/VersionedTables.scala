@@ -49,12 +49,15 @@ object VersionedTables {
     * stopped-session entries are pruned on access so a test-suite
     * session churn can't accumulate dead table dirs. */
   private val vtScaleCached =
-    scala.collection.mutable.Map.empty[(SparkSession, Long), graft.sources.VersionedTable]
+    scala.collection.mutable.Map.empty[(SparkSession, Long, Int), graft.sources.VersionedTable]
 
   private def vtScaleFixture(s: SparkSession, n: Long, nBuckets: Int): graft.sources.VersionedTable =
     synchronized {
-      vtScaleCached.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-      vtScaleCached.getOrElseUpdate((s, n), {
+      vtScaleCached.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+      // nBuckets is part of the key: a future rung reusing an n with a
+      // different bucket count must get its own fixture, not silently
+      // serve one laid out under the wrong bucketing
+      vtScaleCached.getOrElseUpdate((s, n, nBuckets), {
         val dir = java.nio.file.Files.createTempDirectory(s"vt_scale_$n").toString
         // the JVMs that reach here (Verify / Bench / test suites) exit
         // per run; the hook reclaims the ~10² MB of parquet on exit

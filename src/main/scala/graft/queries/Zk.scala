@@ -130,6 +130,30 @@ object Zk {
       headline = true,
     ),
 
+    // the commitment pipeline's DECADE rung: 10M entries (10000 blocks
+    // × 1000 keys) through the full per-entry Poseidon leaf hash +
+    // EcGFp5 map_to_curve and the per-group digest/Merkle aggregation.
+    // Same content-determinism contract as the 1M row, 10× the groups:
+    // the digest sum is order/partition-free and the Merkle fold is
+    // order-FIXED, so 10000 identical-content groups must still land
+    // on exactly one distinct digest and one distinct root. Everything
+    // is executor-born (spark.range) and map-side combined — the
+    // shuffle carries one 100-ish-byte row per (block, contract)
+    // group, never per entry, which is why the rung scales by CPU
+    // only: per-entry wall is the crypto kernel, not data motion.
+    QueryDef(
+      "zk_storage_db_scale_10m",
+      (s, _) => ZkPipeline.storageDb(Fixtures.entriesScaled(s, nBlocks = 10000, keysPerBlock = 1000))
+        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_entries"),
+          countDistinct(col("storage_root")).as("n_distinct_roots"),
+          countDistinct(col("digest")).as("n_distinct_digests")),
+      Some("""WITH ids AS (SELECT unnest(range(10000000)) AS id)
+             |SELECT count(DISTINCT id // 1000) AS n_groups, count(*) AS n_entries,
+             |  CAST(1 AS BIGINT) AS n_distinct_roots, CAST(1 AS BIGINT) AS n_distinct_digests
+             |FROM ids""".stripMargin),
+      headline = true,
+    ),
+
     // Query2 at scale: the NFT-enumeration plan over the same 1M-entry
     // synthetic storage table — filter → distinct → sort → limit with
     // the consistency checks; shows the fixed query shape survives a

@@ -349,9 +349,13 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     // isolation signal and refreshes the entry layer ITSELF; no
     // manual refreshEntryLayer call anywhere in this scenario
     val fxRows = spark.read.parquet(s"$dir/fx").count()
+    // entryDims intentionally NOT passed: the gate must derive the
+    // projection width from the committed dims-16 fx, not a caller
+    // default (a 64-wide projection null-pads and collapses the
+    // coarse layer to one bucket)
     GraphAnn.appendStoreChunked(spark, GraphAnn.StoredIndex(dir, nB),
       islandRows.toDF("vec_id", "f"), degree = 16, entryIds = stale,
-      metric = "l2", entryDims = 16)
+      metric = "l2")
     assert(spark.read.parquet(s"$dir/fx").count() == fxRows,
       "the gated re-run must not append duplicate fx rows")
     val fresh = spark.read.parquet(s"$dir/entry").collect().map(_.getLong(0)).toSeq
@@ -359,6 +363,29 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe(fresh) == want,
       "after the gated entry refresh the island must be exactly searchable")
     graph.unpersist(); baseDf.unpersist()
+  }
+
+  test("refreshEntryLayer derives the projection width from the committed vectors") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = (0L until 512L).map(id =>
+      (id, Array.tabulate(16)(j => ((id * 131 + j * 17) % 2000L) - 1000L)))
+    val df = rows.toDF("vec_id", "f").persist()
+    val dir = java.nio.file.Files.createTempDirectory("gann_dims").toString
+    val g = GraphAnn.buildGraph(df, degree = 8, dims = 16).persist()
+    GraphAnn.writeStores(df, g, dir, nBuckets = 16)
+    // defaults only — no dims hint anywhere
+    GraphAnn.refreshEntryLayer(spark, GraphAnn.StoredIndex(dir, 16))
+    val got = spark.read.parquet(s"$dir/entry").collect().map(_.getLong(0)).toSet
+    val expected = GraphAnn.buildEntryLayerConnected(df, g, nPlanes = 5, dims = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, "refresh must equal an explicit dims-16 rebuild")
+    // the coarse layer keeps its spread: a width-mismatched projection
+    // (the old caller-default bug) null-pads every sign bit and
+    // collapses all coarse buckets to one representative
+    val coarse = GraphAnn.buildEntryLayer(df, dims = 16).count()
+    assert(coarse > 1, s"fixture must occupy several sign buckets, got $coarse")
+    g.unpersist(); df.unpersist()
   }
 
   test("stored search shards above ServeBatchCap with identical results") {
@@ -381,5 +408,35 @@ class GraphAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sharded == oneBatch, "sharding must not change any result row")
     assert(budgets1 == budgets2, "sharding must not change any per-query budget")
     df.unpersist()
+  }
+
+  test("executor-side distributed serving is bit-equal to the driver path (both metrics)") {
+    val s2 = spark
+    import s2.implicits._
+    val rows = (4L until 1500L).map(id => (id, planted(id, 8)))
+    val df = rows.toDF("vec_id", "f").persist()
+    // queries: 600 corpus-adjacent vectors — forces several partitions
+    // AND exceeds ServeBatchCap so the driver twin itself shards
+    val qs = (0L until 600L).map(q => q -> planted(q % 8, 8).map(_ + q))
+    val dir = java.nio.file.Files.createTempDirectory("gann_dist").toString
+    val entry = GraphAnn.buildEntryLayer(df, dims = 16).collect().map(_.getLong(0)).toSeq
+    GraphAnn.writeStores(df, GraphAnn.buildGraph(df, degree = 16, dims = 16), dir, 16)
+    val store = GraphAnn.StoredIndex(dir, 16)
+    val qdf = qs.toDF("qid", "q").repartition(7).persist()
+    for (metric <- Seq("ip", "l2")) {
+      val driver = GraphAnn.searchStoredWithBudget(spark, store, qs,
+          entryIds = entry, metric = metric)._1
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sorted
+      val dist = GraphAnn.searchStoredDistributed(spark, store, qdf,
+          entryIds = entry, metric = metric)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sorted
+      assert(dist == driver, s"distributed serve must be bit-equal to the driver path ($metric)")
+    }
+    // snapshot reuse across batches: pass a pre-built CSR explicitly
+    val csr = GraphAnn.loadCsr(spark, store)
+    val again = GraphAnn.searchStoredDistributed(spark, store, qdf,
+        entryIds = entry, metric = "ip", csr = Some(csr)).count()
+    assert(again == 600L * 10)
+    qdf.unpersist(); df.unpersist()
   }
 }

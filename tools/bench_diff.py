@@ -124,9 +124,12 @@ def main_baseline(base_path, new_path):
     nq = new.get("queries", {})
     flagged = []
 
-    for name in sorted(new.get("failed", [])):
+    failed = set(new.get("failed", []))
+    for name in sorted(failed):
         flagged.append(f"FAILURE      {name}")
-    for name in sorted(set(ref) - set(nq)):
+    # a failed query may be absent from the queries map — that is the
+    # FAILURE above, not an additional disappearance
+    for name in sorted(set(ref) - set(nq) - failed):
         flagged.append(f"DISAPPEARED  {name} (ref {ref[name]:.2f}s)")
     for name in sorted(set(ref) & set(nq)):
         a, b = ref[name], nq[name]
@@ -149,7 +152,10 @@ def main_baseline(base_path, new_path):
     if shared and sh_r > 0:
         print(f"shared {len(shared)}: ref {sh_r:.1f}s -> {sh_n:.1f}s ({sh_n / sh_r:.2f}x)")
     if added:
-        print(f"not in baseline ({len(added)}): {', '.join(added)}")
+        # visible, not silent: these rows have NO reference wall and are
+        # not gated until --make-baseline is rerun over a current artifact
+        print(f"WARNING — added but UNGATED until the baseline manifest "
+              f"is regenerated ({len(added)}): {', '.join(added)}")
     if flagged:
         print(f"\n{len(flagged)} flagged (> {thr}x AND > +{band}s over ref, min {MIN_SECS}s):")
         for line in flagged:
