@@ -46,9 +46,25 @@ object Bench {
     }
     // optional comma-separated name filter for profiling single queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Consume each query through the NOOP SINK, not count(): count()
+    // lets Catalyst PRUNE every column the row count doesn't need, so
+    // a query ending in an ungrouped aggregate timed only its scan —
+    // zk_storage_db_scale "measured" 0.008 s while the same plan's
+    // full evaluation (what Verify's parquet write pays, what a real
+    // sink pays) is ~3 s of Poseidon+EcGFp5 per-entry work. The noop
+    // sink evaluates every output column and writes nothing — the
+    // honest consumption. (Discovered round 10; the methodology
+    // bridge vs the count()-era artifacts is recorded in BASELINE.md.)
+    // SPARK_GRAFT_CONSUME=count replays the pre-round-10 (hollow)
+    // consumption for methodology-bridge artifacts only
+    val legacyCount = sys.env.get("SPARK_GRAFT_CONSUME").contains("count")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try {
+        val df = fn(spark, sfDir)
+        if (legacyCount) df.count() else df.write.format("noop").mode("overwrite").save()
+        true
+      } catch {
         case t: Throwable => System.err.println(s"[bench] $name FAILED: $t"); false
       }
       // a crashed query must not pose as a normal timing: record the
@@ -79,6 +95,10 @@ object Bench {
         val t1 = timeOnce(name, fn)
         gcAfterHeavy(math.abs(t1))
         if (t1 < 0) (name, t1, None, Seq(t1))
+        // very heavy rows (≥ 60 s: the 10M crypto rung, the 100k-query
+        // serve) run ONCE — a min-of-2 would double the suite wall for
+        // rows whose cost is intrinsic compute, not cache luck
+        else if (t1 >= 60.0) (name, t1, None, Seq(t1))
         else if (t1 >= 3.0) {
           val t2 = timeOnce(name, fn)
           gcAfterHeavy(math.abs(t2))

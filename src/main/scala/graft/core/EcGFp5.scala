@@ -53,6 +53,64 @@ object EcGFp5 {
   /** base-field inverse via Fermat (x^(p−2)); 0 → 0. */
   private def binv(a: Long): Long = bpow(a, p - 2)
 
+  // --------------------------- allocation-free GF(p^5) hot-path core
+  // The immutable F5 ops allocate a case class + coefficient array per
+  // operation; a sqrt chain is ~10³ operations and runs once per
+  // map_to_curve — at 10M entries that is 10¹⁰ transient allocations,
+  // and the commitment rung was GC-bound, not ALU-bound. These raw
+  // kernels do the IDENTICAL mod-p arithmetic on caller-owned 5-long
+  // buffers (addition order is free: badd/bmul are exact mod p and
+  // the result is canonicalized once). All ten inputs are read into
+  // locals before `out` is written, so in-place calls like
+  // mul5(s, s, s) are safe. Bit-parity stays certified by the
+  // committed SSWU golden vectors + field-law specs.
+  private def mul5(a: Array[Long], b: Array[Long], out: Array[Long]): Unit = {
+    val a0 = a(0); val a1 = a(1); val a2 = a(2); val a3 = a(3); val a4 = a(4)
+    val b0 = b(0); val b1 = b(1); val b2 = b(2); val b3 = b(3); val b4 = b(4)
+    val t0 = bmul(a0, b0)
+    val t1 = badd(bmul(a0, b1), bmul(a1, b0))
+    val t2 = badd(badd(bmul(a0, b2), bmul(a1, b1)), bmul(a2, b0))
+    val t3 = badd(badd(badd(bmul(a0, b3), bmul(a1, b2)), bmul(a2, b1)), bmul(a3, b0))
+    val t4 = badd(badd(badd(badd(bmul(a0, b4), bmul(a1, b3)), bmul(a2, b2)), bmul(a3, b1)), bmul(a4, b0))
+    val t5 = badd(badd(badd(bmul(a1, b4), bmul(a2, b3)), bmul(a3, b2)), bmul(a4, b1))
+    val t6 = badd(badd(bmul(a2, b4), bmul(a3, b3)), bmul(a4, b2))
+    val t7 = badd(bmul(a3, b4), bmul(a4, b3))
+    val t8 = bmul(a4, b4)
+    out(0) = canonical(badd(t0, bmul(3L, t5)))
+    out(1) = canonical(badd(t1, bmul(3L, t6)))
+    out(2) = canonical(badd(t2, bmul(3L, t7)))
+    out(3) = canonical(badd(t3, bmul(3L, t8)))
+    out(4) = canonical(t4)
+  }
+
+  private def isOne5(a: Array[Long]): Boolean =
+    a(0) == 1L && a(1) == 0L && a(2) == 0L && a(3) == 0L && a(4) == 0L
+
+  /** raw fixed-4-bit-window pow: same element as [[F5.pow]], zero
+    * per-step allocation (one 16-entry table + two scratch buffers). */
+  private def powWindow5(base: Array[Long], e: BigInteger): Array[Long] = {
+    val table = Array.ofDim[Long](16, 5)
+    table(1) = base.clone()
+    var i = 2
+    while (i < 16) { mul5(table(i - 1), base, table(i)); i += 1 }
+    var acc = Array[Long](1L, 0, 0, 0, 0)
+    val bytes = e.toByteArray
+    var bi = 0
+    while (bi < bytes.length) {
+      val b = bytes(bi)
+      var nib = 0
+      while (nib < 2) {
+        val w = if (nib == 0) (b >> 4) & 0xf else b & 0xf
+        var sq = 0
+        while (sq < 4) { mul5(acc, acc, acc); sq += 1 }
+        if (w != 0) mul5(acc, table(w), acc)
+        nib += 1
+      }
+      bi += 1
+    }
+    acc
+  }
+
   // --------------------------------------------------------- GF(p^5)
   /** element = 5 canonical coefficients, little-endian in z. */
   final case class F5(c: Array[Long]) {
@@ -84,14 +142,29 @@ object EcGFp5 {
 
     def *(s: Long): F5 = F5(Array.tabulate(5)(i => canonical(bmul(c(i), s))))
 
+    /** fixed 4-bit-window square-and-multiply (left-to-right): same
+      * group element as the binary ladder, ~40% fewer multiplies on
+      * the ~290-bit sqrt exponents that dominate every curve digest;
+      * leading zero nibbles square the identity (free). */
     def pow(e: BigInteger): F5 = {
+      if (e.signum() == 0) return F5.One
+      val table = new Array[F5](16)
+      table(0) = F5.One
+      table(1) = this
+      var i = 2
+      while (i < 16) { table(i) = table(i - 1) * this; i += 1 }
       var acc = F5.One
-      var b = this
-      var k = e
-      while (k.signum() > 0) {
-        if (k.testBit(0)) acc = acc * b
-        b = b.square
-        k = k.shiftRight(1)
+      val bytes = e.toByteArray // big-endian, possibly with a 0x00 sign byte
+      var bi = 0
+      while (bi < bytes.length) {
+        val b = bytes(bi)
+        val hi = (b >> 4) & 0xf
+        val lo = b & 0xf
+        acc = acc.square.square.square.square
+        if (hi != 0) acc = acc * table(hi)
+        acc = acc.square.square.square.square
+        if (lo != 0) acc = acc * table(lo)
+        bi += 1
       }
       acc
     }
@@ -128,29 +201,40 @@ object EcGFp5 {
     def sqrt: Option[F5] = {
       if (isZero) return Some(F5.Zero)
       if (legendre != 1L) return None
-      var c = F5.TsZ
-      var t = pow(F5.TsM)
-      var r = pow(F5.TsMp1Half)
+      // ONE ~290-bit exponentiation instead of two: with
+      // r = x^((m+1)/2), the cofactor part t = x^m follows as
+      // r²·x⁻¹ (r² = x^(m+1)); the Frobenius-norm inverse is ~10
+      // multiplications vs ~430 for the second pow — sqrt() is the
+      // per-entry hot path of every curve digest, and this is its
+      // single largest term. The whole chain runs on the raw
+      // allocation-free kernels (mul5/powWindow5): identical mod-p
+      // arithmetic, certified by the committed SSWU vectors.
+      val r = powWindow5(c, F5.TsMp1Half)
+      val t = new Array[Long](5)
+      mul5(r, r, t)
+      mul5(t, inverse.c, t)
+      val cc = F5.TsZ.c.clone()
+      val s = new Array[Long](5)
       var e = 32
-      while (!(t == F5.One)) {
+      while (!isOne5(t)) {
         // least i with t^(2^i) = 1; bounded — exceeding e means the
         // element is not in the 2-Sylow coset (internal invariant
         // breach), fail loudly rather than spin
         var i = 1
-        var s = t.square
-        while (!(s == F5.One)) {
-          s = s.square; i += 1
+        mul5(t, t, s)
+        while (!isOne5(s)) {
+          mul5(s, s, s); i += 1
           require(i < e, "Tonelli-Shanks invariant breach: order not a power of two")
         }
-        var b = c
+        // b = c^(2^(e-i-1)), squared in place; then r·b, c' = b², t·c'
         var j = 0
-        while (j < e - i - 1) { b = b.square; j += 1 }
-        r = r * b
-        c = b.square
-        t = t * c
+        while (j < e - i - 1) { mul5(cc, cc, cc); j += 1 }
+        mul5(r, cc, r)
+        mul5(cc, cc, cc)
+        mul5(t, cc, t)
         e = i
       }
-      Some(r)
+      Some(F5(r))
     }
 
     /** RFC 9380 sgn0 for an extension field: the parity of the first

@@ -952,34 +952,87 @@ object GraphAnn {
     * [[searchStoredWithBudget]] (top-ef by (-score, id), skip
     * expanded, batch-capped to the remaining expand budget, per-hop
     * distinct new candidates), so the distributed path is bit-equal
-    * to the driver path by construction (GraphAnnSpec pins it). */
+    * to the driver path by construction (GraphAnnSpec pins it).
+    *
+    * Implementation is allocation-lean: scored lives in growable
+    * primitive (id, score) arrays with membership answered by a
+    * bitset over CSR positions, and each hop's top-ef window comes
+    * from one bounded insertion pass instead of a full boxed sort —
+    * the first cut sorted boxed tuples per hop and spent more wall in
+    * the sort than in the scoring arithmetic at 100k queries. */
   private def greedyKernel(qf: Array[Long], wantL2: Boolean, entry: Array[Long],
                            ix: CsrIndex, k: Int, ef: Int, maxExpand: Int,
                            batch: Int): Seq[(Long, Long)] = {
-    val scored = scala.collection.mutable.Map[Long, Long]()
-    entry.foreach { id =>
-      val p = ix.vecPos(id)
-      if (p >= 0) scored(id) = ix.scoreAt(p, qf, wantL2)
+    // scored set: parallel growable arrays + a per-query position
+    // bitset for O(1) "already scored" checks (ids outside the CSR
+    // can only be entry ids — those dedupe via the caller's distinct)
+    var cap = math.max(64, entry.length * 2)
+    var ids = new Array[Long](cap)
+    var scores = new Array[Long](cap)
+    var n = 0
+    val seen = new java.util.BitSet(ix.ids.length)
+    val expandedPos = new java.util.BitSet(ix.ids.length)
+    def add(pos: Int): Unit = {
+      if (seen.get(pos)) return
+      seen.set(pos)
+      if (n == cap) {
+        cap *= 2
+        ids = java.util.Arrays.copyOf(ids, cap)
+        scores = java.util.Arrays.copyOf(scores, cap)
+      }
+      ids(n) = ix.ids(pos)
+      scores(n) = ix.scoreAt(pos, qf, wantL2)
+      n += 1
     }
-    val expanded = scala.collection.mutable.Set[Long]()
+    entry.foreach { id => val p = ix.vecPos(id); if (p >= 0) add(p) }
+
+    // bounded top-ef window by (-score, id): one insertion pass over
+    // the scored arrays — identical ordering to the sorted take(ef)
+    val wIds = new Array[Long](ef)
+    val wScores = new Array[Long](ef)
+    var expanded = 0
     var done = false
     while (!done) {
-      val picks = scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(ef)
-        .map(_._1).filterNot(expanded.contains)
-        .take(math.min(batch, maxExpand - expanded.size))
-      if (picks.isEmpty) done = true
-      else {
-        expanded ++= picks
-        picks.flatMap(id => ix.neighborIds(id)).distinct
-          .filterNot(scored.contains)
-          .foreach { id =>
-            val p = ix.vecPos(id)
-            if (p >= 0) scored(id) = ix.scoreAt(p, qf, wantL2)
+      var wn = 0
+      var i = 0
+      while (i < n) {
+        val s = scores(i); val id = ids(i)
+        // insert (s, id) into the window if it beats the current tail
+        if (wn < ef || s > wScores(wn - 1) || (s == wScores(wn - 1) && id < wIds(wn - 1))) {
+          var j = if (wn < ef) wn else ef - 1
+          while (j > 0 && (wScores(j - 1) < s || (wScores(j - 1) == s && wIds(j - 1) > id))) {
+            wIds(j) = wIds(j - 1); wScores(j) = wScores(j - 1); j -= 1
           }
-        if (expanded.size >= maxExpand) done = true
+          wIds(j) = id; wScores(j) = s
+          if (wn < ef) wn += 1
+        }
+        i += 1
       }
+      // picks: best non-expanded among the window, up to the budget
+      val budget = math.min(batch, maxExpand - expanded)
+      var picked = 0
+      var w = 0
+      while (w < wn && picked < budget) {
+        val pos = ix.vecPos(wIds(w))
+        if (pos >= 0 && !expandedPos.get(pos)) {
+          expandedPos.set(pos)
+          expanded += 1
+          picked += 1
+          val nb = ix.neighborIds(wIds(w))
+          var q = 0
+          while (q < nb.length) {
+            val npos = ix.vecPos(nb(q))
+            if (npos >= 0) add(npos)
+            q += 1
+          }
+        }
+        w += 1
+      }
+      if (picked == 0 || expanded >= maxExpand) done = true
     }
-    scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    // final top-k by (-score, id)
+    val order = (0 until n).sortBy(i => (-scores(i), ids(i)))
+    order.take(k).map(i => (ids(i), scores(i)))
   }
 
   /** Serve an ARBITRARILY LARGE query batch from a committed store,

@@ -1,0 +1,30 @@
+package graft.core
+import org.scalatest.funsuite.AnyFunSuite
+class KernelBenchProbe extends AnyFunSuite {
+  test("per-op cost of the commitment kernels") {
+    val key = Array.fill[Byte](32)(3); val v = Array.fill[Byte](32)(7)
+    // warm
+    (0 until 2000).foreach { i => key(0) = (i & 0xff).toByte; Commitments.mappingLeafDigest(key, v) }
+    var t0 = System.nanoTime()
+    (0 until 20000).foreach { i => key(1) = (i & 0xff).toByte; Commitments.mappingLeafDigest(key, v) }
+    println(f"mappingLeafDigest: ${(System.nanoTime() - t0) / 20000.0}%.0f ns/op")
+    t0 = System.nanoTime()
+    (0 until 20000).foreach { i => key(2) = (i & 0xff).toByte; Commitments.mappingLeafHash(key, v) }
+    println(f"mappingLeafHash:   ${(System.nanoTime() - t0) / 20000.0}%.0f ns/op")
+    val fields = PoseidonGoldilocks.bytesToFields(Bytes.concat(key, v))
+    t0 = System.nanoTime()
+    (0 until 20000).foreach { i => PoseidonGoldilocks.hashNoPadN(fields, 5) }
+    println(f"poseidon hash:     ${(System.nanoTime() - t0) / 20000.0}%.0f ns/op")
+    val u = EcGFp5.F5(PoseidonGoldilocks.hashNoPadN(fields, 5))
+    t0 = System.nanoTime()
+    var i = 0
+    while (i < 20000) { EcGFp5.simpleSwu(u); i += 1 }
+    val sswuNs = (System.nanoTime() - t0) / 20000.0
+    println(f"sswu:              $sswuNs%.0f ns/op")
+    // regression tripwire for the per-entry commitment cost (the 10M
+    // rung is kernel-bound): quiet-host ~250 us, generous 5x headroom
+    // for host load — a return of the double-pow / boxed-sqrt cost
+    // (~3-5x) still trips it
+    assert(sswuNs < 1250000, f"sswu regressed to $sswuNs%.0f ns/op")
+  }
+}
