@@ -41,8 +41,7 @@ object Commitments {
     * `state_node_hash` and `block_node_hash` (two_to_one compresses
     * identically). Bit-exact with the reference. */
   def innerNodeHash(left: Array[Byte], right: Array[Byte]): Array[Byte] =
-    PoseidonGoldilocks.hashOutToBytes(PoseidonGoldilocks.hashNoPad(
-      PoseidonGoldilocks.hashOutFromBytes(left) ++ PoseidonGoldilocks.hashOutFromBytes(right)))
+    PoseidonGoldilocks.twoToOneBytes(left, right)
 
   /** `leaf_digest_for_mapping` (storage/lpn/mod.rs:70-88):
     * map_to_curve_point over the 16 u32-packed key‖value elements.
@@ -50,6 +49,25 @@ object Commitments {
   def mappingLeafDigest(key32: Array[Byte], value32: Array[Byte]): Array[Byte] = {
     val preimage = Bytes.concat(Bytes.leftPad32(key32), Bytes.leftPad32(value32))
     EcGFp5.serialize(EcGFp5.mapToCurvePoint(PoseidonGoldilocks.bytesToFields(preimage)))
+  }
+
+  /** fused leaf hash + leaf digest over ONE sponge: [[mappingLeafHash]]
+    * is the first 4 squeezed elements and [[mappingLeafDigest]]'s
+    * curve input the first 5 — of the SAME final sponge state over the
+    * SAME key‖value preimage (plonky2's `hash_n_to_m_no_pad` squeezes
+    * m ≤ rate elements of one absorb). Computing them separately (as
+    * the storage-DB build did through round 10) pays the 2-permutation
+    * absorb twice per entry. Output: hash(32) ‖ serialized digest
+    * point (81) = 113 bytes, bit-identical to the two kernels. */
+  def mappingLeafCommit(key32: Array[Byte], value32: Array[Byte]): Array[Byte] = {
+    val preimage = Bytes.concat(Bytes.leftPad32(key32), Bytes.leftPad32(value32))
+    val sq = PoseidonGoldilocks.hashNoPadN(PoseidonGoldilocks.bytesToFields(preimage), 5)
+    val hash = PoseidonGoldilocks.hashOutToBytes(java.util.Arrays.copyOfRange(sq, 0, 4))
+    val digest = EcGFp5.serialize(EcGFp5.simpleSwu(EcGFp5.F5(sq)))
+    val out = new Array[Byte](32 + EcGFp5.SerLen)
+    System.arraycopy(hash, 0, out, 0, 32)
+    System.arraycopy(digest, 0, out, 32, EcGFp5.SerLen)
+    out
   }
 
   /** digest-on-key-only variant (query2/storage/leaf.rs:46-49):

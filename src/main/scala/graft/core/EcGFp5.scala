@@ -83,33 +83,166 @@ object EcGFp5 {
     out(4) = canonical(t4)
   }
 
+  /** raw squaring: the t_k sums of [[mul5]] with a_i·b_j + a_j·b_i
+    * collapsed to doubled cross terms — 15 bmul instead of 25 for the
+    * same canonical result (badd is exact mod p, so regrouping the
+    * additions is value-preserving). Squarings dominate every sqrt
+    * exponentiation chain (~290 of them per map_to_curve). */
+  private def sq5(a: Array[Long], out: Array[Long]): Unit = {
+    val a0 = a(0); val a1 = a(1); val a2 = a(2); val a3 = a(3); val a4 = a(4)
+    val m01 = bmul(a0, a1); val m02 = bmul(a0, a2); val m03 = bmul(a0, a3); val m04 = bmul(a0, a4)
+    val m12 = bmul(a1, a2); val m13 = bmul(a1, a3); val m14 = bmul(a1, a4)
+    val m23 = bmul(a2, a3); val m24 = bmul(a2, a4); val m34 = bmul(a3, a4)
+    val t0 = bmul(a0, a0)
+    val t1 = badd(m01, m01)
+    val t2 = badd(badd(m02, m02), bmul(a1, a1))
+    val t3 = badd(badd(m03, m03), badd(m12, m12))
+    val t4 = badd(badd(badd(m04, m04), badd(m13, m13)), bmul(a2, a2))
+    val t5 = badd(badd(m14, m14), badd(m23, m23))
+    val t6 = badd(badd(m24, m24), bmul(a3, a3))
+    val t7 = badd(m34, m34)
+    val t8 = bmul(a4, a4)
+    out(0) = canonical(badd(t0, bmul(3L, t5)))
+    out(1) = canonical(badd(t1, bmul(3L, t6)))
+    out(2) = canonical(badd(t2, bmul(3L, t7)))
+    out(3) = canonical(badd(t3, bmul(3L, t8)))
+    out(4) = canonical(t4)
+  }
+
+  /** raw Frobenius x → x^(p^k): diagonal action (see [[F5.frob]]). */
+  private def frob5(a: Array[Long], k: Int, out: Array[Long]): Unit = {
+    val fc = F5.FrobC(k)
+    var i = 0
+    while (i < 5) { out(i) = bmul(a(i), fc(i)); i += 1 }
+  }
+
+  /** raw Frobenius norm to GF(p); when `prodOut` is non-null it
+    * receives ∏_{k=1..4} φᵏ(a) — the inverse's cofactor, so one norm
+    * computation serves both the Legendre test and the inverse. */
+  private def normProd5(a: Array[Long], prodOut: Array[Long]): Long = {
+    val t1 = new Array[Long](5); val t2 = new Array[Long](5)
+    frob5(a, 1, t1)
+    frob5(a, 2, t2)
+    mul5(t1, t2, t1)
+    frob5(a, 3, t2)
+    mul5(t1, t2, t1)
+    frob5(a, 4, t2)
+    mul5(t1, t2, t1)
+    if (prodOut != null) System.arraycopy(t1, 0, prodOut, 0, 5)
+    mul5(t1, a, t1)
+    canonical(t1(0)) // imaginary parts cancel by construction
+  }
+
+  private def isZero5(a: Array[Long]): Boolean =
+    a(0) == 0L && a(1) == 0L && a(2) == 0L && a(3) == 0L && a(4) == 0L
+
+  /** raw inverse via the Frobenius norm; 0 → 0. */
+  private def inv5(a: Array[Long], out: Array[Long]): Unit = {
+    if (isZero5(a)) { java.util.Arrays.fill(out, 0L); return }
+    val prod = new Array[Long](5)
+    val ninv = binv(normProd5(a, prod))
+    var i = 0
+    while (i < 5) { out(i) = bmul(prod(i), ninv); i += 1 }
+  }
+
   private def isOne5(a: Array[Long]): Boolean =
     a(0) == 1L && a(1) == 0L && a(2) == 0L && a(3) == 0L && a(4) == 0L
 
-  /** raw fixed-4-bit-window pow: same element as [[F5.pow]], zero
-    * per-step allocation (one 16-entry table + two scratch buffers). */
-  private def powWindow5(base: Array[Long], e: BigInteger): Array[Long] = {
-    val table = Array.ofDim[Long](16, 5)
-    table(1) = base.clone()
-    var i = 2
-    while (i < 16) { mul5(table(i - 1), base, table(i)); i += 1 }
-    var acc = Array[Long](1L, 0, 0, 0, 0)
-    val bytes = e.toByteArray
-    var bi = 0
-    while (bi < bytes.length) {
-      val b = bytes(bi)
-      var nib = 0
-      while (nib < 2) {
-        val w = if (nib == 0) (b >> 4) & 0xf else b & 0xf
-        var sq = 0
-        while (sq < 4) { mul5(acc, acc, acc); sq += 1 }
-        if (w != 0) mul5(acc, table(w), acc)
-        nib += 1
-      }
-      bi += 1
-    }
-    acc
+  /** raw sqrt over GF(p^5) via base-field reduction — the standard
+    * odd-degree-extension technique (cf. Pornin, ePrint 2022/274 §
+    * field implementation). Two structural facts make it ~6x cheaper
+    * than a generic 290-bit Tonelli–Shanks:
+    *
+    *   1. With N = 1 + p + p² + p³ + p⁴ (the norm exponent),
+    *      (N+1)/2 = 1 + (p+p³)·(p+1)/2, so c = a^((N+1)/2) costs one
+    *      63-bit pow v = a^((p+1)/2) (a 62-squaring ladder — the
+    *      exponent is 2^31·(2^32−1)+1) plus two FREE Frobenius maps:
+    *      c = a·φ¹(v)·φ³(v). Then c² = a^(N+1) = Norm(a)·a.
+    *   2. The 2-Sylow subgroup of GF(p^5)* has order 2^32 — the SAME
+    *      as GF(p)*'s (p−1 = 2^32(2^32−1), and N is odd) — and the
+    *      cyclic group has one subgroup per order, so the entire
+    *      Tonelli–Shanks tail runs on BASE-FIELD scalars: take the
+    *      base sqrt s of n = Norm(a) = (φ¹(v)φ³(v))²·a, and
+    *      y = c/s satisfies y² = (n·a)/n = a.
+    *
+    * Returns A square root (sign unspecified): both call sites are
+    * sign-invariant — SSWU re-normalizes by sgn0(u), decode picks the
+    * QR root of a sign-symmetric pair — and the committed SSWU golden
+    * vectors pin the end-to-end map. None for non-residues, decided
+    * by χ_p(Norm(a)) BEFORE any heavy work. */
+  private def sqrt5(a: Array[Long]): Option[Array[Long]] = {
+    if (isZero5(a)) return Some(new Array[Long](5))
+    val n = normProd5(a, null)
+    if (bpow(n, (p - 1) >>> 1) != 1L) return None
+    Some(sqrt5Core(a, n))
   }
+
+  /** the QR branch of [[sqrt5]]: `a` non-zero with χ_p(n) = 1 for
+    * n = Norm(a) (caller-checked — lets SSWU reuse its own Legendre
+    * test instead of paying it twice). */
+  private def sqrt5Core(a: Array[Long], n: Long): Array[Long] = {
+    // v = a^((p+1)/2) = (a^(2^32−1))^(2^31) · a  (2^k−1 doubling ladder)
+    val acc = new Array[Long](5)
+    sq5(a, acc); mul5(acc, a, acc)                    // a^3 = a^(2^2−1)
+    val a2 = acc.clone()
+    var i = 0
+    while (i < 2) { sq5(acc, acc); i += 1 }; mul5(acc, a2, acc)   // a^(2^4−1)
+    val a4 = acc.clone()
+    i = 0; while (i < 4) { sq5(acc, acc); i += 1 }; mul5(acc, a4, acc)   // a^(2^8−1)
+    val a8 = acc.clone()
+    i = 0; while (i < 8) { sq5(acc, acc); i += 1 }; mul5(acc, a8, acc)   // a^(2^16−1)
+    val a16 = acc.clone()
+    i = 0; while (i < 16) { sq5(acc, acc); i += 1 }; mul5(acc, a16, acc) // a^(2^32−1)
+    i = 0; while (i < 31) { sq5(acc, acc); i += 1 }
+    mul5(acc, a, acc)                                 // v
+    // h = φ¹(v)·φ³(v) = a^((N−1)/2);  c = a·h = a^((N+1)/2)
+    val f1 = new Array[Long](5); frob5(acc, 1, f1)
+    val f3 = new Array[Long](5); frob5(acc, 3, f3)
+    val h = new Array[Long](5); mul5(f1, f3, h)
+    val c0 = new Array[Long](5); mul5(a, h, c0)
+    // base-field Tonelli–Shanks on n (r = n^(2^31); t = r²/n ∈ μ_{2^32})
+    var r = canonical(n)
+    i = 0; while (i < 31) { r = bmul(r, r); i += 1 }
+    var t = canonical(bmul(bmul(r, r), binv(n)))
+    var e = 32
+    while (t != 1L) {
+      var j = 1
+      var s = canonical(bmul(t, t))
+      while (s != 1L) {
+        s = canonical(bmul(s, s)); j += 1
+        require(j < e, "Tonelli-Shanks invariant breach: order not a power of two")
+      }
+      // the cofactor chain is the precomputed scalar table [[F5.TsGs]]
+      // (shift + e = 32 invariant, see the r10 loop this replaces)
+      r = bmul(r, F5.TsGs(31 - j))
+      t = canonical(bmul(t, F5.TsGs(32 - j)))
+      e = j
+    }
+    val sinv = binv(r)
+    val out = new Array[Long](5)
+    i = 0; while (i < 5) { out(i) = canonical(bmul(c0(i), sinv)); i += 1 }
+    out
+  }
+
+  // more raw GF(p^5) helpers for the allocation-lean SSWU chain
+  private def add5(a: Array[Long], b: Array[Long], out: Array[Long]): Unit = {
+    var i = 0
+    while (i < 5) { out(i) = canonical(badd(a(i), b(i))); i += 1 }
+  }
+  private def sub5(a: Array[Long], b: Array[Long], out: Array[Long]): Unit = {
+    var i = 0
+    while (i < 5) { out(i) = bsub(a(i), b(i)); i += 1 }
+  }
+  private def sgn05(a: Array[Long]): Boolean = {
+    var i = 0
+    while (i < 5) {
+      if (a(i) != 0L) return (a(i) & 1L) == 1L
+      i += 1
+    }
+    false
+  }
+  /** χ(a) = χ_p(Norm(a)): 1 = QR (raw twin of [[F5.legendre]]). */
+  private def legendre5(a: Array[Long]): Long = bpow(normProd5(a, null), (p - 1) >>> 1)
 
   // --------------------------------------------------------- GF(p^5)
   /** element = 5 canonical coefficients, little-endian in z. */
@@ -182,60 +315,27 @@ object EcGFp5 {
 
     /** inverse via norm: x⁻¹ = (∏_{k=1..4} φᵏ(x)) / Norm(x); 0 → 0. */
     def inverse: F5 = {
-      if (isZero) return F5.Zero
-      val prod = frob(1) * frob(2) * frob(3) * frob(4)
-      prod * binv(norm)
+      val out = new Array[Long](5)
+      inv5(c, out)
+      F5(out)
     }
 
     def /(o: F5): F5 = this * o.inverse
 
     /** Legendre symbol via the norm: χ(x) = χ_p(Norm(x)). Returns
       * 1 (QR), −1 encoded as p−1, or 0. */
-    def legendre: Long = bpow(norm, (p - 1) >>> 1)
+    def legendre: Long = bpow(normProd5(c, null), (p - 1) >>> 1)
 
     def isQr: Boolean = legendre == 1L
 
     /** Tonelli–Shanks over GF(p^5): p^5 − 1 = 2^32 · m with m odd;
       * the 2-Sylow generator comes from non-residue 7. None if not a
       * square. */
-    def sqrt: Option[F5] = {
-      if (isZero) return Some(F5.Zero)
-      if (legendre != 1L) return None
-      // ONE ~290-bit exponentiation instead of two: with
-      // r = x^((m+1)/2), the cofactor part t = x^m follows as
-      // r²·x⁻¹ (r² = x^(m+1)); the Frobenius-norm inverse is ~10
-      // multiplications vs ~430 for the second pow — sqrt() is the
-      // per-entry hot path of every curve digest, and this is its
-      // single largest term. The whole chain runs on the raw
-      // allocation-free kernels (mul5/powWindow5): identical mod-p
-      // arithmetic, certified by the committed SSWU vectors.
-      val r = powWindow5(c, F5.TsMp1Half)
-      val t = new Array[Long](5)
-      mul5(r, r, t)
-      mul5(t, inverse.c, t)
-      val cc = F5.TsZ.c.clone()
-      val s = new Array[Long](5)
-      var e = 32
-      while (!isOne5(t)) {
-        // least i with t^(2^i) = 1; bounded — exceeding e means the
-        // element is not in the 2-Sylow coset (internal invariant
-        // breach), fail loudly rather than spin
-        var i = 1
-        mul5(t, t, s)
-        while (!isOne5(s)) {
-          mul5(s, s, s); i += 1
-          require(i < e, "Tonelli-Shanks invariant breach: order not a power of two")
-        }
-        // b = c^(2^(e-i-1)), squared in place; then r·b, c' = b², t·c'
-        var j = 0
-        while (j < e - i - 1) { mul5(cc, cc, cc); j += 1 }
-        mul5(r, cc, r)
-        mul5(cc, cc, cc)
-        mul5(t, cc, t)
-        e = i
-      }
-      Some(F5(r))
-    }
+    /** Tonelli–Shanks over GF(p^5), via [[EcGFp5.sqrt5]]'s base-field
+      * reduction (the sqrt is the per-entry hot path of every curve
+      * digest). None if not a square. The returned root's SIGN is
+      * unspecified — every caller is sign-invariant (see sqrt5). */
+    def sqrt: Option[F5] = sqrt5(c).map(F5(_))
 
     /** RFC 9380 sgn0 for an extension field: the parity of the first
       * non-zero coefficient (0 for zero). */
@@ -275,11 +375,25 @@ object EcGFp5 {
     private val Q = BigP.pow(5)
     /** q − 1 = 2^32 · m, m odd */
     private[EcGFp5] val TsM: BigInteger = Q.subtract(BigInteger.ONE).shiftRight(32)
-    private[EcGFp5] val TsMp1Half: BigInteger = TsM.add(BigInteger.ONE).shiftRight(1)
     /** 7^m — generator of the 2-Sylow subgroup (7 is the Goldilocks
       * multiplicative generator, hence a non-residue; base-field
-      * non-residues stay non-residues in an odd-degree extension). */
+      * non-residues stay non-residues in an odd-degree extension).
+      * A power of the base element 7, so it IS a base-field scalar —
+      * the concrete witness that GF(p^5)*'s 2-Sylow lives in GF(p). */
     private[EcGFp5] val TsZ: F5 = fromBase(7L).pow(TsM)
+
+    /** TsGs(k) = TsZ^(2^k) as base-field SCALARS, k = 0..31 — the full
+      * 2-Sylow square chain, so the Tonelli–Shanks loop never
+      * re-squares the cofactor and runs entirely on scalars. */
+    private[EcGFp5] val TsGs: Array[Long] = {
+      require(TsZ.c(1) == 0L && TsZ.c(2) == 0L && TsZ.c(3) == 0L && TsZ.c(4) == 0L,
+        "2-Sylow generator must be a base-field scalar")
+      val g = new Array[Long](32)
+      g(0) = TsZ.c(0)
+      var k = 1
+      while (k < 32) { g(k) = canonical(bmul(g(k - 1), g(k - 1))); k += 1 }
+      g
+    }
   }
 
   // ------------------------------------------- committed SW constants
@@ -374,22 +488,82 @@ object EcGFp5 {
   }
 
   // ----------------------------------------------------------- SSWU
-  /** `simple_swu` (sswu_value.rs:31-77), bit-for-bit semantics. */
+  /** `simple_swu` (sswu_value.rs:31-77), bit-for-bit semantics.
+    * Runs entirely on the raw allocation-lean kernels (the boxed-F5
+    * form allocated ~50 transient objects per map and the commitment
+    * rungs run this on all 32 cores at once, where GC contention cost
+    * ~2.5x — ParallelKernelProbe). Bit-parity is certified by the
+    * committed SSWU golden vectors. */
   def simpleSwu(u: F5): Point = {
-    val denomPart = Zsw * u.square
-    val denom = denomPart.square + denomPart
-    val tv1 = denom.inverse // inverse_or_zero
-    val x1 = (if (tv1.isZero) NegZInvSw else tv1 + F5.One) * NegBDivASw
-    val x2 = denomPart * x1
-    val gx1 = x1 * x1.square + Asw * x1 + Bsw
-    val gx2 = x2 * x2.square + Asw * x2 + Bsw
-    val (xsw, yPos) = gx1.sqrt match {
-      case Some(r) => (x1, r)
-      case None    => (x2, gx2.sqrt.get)
+    val t1 = new Array[Long](5)
+    val t2 = new Array[Long](5)
+    val denomPart = new Array[Long](5)
+    sq5(u.c, t1); mul5(Zsw.c, t1, denomPart)
+    val denom = new Array[Long](5)
+    sq5(denomPart, t1); add5(t1, denomPart, denom)
+    val tv1 = new Array[Long](5)
+    inv5(denom, tv1) // inverse_or_zero
+    val x1 = new Array[Long](5)
+    if (isZero5(tv1)) mul5(NegZInvSw.c, NegBDivASw.c, x1)
+    else { add5(tv1, F5.One.c, t1); mul5(t1, NegBDivASw.c, x1) }
+    // g(x) = x³ + Asw·x + Bsw
+    def gOf(x: Array[Long], out: Array[Long]): Unit = {
+      sq5(x, t1); mul5(t1, x, t2)
+      mul5(Asw.c, x, t1)
+      add5(t2, t1, out); add5(out, Bsw.c, out)
     }
-    val xCand = xsw - TwoThirds
-    val yCand = if (u.sgn0 == yPos.sgn0) yPos else -yPos
-    Point.decode(yCand / xCand).get
+    val gx = new Array[Long](5)
+    gOf(x1, gx)
+    var xsw = x1
+    // pick the branch with the square g-value (gx1.sqrt-or-gx2 of the
+    // reference, with the Legendre test shared into sqrt5Core); a zero
+    // g-value has the zero root, like sqrt(0) = Some(0)
+    var yPos = new Array[Long](5)
+    var n = if (isZero5(gx)) 0L else normProd5(gx, null)
+    if (isZero5(gx)) ()
+    else if (bpow(n, (p - 1) >>> 1) == 1L) yPos = sqrt5Core(gx, n)
+    else {
+      val x2 = new Array[Long](5)
+      mul5(denomPart, x1, x2)
+      xsw = x2
+      gOf(x2, gx)
+      if (isZero5(gx)) ()
+      else {
+        n = normProd5(gx, null)
+        require(bpow(n, (p - 1) >>> 1) == 1L,
+          "SSWU invariant breach: neither g(x1) nor g(x2) is a square")
+        yPos = sqrt5Core(gx, n)
+      }
+    }
+    val xCand = new Array[Long](5)
+    sub5(xsw, TwoThirds.c, xCand)
+    // yCand = ±yPos, sign-normalized to sgn0(u) — this is what makes
+    // the map independent of which root sqrt5 returned
+    val yCand = if (sgn05(u.c) == sgn05(yPos)) yPos
+      else { val negY = new Array[Long](5); sub5(F5.Zero.c, yPos, negY); negY }
+    // `Point.decode(yCand / xCand)` WITHOUT a second Tonelli–Shanks
+    // sqrt: xCand is itself a root of decode's quadratic
+    // x² − (w²−A)x + B — divide the double-odd curve equation
+    // y² = x(x² + Ax + B) by x² with w = y/x — so the root pair is
+    // {xCand, e − xCand} (root sum = e) and the discriminant sqrt
+    // that only served to split (e ± r)/2 is redundant. decode's
+    // canonical pick (the unique QR root; B is a non-square so
+    // exactly one root is) is reproduced bit-for-bit by one Legendre
+    // test. w = 0 (x = 0 or y = 0, unreachable for hash outputs)
+    // keeps decode's ∞ behavior for exact parity.
+    val w = new Array[Long](5)
+    inv5(xCand, t1); mul5(yCand, t1, w)
+    if (isZero5(w)) return Point.Infinity
+    val e = new Array[Long](5)
+    sq5(w, t1); sub5(t1, A.c, e)
+    val xdo =
+      if (legendre5(xCand) == 1L) xCand
+      else { val other = new Array[Long](5); sub5(e, xCand, other); other }
+    val xOut = new Array[Long](5)
+    add5(xdo, TwoThirds.c, xOut)
+    val yOut = new Array[Long](5)
+    mul5(w, xdo, yOut)
+    Point(F5(xOut), F5(yOut), isInf = false)
   }
 
   /** `map_to_curve_point` (field_to_curve.rs:38-50): Poseidon to 5

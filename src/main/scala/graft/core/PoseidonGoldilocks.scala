@@ -173,31 +173,48 @@ object PoseidonGoldilocks {
   private val MdsCirc: Array[Long] = Array(17, 15, 41, 16, 2, 28, 13, 13, 39, 18, 34, 20)
   private val MdsDiag0: Long = 8 // diag = [8, 0, ..., 0]
 
-  /** one MDS row: Σ_i circ[i]·state[(i+r) mod 12] (+ 8·state[0] when
-    * r = 0), accumulated as a 128-bit integer then reduced once. */
-  @inline private def mdsRow(st: Array[Long], r: Int): Long = {
-    var accLo = 0L
-    var accHi = 0L
+  /** one full MDS layer: next(r) = Σ_i circ[i]·state[(i+r) mod 12]
+    * (+ 8·state[0] on row 0), each row an exact 128-bit sum reduced
+    * once — identical to per-row 128-bit accumulation, restructured
+    * for speed: the circulant coefficients are ≤ 41 (6 bits), so with
+    * each state word split once into 32-bit halves every term is two
+    * overflow-free 64-bit multiplies (Σ halves < 2^42 ≪ 2^64) and the
+    * carry bookkeeping of the 128-bit accumulator disappears. `loH`/
+    * `hiH` are caller-owned scratch. */
+  private def mdsLayer(st: Array[Long], next: Array[Long], loH: Array[Long], hiH: Array[Long]): Unit = {
     var i = 0
     while (i < Width) {
-      val v = st((i + r) % Width)
-      val c = MdsCirc(i)
-      val lo = v * c
-      val hi = unsignedMulHigh(v, c)
-      val nLo = accLo + lo
-      accHi += hi + (if (unsignedLt(nLo, accLo)) 1L else 0L)
-      accLo = nLo
+      val v = st(i)
+      loH(i) = v & 0xffffffffL
+      hiH(i) = v >>> 32
       i += 1
     }
-    if (r == 0) {
-      val v = st(0)
-      val lo = v * MdsDiag0
-      val hi = unsignedMulHigh(v, MdsDiag0)
-      val nLo = accLo + lo
-      accHi += hi + (if (unsignedLt(nLo, accLo)) 1L else 0L)
-      accLo = nLo
+    var r = 0
+    while (r < Width) {
+      var sumLo = 0L
+      var sumHi = 0L
+      var k = 0
+      var idx = r
+      while (k < Width) {
+        val c = MdsCirc(k)
+        sumLo += loH(idx) * c
+        sumHi += hiH(idx) * c
+        idx += 1
+        if (idx == Width) idx = 0
+        k += 1
+      }
+      if (r == 0) {
+        sumLo += loH(0) * MdsDiag0
+        sumHi += hiH(0) * MdsDiag0
+      }
+      // recombine: total = (sumHi << 32) + sumLo as a 128-bit value
+      val hiPart = sumHi >>> 32
+      val loShift = sumHi << 32
+      val loSum = loShift + sumLo
+      val carry = if (unsignedLt(loSum, loShift)) 1L else 0L
+      next(r) = reduce128(hiPart + carry, loSum)
+      r += 1
     }
-    reduce128(accHi, accLo)
   }
 
   @inline private def sbox(x: Long): Long = {
@@ -207,27 +224,41 @@ object PoseidonGoldilocks {
     mul(x3, x4)
   }
 
-  /** the width-12 Poseidon permutation (in place on a copy). */
-  def permute(input: Array[Long]): Array[Long] = {
-    require(input.length == Width)
-    var st = input.clone()
+  /** per-thread permutation scratch: the sponge is called 10⁷+ times
+    * per commitment rung on every core at once, and per-call array
+    * allocation was the dominant PARALLEL cost (GC contention inflated
+    * the 32-thread per-op wall ~2.5x over solo while a zero-alloc
+    * kernel inflates only ~1.4x — ParallelKernelProbe). */
+  private final class Scratch {
+    val st = new Array[Long](Width)
     val next = new Array[Long](Width)
+    val lo = new Array[Long](Width)
+    val hi = new Array[Long](Width)
+  }
+  private val scratchTL: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
+  /** the permutation on the scratch state: reads and leaves the state
+    * in `s.st` (30 MDS swaps = even, so the final state lands back in
+    * `st`). */
+  private def permuteCore(s: Scratch): Unit = {
+    var st = s.st
+    var next = s.next
     var round = 0
     @inline def constantLayer(): Unit = {
       var i = 0
       while (i < Width) { st(i) = add(st(i), RoundConstants(i + Width * round)); i += 1 }
     }
-    @inline def mdsLayer(): Unit = {
-      var r = 0
-      while (r < Width) { next(r) = mdsRow(st, r); r += 1 }
-      System.arraycopy(next, 0, st, 0, Width)
+    @inline def mds(): Unit = {
+      mdsLayer(st, next, s.lo, s.hi)
+      val tmp = st; st = next; next = tmp // swap instead of copy
     }
     // 4 full rounds
     while (round < HalfFull) {
       constantLayer()
       var i = 0
       while (i < Width) { st(i) = sbox(st(i)); i += 1 }
-      mdsLayer()
+      mds()
       round += 1
     }
     // 22 partial rounds (naive form — algebraically identical to
@@ -235,7 +266,7 @@ object PoseidonGoldilocks {
     while (round < HalfFull + PartialRounds) {
       constantLayer()
       st(0) = sbox(st(0))
-      mdsLayer()
+      mds()
       round += 1
     }
     // 4 full rounds
@@ -243,30 +274,42 @@ object PoseidonGoldilocks {
       constantLayer()
       var i = 0
       while (i < Width) { st(i) = sbox(st(i)); i += 1 }
-      mdsLayer()
+      mds()
       round += 1
     }
     var i = 0
     while (i < Width) { st(i) = canonical(st(i)); i += 1 }
-    st
+    if (st ne s.st) System.arraycopy(st, 0, s.st, 0, Width) // defensive: swap parity
+  }
+
+  /** the width-12 Poseidon permutation (pure function API). */
+  def permute(input: Array[Long]): Array[Long] = {
+    require(input.length == Width)
+    val s = scratchTL.get()
+    System.arraycopy(input, 0, s.st, 0, Width)
+    permuteCore(s)
+    s.st.clone()
   }
 
   // ---------------------------------------------------------- sponge
   private val Rate = 8
 
   /** plonky2 `hash_n_to_m_no_pad` for m ≤ rate: first m squeezed
-    * elements after the final absorb permutation. */
+    * elements after the final absorb permutation. Runs the whole
+    * sponge on the thread-local scratch — the only allocation is the
+    * escaping m-element result. */
   def hashNoPadN(inputs: Array[Long], m: Int): Array[Long] = {
     require(m <= Rate)
-    var state = new Array[Long](Width)
+    val s = scratchTL.get()
+    java.util.Arrays.fill(s.st, 0L)
     var off = 0
     while (off < inputs.length) {
       val n = math.min(Rate, inputs.length - off)
-      System.arraycopy(inputs, off, state, 0, n)
-      state = permute(state)
+      System.arraycopy(inputs, off, s.st, 0, n)
+      permuteCore(s)
       off += n
     }
-    java.util.Arrays.copyOfRange(state, 0, m)
+    java.util.Arrays.copyOfRange(s.st, 0, m)
   }
 
   /** plonky2 `hash_n_to_hash_no_pad`: 4-element output. */
@@ -275,6 +318,43 @@ object PoseidonGoldilocks {
   /** `PoseidonHash::two_to_one` == one permutation over l ‖ r. */
   def twoToOne(left: Array[Long], right: Array[Long]): Array[Long] =
     hashNoPad(left ++ right)
+
+  /** `two_to_one` over the 32-byte wire form of both children — the
+    * Merkle inner-node hot path (one call per tree node) fused to a
+    * single permutation with zero intermediate arrays: bytes → state
+    * fields in place, permute, 4 fields → bytes out. Bit-identical to
+    * hashOutToBytes(hashNoPad(hashOutFromBytes(l) ++
+    * hashOutFromBytes(r))). */
+  def twoToOneBytes(left32: Array[Byte], right32: Array[Byte]): Array[Byte] = {
+    require(left32.length == 32 && right32.length == 32,
+      s"HashOut children must be 32 bytes, got ${left32.length}/${right32.length}")
+    val s = scratchTL.get()
+    val st = s.st
+    var i = 0
+    while (i < 4) {
+      var l = 0L; var r = 0L
+      var j = 7
+      while (j >= 0) {
+        l = (l << 8) | (left32(i * 8 + j) & 0xffL)
+        r = (r << 8) | (right32(i * 8 + j) & 0xffL)
+        j -= 1
+      }
+      st(i) = l
+      st(i + 4) = r
+      i += 1
+    }
+    java.util.Arrays.fill(st, 8, Width, 0L)
+    permuteCore(s)
+    val out = new Array[Byte](32)
+    i = 0
+    while (i < 4) {
+      var v = st(i)
+      var j = 0
+      while (j < 8) { out(i * 8 + j) = (v & 0xff).toByte; v >>>= 8; j += 1 }
+      i += 1
+    }
+    out
+  }
 
   // ------------------------------------------------- byte interfaces
   /** `HashOut::to_bytes`: 4 canonical u64s little-endian. */

@@ -63,6 +63,26 @@ case class MappingLeafDigestExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** fused `leaf_hash_for_mapping` + `leaf_digest_for_mapping` over one
+  * Poseidon sponge (the two kernels share their absorb — see
+  * [[graft.core.Commitments.mappingLeafCommit]]): hash(32) ‖ digest
+  * point(81). The storage-DB build slices both halves with
+  * `substring`, paying the 2-permutation absorb once per entry. */
+case class MappingLeafCommitExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary arguments")
+  override def prettyName: String = "mapping_leaf_commit"
+  override protected def nullSafeEval(k: Any, v: Any): Any =
+    graft.core.Commitments.mappingLeafCommit(k.asInstanceOf[Array[Byte]], v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, v) => s"graft.core.Commitments.mappingLeafCommit($k, $v)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MappingLeafCommitExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** u256 addition with overflow abort, codegen (F7; the reference pins
   * the overflow flag false — u256.rs:43-110). */
 case class U256AddExpr(left: Expression, right: Expression) extends BinaryExpression {

@@ -135,6 +135,10 @@ object GraftFunctions {
     toCol(MappingLeafHashExpr(toExpr(key), toExpr(value)))
   def mappingLeafDigest(key: Column, value: Column): Column =
     toCol(MappingLeafDigestExpr(toExpr(key), toExpr(value)))
+  /** fused hash(32)‖digest(81) over one sponge — see
+    * [[graft.core.Commitments.mappingLeafCommit]]. */
+  def mappingLeafCommit(key: Column, value: Column): Column =
+    toCol(graft.expressions.MappingLeafCommitExpr(toExpr(key), toExpr(value)))
   def keyOnlyDigest(key: Column): Column = keyOnlyDigestUdf(key)
   def stateLeafHash(contract: Column, mappingSlot: Column, lengthSlot: Column, storageRoot: Column): Column =
     toCol(StateLeafHashExpr(toExpr(contract), toExpr(mappingSlot), toExpr(lengthSlot), toExpr(storageRoot)))

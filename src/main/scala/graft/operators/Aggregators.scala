@@ -73,26 +73,44 @@ object Aggregators {
     * than executor memory, build the root with level-wise DataFrame
     * self-joins instead (documented fallback, not needed for v0).
     */
-  class MerkleRootAgg extends Aggregator[(Array[Byte], Array[Byte]), Map[String, Array[Byte]], Array[Byte]] {
-    // A duplicate sort key would silently collapse two leaves into one
-    // and change the commitment; the reference's tree has unique keys
-    // by construction, so a collision here is corrupt input — fail
-    // loudly instead of committing to the wrong root.
-    private def put(buf: Map[String, Array[Byte]], key: String, leaf: Array[Byte]): Map[String, Array[Byte]] =
-      buf.get(key) match {
-        case Some(prev) if !java.util.Arrays.equals(prev, leaf) =>
-          throw new IllegalStateException(s"MerkleRootAgg: duplicate sort key $key with differing leaves")
-        case _ => buf + (key -> leaf)
+  class MerkleRootAgg extends Aggregator[(Array[Byte], Array[Byte]), List[(Array[Byte], Array[Byte])], Array[Byte]] {
+    // Buffer = unsorted (key, leaf) cons list: O(1) per-row reduce with
+    // a natively-encoded (UnsafeRow array-of-struct) buffer — the r10
+    // Map[hexString, leaf] + kryo form paid a 64-char hex conversion
+    // and map node per ROW plus kryo (de)serialization per shuffled
+    // partial, ~2 s of the 1M-entry storage-DB wall. The ONE sort
+    // moves to finish (unsigned byte-lex == hex-string order, because
+    // hex is order-isomorphic to unsigned bytes), where it always was
+    // conceptually. Duplicate-key handling is unchanged: equal
+    // duplicates collapse, a duplicate sort key with DIFFERING leaves
+    // is corrupt input — fail loudly instead of committing to the
+    // wrong root (the reference's tree has unique keys by
+    // construction).
+    def zero: List[(Array[Byte], Array[Byte])] = Nil
+    def reduce(buf: List[(Array[Byte], Array[Byte])], in: (Array[Byte], Array[Byte])): List[(Array[Byte], Array[Byte])] =
+      in :: buf
+    def merge(a: List[(Array[Byte], Array[Byte])], b: List[(Array[Byte], Array[Byte])]): List[(Array[Byte], Array[Byte])] =
+      a ::: b
+    def finish(buf: List[(Array[Byte], Array[Byte])]): Array[Byte] = {
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr, (x: (Array[Byte], Array[Byte]), y: (Array[Byte], Array[Byte])) =>
+        java.util.Arrays.compareUnsigned(x._1, y._1))
+      val leaves = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
+      leaves.sizeHint(arr.length)
+      var i = 0
+      while (i < arr.length) {
+        if (i > 0 && java.util.Arrays.equals(arr(i)._1, arr(i - 1)._1)) {
+          if (!java.util.Arrays.equals(arr(i)._2, arr(i - 1)._2))
+            throw new IllegalStateException(
+              s"MerkleRootAgg: duplicate sort key ${Bytes.toHex(arr(i)._1)} with differing leaves")
+          // equal duplicate: collapse (identical to the map semantics)
+        } else leaves += arr(i)._2
+        i += 1
       }
-    def zero: Map[String, Array[Byte]] = Map.empty
-    def reduce(buf: Map[String, Array[Byte]], in: (Array[Byte], Array[Byte])): Map[String, Array[Byte]] =
-      put(buf, Bytes.toHex(in._1), in._2)
-    def merge(a: Map[String, Array[Byte]], b: Map[String, Array[Byte]]): Map[String, Array[Byte]] =
-      b.foldLeft(a) { case (acc, (k, v)) => put(acc, k, v) }
-    def finish(buf: Map[String, Array[Byte]]): Array[Byte] =
-      Commitments.merkleRoot(buf.toIndexedSeq.sortBy(_._1).map(_._2))
-    def bufferEncoder: Encoder[Map[String, Array[Byte]]] =
-      Encoders.kryo[Map[String, Array[Byte]]]
+      Commitments.merkleRoot(leaves.result())
+    }
+    def bufferEncoder: Encoder[List[(Array[Byte], Array[Byte])]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Array[Byte], Array[Byte])]]()
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 

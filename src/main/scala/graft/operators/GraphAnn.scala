@@ -784,9 +784,17 @@ object GraphAnn {
         while (i < q.length) { acc += q(i) * v(i); i += 1 }
         acc
       }
-    // list each store table once; every hop filters the same relation
-    val fxTable = spark.read.parquet(s"${store.dir}/fx")
-    val edgeTable = spark.read.parquet(s"${store.dir}/edges")
+    // list each store table once; every hop filters the same relation.
+    // PERSIST both for the duration of this call: a hop's frontier isin
+    // re-scans the table, and paying a parquet read per hop (2 jobs ×
+    // maxExpand/batch hops) was most of the driver path's wall — the
+    // cache turns every hop after the first into an in-memory scan.
+    // Memory stays bounded: caching is lazy per partition, so a trickle
+    // query materializes only its probed buckets, and a store too big
+    // to cache is already past the serve-shard discipline.
+    val fxTable = spark.read.parquet(s"${store.dir}/fx").persist()
+    val edgeTable = spark.read.parquet(s"${store.dir}/edges").persist()
+    try {
     def fetchVecs(ids: Seq[Long]): Map[Long, Array[Long]] =
       if (ids.isEmpty) Map.empty
       else prunedRead(fxTable, "vec_id", ids, store.nBuckets)
@@ -840,6 +848,10 @@ object GraphAnn {
         .map { case (id, s) => (qid, id, s) }
     }.sortBy { case (qid, id, s) => (qid, -s, id) }
     (rows.toDF("qid", "vec_id", "score"), states.map { case (qid, st) => qid -> st.scored.size })
+    } finally {
+      fxTable.unpersist()
+      edgeTable.unpersist(): Unit
+    }
   }
 
   // ------------------------------------------------------------------
@@ -891,6 +903,21 @@ object GraphAnn {
     * (publishStore re-keys on any content change), so the memo never
     * serves a stale layout. */
   private val csrMemo = new java.util.concurrent.ConcurrentHashMap[String, CsrIndex]()
+
+  /** Broadcast[CsrIndex] memo keyed by store dir (ADVICE r10): without
+    * it every [[searchStoredDistributed]] call re-serialized the
+    * ~hundreds-of-MB snapshot into a FRESH broadcast and never released
+    * it, so a long-lived serving session accumulated copies in driver
+    * and executor memory. Stores are immutable once published, so the
+    * memoized broadcast can never be stale. */
+  private val csrBcMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.broadcast.Broadcast[CsrIndex]]()
+
+  /** the broadcast-handle twin of [[loadCsrCached]]. */
+  def csrBroadcastCached(spark: org.apache.spark.sql.SparkSession,
+                         store: StoredIndex): org.apache.spark.broadcast.Broadcast[CsrIndex] =
+    csrBcMemo.computeIfAbsent(store.dir,
+      _ => spark.sparkContext.broadcast(loadCsrCached(spark, store)))
 
   /** [[loadCsr]] through the in-JVM memo — the serving entry point. */
   def loadCsrCached(spark: org.apache.spark.sql.SparkSession, store: StoredIndex,
@@ -1049,8 +1076,9 @@ object GraphAnn {
                               csr: Option[CsrIndex] = None): DataFrame = {
     require(metric == "ip" || metric == "l2", s"unknown metric $metric")
     import spark.implicits._
-    val ix = csr.getOrElse(loadCsrCached(spark, store))
-    val bc = spark.sparkContext.broadcast(ix)
+    // reuse the memoized broadcast for committed stores; only an
+    // explicitly passed snapshot pays a fresh (caller-owned) broadcast
+    val bc = csr.map(spark.sparkContext.broadcast).getOrElse(csrBroadcastCached(spark, store))
     val bcEntry = spark.sparkContext.broadcast(entryIds.distinct.toArray)
     val wantL2 = metric == "l2"
     queries.select(col("qid").cast("long"), col("q")).as[(Long, Seq[Long])]

@@ -160,14 +160,23 @@ object IvfIndex {
     * to zero. Every probe of a maintained store must read THIS:
     * a deleted id must never be served at any nprobe. */
   def liveStore(spark: SparkSession, dir: String): DataFrame = {
-    val store = spark.read.parquet(dir)
     val td = tombDir(dir)
-    if (!td.exists()) store
+    if (!td.exists()) spark.read.parquet(dir)
     else {
+      // mergeSchema: a pre-seq legacy store that later took CDC writes
+      // is MIXED-schema parquet, and without merging, which footer wins
+      // inference is arbitrary — if an old file won, post-CDC rows
+      // would read as legacy and a tombstone could suppress an update
+      // postimage along with its preimage (ADVICE r10). Merging makes
+      // __seq present whenever ANY file carries it; rows from pre-seq
+      // files read as null → generation 1 PER ROW, not per store. Only
+      // the tombstoned path pays the extra footer reads.
+      val store = spark.read.option("mergeSchema", "true").parquet(dir)
       val t = spark.read.parquet(td.getPath)
         .groupBy("vec_id").agg(max("tomb_seq").as("__tomb_seq"))
       val withSeq =
-        if (store.columns.contains(SeqCol)) store
+        if (store.columns.contains(SeqCol))
+          store.withColumn(SeqCol, coalesce(col(SeqCol), lit(1L)))
         else store.withColumn(SeqCol, lit(1L)) // pre-seq legacy layout
       withSeq.join(broadcast(t), Seq("vec_id"), "left")
         .filter(col("__tomb_seq").isNull || col(SeqCol) > col("__tomb_seq"))
@@ -188,9 +197,15 @@ object IvfIndex {
     *
     * One apply = one epoch: the tombstone write lands BEFORE the data
     * append, so a crash between them leaves extra suppression (the
-    * postimage missing — re-apply heals by idempotent re-append) but
-    * never a served ghost. The `_stats` count is maintained as the
-    * LIVE row count: + adds − retracts, still O(delta) bookkeeping.
+    * postimage missing) but never a served ghost; re-applying the SAME
+    * batch heals that window (the re-written tombstones are dominated
+    * by the re-appended higher epoch). The idempotency claim is scoped
+    * to exactly that window: a crash AFTER the data append but before
+    * the `_stats` swap must be healed by [[verifyStats]] (footer
+    * recount), NOT by blind re-apply — re-appending would duplicate
+    * the add rows at the same epoch (ADVICE r10). The `_stats` count
+    * is maintained as the LIVE row count: + adds − retracts, still
+    * O(delta) bookkeeping.
     * Upstream CDC guarantees each retracted id was present in the
     * followed version — this consumes that contract rather than
     * re-checking it with a store scan. */
@@ -223,13 +238,23 @@ object IvfIndex {
     * drained or pointed at a sibling store during compaction, exactly
     * like a VersionedTable compact commit). */
   def compactStore(spark: SparkSession, dir: String): Unit = {
+    // heal a previous interrupted compaction FIRST (see
+    // [[recoverParkedLists]]): through round 10 the swap deleted the
+    // live list dir before renaming the rebuilt copy in, and a re-run
+    // cleared the stage up front — a crash inside that window
+    // permanently lost the list (ADVICE r10, medium). The swap now
+    // parks the live dir aside instead of deleting it, so every crash
+    // point leaves a recoverable copy.
+    recoverParkedLists(dir)
     val td = tombDir(dir)
     if (!td.exists()) return
-    val store = spark.read.parquet(dir)
+    val store = spark.read.option("mergeSchema", "true").parquet(dir)
     val t = spark.read.parquet(td.getPath)
       .groupBy("vec_id").agg(max("tomb_seq").as("__tomb_seq"))
     val withSeq =
-      if (store.columns.contains(SeqCol)) store else store.withColumn(SeqCol, lit(1L))
+      if (store.columns.contains(SeqCol))
+        store.withColumn(SeqCol, coalesce(col(SeqCol), lit(1L)))
+      else store.withColumn(SeqCol, lit(1L))
     val dirtyLists = withSeq.join(broadcast(t), Seq("vec_id"), "inner")
       .filter(col(SeqCol) <= col("__tomb_seq"))
       .select("list_id").distinct().collect().map(_.getInt(0))
@@ -239,18 +264,46 @@ object IvfIndex {
     graft.core.Fs.deleteRecursively(stage)
     dirtyLists.foreach { l =>
       val listPath = new java.io.File(s"$dir/list_id=$l")
+      val parked = new java.io.File(s"$dir/${ParkedPrefix}list_id=$l")
       val live = liveStore(spark, dir).filter(col("list_id") === l).drop("list_id")
       live.write.mode("overwrite").parquet(s"${stage.getPath}/list_id=$l")
-      graft.core.Fs.deleteRecursively(listPath)
+      // park-then-swap: the live dir is RENAMED aside (never deleted
+      // before the rebuilt copy is in place), so between park and swap
+      // the original remains on disk under the parked name and
+      // recovery can always restore it; only after a successful swap
+      // is the parked copy dropped
+      graft.core.Fs.deleteRecursively(parked)
+      if (listPath.exists() && !listPath.renameTo(parked))
+        throw new IllegalStateException(s"compaction park failed for list $l at $dir")
       val rebuilt = new java.io.File(s"${stage.getPath}/list_id=$l")
       if (!rebuilt.renameTo(listPath))
         throw new IllegalStateException(s"compaction swap failed for list $l at $dir")
+      graft.core.Fs.deleteRecursively(parked)
     }
     graft.core.Fs.deleteRecursively(stage)
     graft.core.Fs.deleteRecursively(td)
     // live count is invariant under compaction; the epoch advances so
     // post-compaction appends stamp above every reclaimed generation
     writeStats(spark, dir, prevN, prevEpoch + 1)
+  }
+
+  private val ParkedPrefix = "_compact_parked."
+
+  /** restore lists parked by an interrupted [[compactStore]]: a parked
+    * dir with NO live sibling is the only copy of that list (the crash
+    * landed between park and swap) — rename it back; a parked dir WITH
+    * a live sibling is a completed swap's leftover — drop it. The
+    * underscore prefix keeps parked dirs invisible to every parquet
+    * scan of the store in the meantime. */
+  private def recoverParkedLists(dir: String): Unit = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+    files.filter(f => f.isDirectory && f.getName.startsWith(ParkedPrefix)).foreach { p =>
+      val livePath = new java.io.File(dir, p.getName.stripPrefix(ParkedPrefix))
+      if (!livePath.exists()) {
+        if (!p.renameTo(livePath))
+          throw new IllegalStateException(s"compaction recovery failed for ${livePath.getName} at $dir")
+      } else graft.core.Fs.deleteRecursively(p)
+    }
   }
 
   /** `_stats` manifest maintained at write/append time: the committed

@@ -31,14 +31,22 @@ object ZkPipeline {
   // ------------------------------------------------------------ §3.1 stages 1-5
   /** storage DB (per block × contract): COUNT (A1) + additive set
     * digest (A2) + order-fixed Merkle root (A3). One shuffle, three
-    * aggregates, map-side partials for all of them. */
+    * aggregates, map-side partials for all of them.
+    *
+    * The leaf hash (A3 input) and leaf digest (A2 input) share their
+    * Poseidon absorb over the same key‖value preimage, so both are
+    * sliced from ONE fused [[mappingLeafCommit]] column computed in a
+    * Project below the aggregate — one sponge + one curve map per
+    * entry instead of two sponges (bit-identical halves; the r10 shape
+    * paid the 2-permutation absorb twice per entry). */
   def storageDb(entries: DataFrame): DataFrame =
     entries
+      .withColumn("__leaf_commit", mappingLeafCommit(col("mapping_key"), col("value")))
       .groupBy("block_number", "contract", "mapping_slot", "length_slot")
       .agg(
         count(lit(1)).as("n"),
-        Aggregators.digestAgg(mappingLeafDigest(col("mapping_key"), col("value"))).as("digest"),
-        Aggregators.merkleRoot(col("mapping_key"), mappingLeafHash(col("mapping_key"), col("value"))).as("storage_root"))
+        Aggregators.digestAgg(substring(col("__leaf_commit"), 33, 81)).as("digest"),
+        Aggregators.merkleRoot(col("mapping_key"), substring(col("__leaf_commit"), 1, 32)).as("storage_root"))
 
   /** Scale-out Merkle root (SURVEY §7.4.2 fallback): when a single
     * group's leaf set exceeds executor memory, the in-buffer

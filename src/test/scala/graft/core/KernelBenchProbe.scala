@@ -22,9 +22,16 @@ class KernelBenchProbe extends AnyFunSuite {
     val sswuNs = (System.nanoTime() - t0) / 20000.0
     println(f"sswu:              $sswuNs%.0f ns/op")
     // regression tripwire for the per-entry commitment cost (the 10M
-    // rung is kernel-bound): quiet-host ~250 us, generous 5x headroom
-    // for host load — a return of the double-pow / boxed-sqrt cost
-    // (~3-5x) still trips it
-    assert(sswuNs < 1250000, f"sswu regressed to $sswuNs%.0f ns/op")
+    // rung is kernel-bound). A RELATIVE bound, not absolute wall-clock
+    // (ADVICE r10: an absolute ns assert is a flaky hard failure on a
+    // loaded host): sswu is ~400 mul5-class field ops and the poseidon
+    // hash ~5k base-field ops, so their RATIO is load-invariant — a
+    // return of the double-sqrt / boxed-sqrt cost (3-5x) trips it on
+    // any host speed. The absolute print stays for the BASELINE record.
+    val t1 = System.nanoTime()
+    (0 until 20000).foreach { i => PoseidonGoldilocks.hashNoPadN(fields, 5) }
+    val poseidonNs = (System.nanoTime() - t1) / 20000.0
+    assert(sswuNs < 15.0 * poseidonNs,
+      f"sswu at $sswuNs%.0f ns/op is >15x the same-run poseidon hash ($poseidonNs%.0f ns/op) — kernel regression")
   }
 }
