@@ -84,7 +84,7 @@ object Commitments {
     * entry contribute N·P, never cancel. Bit-exact with the
     * reference's digest group. */
   def digestCombine(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    EcGFp5.serialize(EcGFp5.deserialize(a) + EcGFp5.deserialize(b))
+    EcGFp5.addSerialized(a, b)
 
   /** `state_leaf_hash` (state/lpn/mod.rs:25-45): Poseidon over
     * 5×u32(address LE-packed) ‖ mapping_slot ‖ length_slot ‖

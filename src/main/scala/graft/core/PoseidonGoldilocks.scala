@@ -182,11 +182,15 @@ object PoseidonGoldilocks {
     * carry bookkeeping of the 128-bit accumulator disappears. `loH`/
     * `hiH` are caller-owned scratch. */
   private def mdsLayer(st: Array[Long], next: Array[Long], loH: Array[Long], hiH: Array[Long]): Unit = {
+    // halves DOUBLED (scratch length 24: [i] == [i+12]) so each row is
+    // one branch-free linear scan instead of a wraparound-tested index
     var i = 0
     while (i < Width) {
       val v = st(i)
-      loH(i) = v & 0xffffffffL
-      hiH(i) = v >>> 32
+      val lo = v & 0xffffffffL
+      val hi = v >>> 32
+      loH(i) = lo; loH(i + Width) = lo
+      hiH(i) = hi; hiH(i + Width) = hi
       i += 1
     }
     var r = 0
@@ -194,13 +198,11 @@ object PoseidonGoldilocks {
       var sumLo = 0L
       var sumHi = 0L
       var k = 0
-      var idx = r
       while (k < Width) {
         val c = MdsCirc(k)
+        val idx = r + k
         sumLo += loH(idx) * c
         sumHi += hiH(idx) * c
-        idx += 1
-        if (idx == Width) idx = 0
         k += 1
       }
       if (r == 0) {
@@ -232,8 +234,8 @@ object PoseidonGoldilocks {
   private final class Scratch {
     val st = new Array[Long](Width)
     val next = new Array[Long](Width)
-    val lo = new Array[Long](Width)
-    val hi = new Array[Long](Width)
+    val lo = new Array[Long](2 * Width) // doubled: branch-free circulant scan
+    val hi = new Array[Long](2 * Width)
   }
   private val scratchTL: ThreadLocal[Scratch] =
     ThreadLocal.withInitial(() => new Scratch)
