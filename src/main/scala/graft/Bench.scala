@@ -124,7 +124,16 @@ object Bench {
       s"\"" + k + "\":" + rs.map(math.abs).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$raw,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // scale-tier accounting (BASELINE.md round-11 note): decade rungs are
+    // run-once, spread-less rows that absorb every future scale-up — list
+    // them as a separate subtotal so round-over-round totals stay
+    // interpretable. Membership = the single-shot set (first wall >= 60 s,
+    // the same rule that decides run-once above), so the tier is derived
+    // from the run, not a hand-kept list.
+    val tierOnce = results.collect { case (k, v, _, rs) if v >= 0 && rs.length == 1 && v >= 60.0 => (k, v) }
+    val tierJson = tierOnce.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val tierSum = tierOnce.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$raw,"scale_tier":$tierJson,"scale_tier_total":$tierSum,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // full per-query record first (for terminal readers + the committed
     // BENCH_LOCAL artifact), then persist it as a file artifact
     println(json)
