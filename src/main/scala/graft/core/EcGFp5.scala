@@ -119,8 +119,40 @@ object EcGFp5 {
   /** raw Frobenius norm to GF(p); when `prodOut` is non-null it
     * receives ∏_{k=1..4} φᵏ(a) — the inverse's cofactor, so one norm
     * computation serves both the Legendre test and the inverse. */
-  private def normProd5(a: Array[Long], prodOut: Array[Long]): Long = {
+  // ----------------------------------------- per-thread kernel scratch
+  // The commitment rungs run map_to_curve on all 32 cores at once with
+  // ~25 tiny temporary arrays per map. The scratch keeps the hot path
+  // allocation-free (measurably faster solo; on this host the residual
+  // 32-thread inflation turned out to be execution-resource contention
+  // — high-IPC kernels squeezed under all-core load — not GC, see
+  // ParallelKernelProbe vs the PureAluProbe canary). Every buffer below
+  // is internal-only: nothing scratch-backed ever escapes a call
+  // (escaping outputs are still freshly allocated at the call sites).
+  private final class FieldScratch {
+    val n1 = new Array[Long](5); val n2 = new Array[Long](5) // normProd5
+    val i1 = new Array[Long](5)                              // inv5 cofactor
+    // sqrt5Core ladder + Frobenius assembly
+    val acc = new Array[Long](5)
+    val a2 = new Array[Long](5); val a4 = new Array[Long](5)
+    val a8 = new Array[Long](5); val a16 = new Array[Long](5)
+    val f1 = new Array[Long](5); val f3 = new Array[Long](5)
+    val h = new Array[Long](5); val c0 = new Array[Long](5)
+    // simpleSwu chain
     val t1 = new Array[Long](5); val t2 = new Array[Long](5)
+    val denomPart = new Array[Long](5); val denom = new Array[Long](5)
+    val tv1 = new Array[Long](5); val x1 = new Array[Long](5)
+    val x2 = new Array[Long](5); val gx = new Array[Long](5)
+    val yPos = new Array[Long](5); val yNeg = new Array[Long](5)
+    val xCand = new Array[Long](5); val w = new Array[Long](5)
+    val e = new Array[Long](5); val other = new Array[Long](5)
+    val inv = new Array[Long](5); val prod = new Array[Long](5)
+  }
+  private val fsTL: ThreadLocal[FieldScratch] =
+    ThreadLocal.withInitial(() => new FieldScratch)
+
+  private def normProd5(a: Array[Long], prodOut: Array[Long]): Long = {
+    val s = fsTL.get()
+    val t1 = s.n1; val t2 = s.n2
     frob5(a, 1, t1)
     frob5(a, 2, t2)
     mul5(t1, t2, t1)
@@ -139,7 +171,7 @@ object EcGFp5 {
   /** raw inverse via the Frobenius norm; 0 → 0. */
   private def inv5(a: Array[Long], out: Array[Long]): Unit = {
     if (isZero5(a)) { java.util.Arrays.fill(out, 0L); return }
-    val prod = new Array[Long](5)
+    val prod = fsTL.get().i1
     val ninv = binv(normProd5(a, prod))
     var i = 0
     while (i < 5) { out(i) = bmul(prod(i), ninv); i += 1 }
@@ -174,32 +206,36 @@ object EcGFp5 {
     if (isZero5(a)) return Some(new Array[Long](5))
     val n = normProd5(a, null)
     if (bpow(n, (p - 1) >>> 1) != 1L) return None
-    Some(sqrt5Core(a, n))
+    val out = new Array[Long](5)
+    sqrt5Core(a, n, out)
+    Some(out)
   }
 
   /** the QR branch of [[sqrt5]]: `a` non-zero with χ_p(n) = 1 for
     * n = Norm(a) (caller-checked — lets SSWU reuse its own Legendre
-    * test instead of paying it twice). */
-  private def sqrt5Core(a: Array[Long], n: Long): Array[Long] = {
+    * test instead of paying it twice). Writes the root into `out`
+    * (callers own escape decisions; internals run on scratch). */
+  private def sqrt5Core(a: Array[Long], n: Long, out: Array[Long]): Unit = {
+    val s0 = fsTL.get()
     // v = a^((p+1)/2) = (a^(2^32−1))^(2^31) · a  (2^k−1 doubling ladder)
-    val acc = new Array[Long](5)
+    val acc = s0.acc
     sq5(a, acc); mul5(acc, a, acc)                    // a^3 = a^(2^2−1)
-    val a2 = acc.clone()
+    System.arraycopy(acc, 0, s0.a2, 0, 5)
     var i = 0
-    while (i < 2) { sq5(acc, acc); i += 1 }; mul5(acc, a2, acc)   // a^(2^4−1)
-    val a4 = acc.clone()
-    i = 0; while (i < 4) { sq5(acc, acc); i += 1 }; mul5(acc, a4, acc)   // a^(2^8−1)
-    val a8 = acc.clone()
-    i = 0; while (i < 8) { sq5(acc, acc); i += 1 }; mul5(acc, a8, acc)   // a^(2^16−1)
-    val a16 = acc.clone()
-    i = 0; while (i < 16) { sq5(acc, acc); i += 1 }; mul5(acc, a16, acc) // a^(2^32−1)
+    while (i < 2) { sq5(acc, acc); i += 1 }; mul5(acc, s0.a2, acc)   // a^(2^4−1)
+    System.arraycopy(acc, 0, s0.a4, 0, 5)
+    i = 0; while (i < 4) { sq5(acc, acc); i += 1 }; mul5(acc, s0.a4, acc)   // a^(2^8−1)
+    System.arraycopy(acc, 0, s0.a8, 0, 5)
+    i = 0; while (i < 8) { sq5(acc, acc); i += 1 }; mul5(acc, s0.a8, acc)   // a^(2^16−1)
+    System.arraycopy(acc, 0, s0.a16, 0, 5)
+    i = 0; while (i < 16) { sq5(acc, acc); i += 1 }; mul5(acc, s0.a16, acc) // a^(2^32−1)
     i = 0; while (i < 31) { sq5(acc, acc); i += 1 }
     mul5(acc, a, acc)                                 // v
     // h = φ¹(v)·φ³(v) = a^((N−1)/2);  c = a·h = a^((N+1)/2)
-    val f1 = new Array[Long](5); frob5(acc, 1, f1)
-    val f3 = new Array[Long](5); frob5(acc, 3, f3)
-    val h = new Array[Long](5); mul5(f1, f3, h)
-    val c0 = new Array[Long](5); mul5(a, h, c0)
+    frob5(acc, 1, s0.f1)
+    frob5(acc, 3, s0.f3)
+    mul5(s0.f1, s0.f3, s0.h)
+    mul5(a, s0.h, s0.c0)
     // base-field Tonelli–Shanks on n (r = n^(2^31); t = r²/n ∈ μ_{2^32})
     var r = canonical(n)
     i = 0; while (i < 31) { r = bmul(r, r); i += 1 }
@@ -219,9 +255,7 @@ object EcGFp5 {
       e = j
     }
     val sinv = binv(r)
-    val out = new Array[Long](5)
-    i = 0; while (i < 5) { out(i) = canonical(bmul(c0(i), sinv)); i += 1 }
-    out
+    i = 0; while (i < 5) { out(i) = canonical(bmul(s0.c0(i), sinv)); i += 1 }
   }
 
   // more raw GF(p^5) helpers for the allocation-lean SSWU chain
@@ -495,15 +529,15 @@ object EcGFp5 {
     * ~2.5x — ParallelKernelProbe). Bit-parity is certified by the
     * committed SSWU golden vectors. */
   def simpleSwu(u: F5): Point = {
-    val t1 = new Array[Long](5)
-    val t2 = new Array[Long](5)
-    val denomPart = new Array[Long](5)
+    val s = fsTL.get()
+    val t1 = s.t1; val t2 = s.t2
+    val denomPart = s.denomPart
     sq5(u.c, t1); mul5(Zsw.c, t1, denomPart)
-    val denom = new Array[Long](5)
+    val denom = s.denom
     sq5(denomPart, t1); add5(t1, denomPart, denom)
-    val tv1 = new Array[Long](5)
+    val tv1 = s.tv1
     inv5(denom, tv1) // inverse_or_zero
-    val x1 = new Array[Long](5)
+    val x1 = s.x1
     if (isZero5(tv1)) mul5(NegZInvSw.c, NegBDivASw.c, x1)
     else { add5(tv1, F5.One.c, t1); mul5(t1, NegBDivASw.c, x1) }
     // g(x) = x³ + Asw·x + Bsw
@@ -512,18 +546,19 @@ object EcGFp5 {
       mul5(Asw.c, x, t1)
       add5(t2, t1, out); add5(out, Bsw.c, out)
     }
-    val gx = new Array[Long](5)
+    val gx = s.gx
     gOf(x1, gx)
     var xsw = x1
     // pick the branch with the square g-value (gx1.sqrt-or-gx2 of the
     // reference, with the Legendre test shared into sqrt5Core); a zero
     // g-value has the zero root, like sqrt(0) = Some(0)
-    var yPos = new Array[Long](5)
+    val yPos = s.yPos
+    java.util.Arrays.fill(yPos, 0L)
     var n = if (isZero5(gx)) 0L else normProd5(gx, null)
     if (isZero5(gx)) ()
-    else if (bpow(n, (p - 1) >>> 1) == 1L) yPos = sqrt5Core(gx, n)
+    else if (bpow(n, (p - 1) >>> 1) == 1L) sqrt5Core(gx, n, yPos)
     else {
-      val x2 = new Array[Long](5)
+      val x2 = s.x2
       mul5(denomPart, x1, x2)
       xsw = x2
       gOf(x2, gx)
@@ -532,15 +567,15 @@ object EcGFp5 {
         n = normProd5(gx, null)
         require(bpow(n, (p - 1) >>> 1) == 1L,
           "SSWU invariant breach: neither g(x1) nor g(x2) is a square")
-        yPos = sqrt5Core(gx, n)
+        sqrt5Core(gx, n, yPos)
       }
     }
-    val xCand = new Array[Long](5)
+    val xCand = s.xCand
     sub5(xsw, TwoThirds.c, xCand)
     // yCand = ±yPos, sign-normalized to sgn0(u) — this is what makes
     // the map independent of which root sqrt5 returned
     val yCand = if (sgn05(u.c) == sgn05(yPos)) yPos
-      else { val negY = new Array[Long](5); sub5(F5.Zero.c, yPos, negY); negY }
+      else { sub5(F5.Zero.c, yPos, s.yNeg); s.yNeg }
     // `Point.decode(yCand / xCand)` WITHOUT a second Tonelli–Shanks
     // sqrt: xCand is itself a root of decode's quadratic
     // x² − (w²−A)x + B — divide the double-odd curve equation
@@ -551,14 +586,20 @@ object EcGFp5 {
     // exactly one root is) is reproduced bit-for-bit by one Legendre
     // test. w = 0 (x = 0 or y = 0, unreachable for hash outputs)
     // keeps decode's ∞ behavior for exact parity.
-    val w = new Array[Long](5)
-    inv5(xCand, t1); mul5(yCand, t1, w)
+    // ONE Frobenius norm serves xCand's inverse AND its Legendre test.
+    val w = s.w
+    val nx = normProd5(xCand, s.prod)
+    if (nx == 0L) return Point.Infinity // xCand = 0 ⇒ w = y·0⁻¹ = 0 ⇒ decode(0) = ∞
+    val nxInv = binv(nx)
+    var ii = 0
+    while (ii < 5) { s.inv(ii) = bmul(s.prod(ii), nxInv); ii += 1 }
+    mul5(yCand, s.inv, w)
     if (isZero5(w)) return Point.Infinity
-    val e = new Array[Long](5)
+    val e = s.e
     sq5(w, t1); sub5(t1, A.c, e)
     val xdo =
-      if (legendre5(xCand) == 1L) xCand
-      else { val other = new Array[Long](5); sub5(e, xCand, other); other }
+      if (bpow(nx, (p - 1) >>> 1) == 1L) xCand
+      else { sub5(e, xCand, s.other); s.other }
     val xOut = new Array[Long](5)
     add5(xdo, TwoThirds.c, xOut)
     val yOut = new Array[Long](5)
