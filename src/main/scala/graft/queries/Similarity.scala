@@ -103,9 +103,16 @@ object Similarity {
   private val FxSql =
     "fx AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1e7) AS BIGINT)) AS f FROM embeddings)"
 
-  /** exact integer inner product of two fixed-point arrays. */
+  /** exact integer inner product of two fixed-point arrays — the
+    * codegen [[graft.expressions.IpFixedExpr]] kernel (the zip_with/
+    * aggregate form it replaces is CodegenFallback: interpreted per
+    * row with an intermediate array; it dominated candidate scoring
+    * at the 12M-row ss_recall_1m stage). Same integer arithmetic and
+    * null/length semantics, pinned by IpFixedSpec. */
   private[queries] def ip(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.IpFixedExpr(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** sign-projection bucket signature at any width (Spark side).
     * The plane entries are ±1, so each plane's inner product is a
